@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.bridge
+
+/** Column-level entry points for graft's custom Catalyst expressions. */
+object GraftFunctions {
+
+  /** Aggregate: ids of the k nearest rows per group, ascending by
+    * (dist, id). See [[TopKByDistance]]. */
+  def topKByDist(id: Column, dist: Column, k: Int): Column =
+    bridge.column(
+      TopKByDistance(
+        bridge.expression(id.cast("long")),
+        bridge.expression(dist.cast("double")),
+        Literal(k)).toAggregateExpression())
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Batch top-k nearest-neighbor search — the reference's one query shape
+  * (SURVEY §2.3; canonical impl `/root/reference/dynamic_script_faiss.py:60`
+  * `index.search(xq, topk)`).
+  *
+  * Spark formulation: the query side is always small relative to the base
+  * (10k vs 1M in SIFT1M; 1-in-20 here), so we `broadcast` it and let
+  * Catalyst plan a BroadcastNestedLoopJoin — the 100 TB-scale shape is
+  * "stream the base once per partition, keep all queries in memory", which
+  * is exactly what the reference's batch kernels do per thread.
+  *
+  * Per-query top-k has two physical strategies:
+  *   - `exactWindow`: row_number over (query_id, dist) — simple, but sorts
+  *     |base|×|queries| rows through a shuffle; fine at fixture scale only.
+  *   - `exact` (default): groupBy(query_id) + bounded-heap aggregate
+  *     ([[graft.functions.TopKByDistance]]) — map-side partial aggregation
+  *     reduces shuffle traffic to k rows per query per partition, the plan
+  *     that survives a 100× scale-up.
+  *
+  * Expected input schemas:
+  *   queries: (query_id: Long, q_embedding: Array[Float])
+  *   base:    (vec_id: Long, embedding: Array[Float])
+  * Output: (query_id: Long, neighbor_id: Long, rank: Int) with
+  * rank ∈ [1, k] ordered by (squared L2 distance, neighbor_id).
+  */
+object Knn {
+
+  /** Cross product of base × broadcast(queries) with the distance column. */
+  private def scored(queries: DataFrame, base: DataFrame, distance: (Column, Column) => Column): DataFrame =
+    base
+      .crossJoin(broadcast(queries))
+      .withColumn("dist", distance(col("q_embedding"), col("embedding")))
+
+  /** Exact kNN via bounded-heap aggregate — the scale path. */
+  def exact(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
+    scored(queries, base, l2sq)
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Exact kNN via window row_number — the naive physical plan, kept for
+    * plan comparison and as oracle cross-check. */
+  def exactWindow(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    scored(queries, base, l2sq)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Exact top-k by cosine similarity (descending) — the similarity-search
+    * baseline for the embedding column (builder brief: ANN over embeddings). */
+  def cosineTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), -cosine(col("q_embedding"), col("embedding")), k)
+    base
+      .crossJoin(broadcast(queries))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Ground-truth generator: exact top-k collected to one array per query,
+    * the analog of `sift_groundtruth.ivecs` (SURVEY §1.1). */
+  def groundTruth(queries: DataFrame, base: DataFrame, k: Int): DataFrame =
+    exact(queries, base, k)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id")))).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("gt_ids"))
+}

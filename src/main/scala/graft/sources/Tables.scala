@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet fixture loaders (SURVEY §1.3, FIXTURES §2) plus the base/query
+  * split convention for the vector tables.
+  *
+  * The reference loads SIFT1M as four dense matrices `(xt, xb, xq, gt)`
+  * (`/root/reference/dynamic_script_faiss.py:17-22`); our analog is the
+  * `embeddings` table split by `vec_id % 20`: 1-in-20 rows are queries,
+  * the rest the indexed base. Ground truth is derived by exact kNN rather
+  * than read from a file.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+
+  /** Query split: `vec_id % 20 == 0` (FIXTURES §2 convention). */
+  def embeddingQueries(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+  /** Base split: everything that is not a query. */
+  def embeddingBase(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "supplier")
+
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "region")
+
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+}
