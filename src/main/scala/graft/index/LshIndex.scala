@@ -1,0 +1,60 @@
+package graft.index
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Random-projection LSH index — the Spark analog of the reference's
+  * RP-tree backends Annoy / MRPT (SURVEY §2.2 I4/I5;
+  * `/root/reference/dynamic_script_annoy.py:61-64` 100 trees euclidean,
+  * `/root/reference/dynamic_script_mrpt.py:44-47` autotuned).
+  *
+  * MLlib's `BucketedRandomProjectionLSH` hashes vectors into buckets by
+  * random projections; `approxSimilarityJoin` turns the kNN into an
+  * equi-join on (hash-table, bucket) — candidates co-located by bucket id,
+  * which is the partitioning that scales: no nested loop ever materializes.
+  */
+final case class LshModel(model: BucketedRandomProjectionLSHModel)
+
+object LshIndex {
+
+  /** Fit on the base table (vec_id, embedding). `bucketLength` follows the
+    * MLlib guidance ~ pow(n, -1/d) scaled to data range; for the unit-ish
+    * synthetic embeddings a constant works and is seed-stable. */
+  def fit(base: DataFrame, numHashTables: Int, bucketLength: Double, seed: Long = 42L): LshModel = {
+    val lsh = new BucketedRandomProjectionLSH()
+      .setNumHashTables(numHashTables)
+      .setBucketLength(bucketLength)
+      .setSeed(seed)
+      .setInputCol("features")
+      .setOutputCol("hashes")
+    LshModel(lsh.fit(featurize(base)))
+  }
+
+  private def featurize(df: DataFrame): DataFrame =
+    df.withColumn("features", array_to_vector(col("embedding")))
+
+  /** Approximate kNN: bucket-join candidates within `threshold` L2 distance,
+    * then per-query top-k. Output: (query_id, neighbor_id, rank).
+    *
+    * MRPT's `build_autotune_sample(target_recall)` analog: callers sweep
+    * (numHashTables, threshold) until [[graft.operators.Recall]] clears the
+    * target on a validation split. */
+  def search(model: LshModel, queries: DataFrame, base: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val q = featurize(queries.select(col("query_id").as("vec_id"), col("q_embedding").as("embedding")))
+    val b = featurize(base)
+    val joined = model.model
+      .approxSimilarityJoin(q, b, threshold, "dist")
+      .select(
+        col("datasetA.vec_id").as("query_id"),
+        col("datasetB.vec_id").as("neighbor_id"),
+        col("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot DML (SURVEY §2.4 D1-D4). The reference's five embedded backends
+  * implement update as *rebuild on a new snapshot* — searches keep reading
+  * the old structure until the swap (`/root/reference/dynamic_script_faiss.py:92-113`).
+  * That is Spark's native model: every operation here returns a new
+  * immutable DataFrame; concurrent readers of the old snapshot are
+  * isolated for free (SURVEY §2.6 C2).
+  */
+object Snapshots {
+
+  /** D1 bulk insert. `dedupe=true` reproduces Redis's existence-guarded
+    * upsert (`dynamic_script_redis.py:49-55`) as a left-anti join. */
+  def insert(base: DataFrame, rows: DataFrame, idCol: String = "vec_id", dedupe: Boolean = false): DataFrame = {
+    val fresh =
+      if (dedupe) rows.join(base.select(idCol), Seq(idCol), "left_anti")
+      else rows
+    base.unionByName(fresh)
+  }
+
+  /** D2 delete by id set — Milvus `delete(f"id in {…}")`
+    * (`dynamic_script_milvus.py:133-138`) as an anti-join. */
+  def deleteByIds(base: DataFrame, ids: DataFrame, idCol: String = "vec_id"): DataFrame =
+    base.join(ids.select(idCol), Seq(idCol), "left_anti")
+
+  /** D3/D4 delete-by-range: the reference's `xb[:n-u]` survivor slice
+    * (`dynamic_script_faiss.py:96`) as a range predicate. */
+  def deleteSuffix(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =
+    base.filter(col(idCol) < cutoff)
+
+  /** The re-insert slice `xb[n-u:]` (`dynamic_script_faiss.py:108`). */
+  def suffix(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =
+    base.filter(col(idCol) >= cutoff)
+
+  /** The reference's observed invariant (SURVEY §5): delete∘insert =
+    * identity. Returns the post-cycle snapshot: delete the suffix then
+    * re-insert the same rows. kNN results on it must equal the baseline. */
+  def deleteInsertCycle(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =
+    insert(deleteSuffix(base, cutoff, idCol), suffix(base, cutoff, idCol), idCol)
+}

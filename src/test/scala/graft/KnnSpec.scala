@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IvfIndex, LshIndex}
+import graft.operators.{Knn, Recall, Snapshots}
+import graft.sources.Tables
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class KnnSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val queries = Tables.embeddingQueries(spark, dir).cache()
+  lazy val base = Tables.embeddingBase(spark, dir).cache()
+  lazy val gt = Knn.exact(queries, base, 10).cache()
+
+  def recallOf(pred: org.apache.spark.sql.DataFrame): Double =
+    Recall.recallAtK(pred, gt, 10).collect()(0).getDouble(0)
+
+  test("aggregate and window top-k strategies agree exactly") {
+    val a = Knn.exact(queries, base, 10).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Knn.exactWindow(queries, base, 10).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == w)
+  }
+
+  test("recall(exact, exact) == 1.0") {
+    assert(recallOf(gt) == 1.0)
+  }
+
+  test("delete-insert cycle is identity on kNN results (reference invariant)") {
+    val odd = base.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)
+    val cycled = Snapshots.insert(Snapshots.deleteByIds(base, odd), odd)
+    assert(recallOf(Knn.exact(queries, cycled, 10)) == 1.0)
+  }
+
+  test("deleting half the base strictly lowers recall") {
+    val half = Snapshots.deleteSuffix(base, 250)
+    assert(recallOf(Knn.exact(queries, half, 10)) < 1.0)
+  }
+
+  test("IVF recall clears the BASELINE bar (>= 0.9)") {
+    val model = IvfIndex.fit(base, base, nlist = 8)
+    assert(recallOf(IvfIndex.search(model, queries, 10, nprobe = 6)) >= 0.9)
+  }
+
+  test("IVF recall is monotone in nprobe") {
+    val model = IvfIndex.fit(base, base, nlist = 8)
+    val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
+    assert(r == r.sorted)
+  }
+
+  test("LSH recall clears the BASELINE bar (>= 0.7)") {
+    val model = LshIndex.fit(base, numHashTables = 8, bucketLength = 0.5)
+    assert(recallOf(LshIndex.search(model, queries, base, 10, threshold = 1.3)) >= 0.7)
+  }
+
+  test("cosine top-k returns k rows per query") {
+    val c = Knn.cosineTopK(queries, base, 10)
+    val counts = c.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
+    assert(counts == Set(10L))
+  }
+}
