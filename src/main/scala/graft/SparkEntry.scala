@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IvfIndex, LshIndex}
-import graft.operators.{Knn, Recall, Snapshots}
-import graft.sources.Tables
+import graft.operators.{Knn, MetricsAnalytics, Recall, Snapshots}
+import graft.sources.{MetricLogs, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,50 @@ object SparkEntry {
     Knn.exact(Tables.embeddingQueries(spark, dir), cycled, KnnK)
   }
 
+  /** M5: mean of the last 5 events per user (tail-window summary). */
+  private def metricsTail(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.tailSummary(
+      Tables.events(spark, dir), col("user_id"), Seq(col("ts"), col("event_id")), col("value"), 5)
+
+  /** M6: mean of the first 5 events per user (head-window summary). */
+  private def metricsHead(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.headSummary(
+      Tables.events(spark, dir), col("user_id"), Seq(col("ts"), col("event_id")), col("value"), 5)
+
+  /** M7: cross-client aggregation over event_type. */
+  private def multiTenantAgg(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.crossClientAgg(Tables.events(spark, dir), col("event_type"), col("value"))
+
+  /** M8/M9: sentinel-region pairing — each signup paired with the user's
+    * next purchase. */
+  private def eventRegions(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.regionPairs(
+      Tables.events(spark, dir), col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), "signup", "purchase")
+
+  /** Gap-based sessionization (30-minute gap) over the event stream. */
+  private def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.sessionize(
+      Tables.events(spark, dir), col("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000)
+
+  /** S4→S5 round-trip: synthesize the reference's interval-log lines from
+    * events, then regex-parse them back to typed columns. */
+  private def logRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = Tables.events(spark, dir).select(
+      col("event_id").cast("int").as("interval"),
+      col("value").as("qps"),
+      (col("value") * 2).as("latency_ms"),
+      (col("value") / 100).as("recall"))
+    MetricLogs.parseLines(MetricLogs.formatLines(metrics))
+  }
+
+  /** JSON prop extraction + aggregation over the event stream. */
+  private def eventProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -114,6 +158,13 @@ object SparkEntry {
     "recall_ivf" -> ((s, dir) => recallIvf(s, dir)),
     "recall_lsh" -> ((s, dir) => recallLsh(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+    "metrics_tail_summary" -> ((s, dir) => metricsTail(s, dir)),
+    "metrics_head_summary" -> ((s, dir) => metricsHead(s, dir)),
+    "multi_tenant_agg" -> ((s, dir) => multiTenantAgg(s, dir)),
+    "event_regions" -> ((s, dir) => eventRegions(s, dir)),
+    "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
+    "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
+    "event_props" -> ((s, dir) => eventProps(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -171,6 +222,54 @@ object SparkEntry {
     "knn_cosine" -> knnCosineOracle,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,
+    "metrics_tail_summary" ->
+      """WITH r AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n_rows
+        |FROM r WHERE rn <= 5 GROUP BY user_id""".stripMargin,
+    "metrics_head_summary" ->
+      """WITH r AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n_rows
+        |FROM r WHERE rn <= 5 GROUP BY user_id""".stripMargin,
+    "multi_tenant_agg" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value,
+        |  round(sum(value), 2) AS sum_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+    "event_regions" ->
+      """WITH f AS (SELECT user_id, event_id, event_type, ts FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |m AS (SELECT user_id AS key, event_id AS start_event_id, event_type,
+        |  epoch_ms(ts) AS start_ms,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
+        |  FROM f)
+        |SELECT key, start_event_id, start_ms, end_ms FROM m
+        |WHERE event_type = 'signup' AND end_ms IS NOT NULL""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (SELECT user_id AS key, event_id, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT key, event_id,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY key ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "log_roundtrip" ->
+      """WITH lines AS (SELECT printf(
+        |  'Interval %d: QPS = %.2f queries/sec, Latency = %.2f ms, Recall = %.4f',
+        |  CAST(event_id AS INTEGER), value, value * 2, value / 100) AS line FROM events)
+        |SELECT CAST(regexp_extract(line, 'Interval (\d+):', 1) AS INTEGER) AS interval,
+        |  CAST(regexp_extract(line, 'QPS = ([0-9.]+)', 1) AS DOUBLE) AS qps,
+        |  CAST(regexp_extract(line, 'Latency = ([0-9.]+)', 1) AS DOUBLE) AS latency_ms,
+        |  CAST(regexp_extract(line, 'Recall = ([0-9.]+)', 1) AS DOUBLE) AS recall
+        |FROM lines WHERE regexp_matches(line, 'Interval')""".stripMargin,
+    "event_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's log-analytics verbs (SURVEY §2.5 M5-M9) generalized to
+  * any (key, order, value) stream. In the reference these run over the
+  * benchmark's own measurement log; here they run over the `events`
+  * fixture — same shapes: windowed summaries, cross-client aggregation,
+  * sentinel-region pairing, sessionization.
+  *
+  * All operators are single-pass window/aggregation plans: one shuffle on
+  * the partition key, no driver-side loops — the 100 TB path is "partition
+  * by key, window within partition".
+  */
+object MetricsAnalytics {
+
+  /** M5 tail-window summary — mean of the last n rows per key
+    * (`np.mean(log['qps'][-5:])`, /root/reference/dynamic_script_faiss.py:120-125). */
+  def tailSummary(df: DataFrame, key: Column, order: Seq[Column], value: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(_.desc): _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .groupBy(key)
+      .agg(round(avg(value), 4).as("avg_value"), count(lit(1)).as("n_rows"))
+  }
+
+  /** M6 head-window summary — first n rows per key
+    * (`lines[:5]`, /root/reference/plots.py:32). */
+  def headSummary(df: DataFrame, key: Column, order: Seq[Column], value: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .groupBy(key)
+      .agg(round(avg(value), 4).as("avg_value"), count(lit(1)).as("n_rows"))
+  }
+
+  /** M7 cross-client aggregation — per backend/client-count: mean latency,
+    * mean qps, sum qps, mean recall (/root/reference/multi_tenant_script.py:175-180).
+    * Generalized: group by `key`, mean + sum + count of `value`. */
+  def crossClientAgg(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key)
+      .agg(
+        round(avg(value), 4).as("avg_value"),
+        round(sum(value), 2).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+
+  /** M8/M9 sentinel-region pairing — the reference injects start/end
+    * sentinel rows into the metric stream and pairs them into shaded
+    * regions (`zip(events[-1], events[-2])`, /root/reference/logs/plot.py:27-37).
+    * Generalized: for each `startType` row, find the first `endType` row
+    * strictly after it within the same key — a conditional-min window,
+    * no self-join. Output: (key, start_event_id, start_ms, end_ms). */
+  def regionPairs(df: DataFrame, key: Column, ts: Column, eventId: Column,
+      eventType: Column, startType: String, endType: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, eventId)
+      .rowsBetween(1, Window.unboundedFollowing)
+    df.filter(eventType.isin(startType, endType))
+      .withColumn("end_ms", min(when(eventType === endType, unix_millis(ts))).over(w))
+      .filter(eventType === startType && col("end_ms").isNotNull)
+      .select(
+        key.as("key"),
+        eventId.as("start_event_id"),
+        unix_millis(ts).as("start_ms"),
+        col("end_ms"))
+  }
+
+  /** Gap-based sessionization — the metric stream's interval grouping as
+    * event-time sessions: a new session starts when the gap to the previous
+    * event of the same key exceeds `gapMs`. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, eventId: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, eventId)
+    df.withColumn("prev_ms", lag(unix_millis(ts), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(ts) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(key.as("key"), eventId.as("event_id"), col("session_id"))
+  }
+}

@@ -34,8 +34,18 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
+  /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark
+    * reads only as a nanos Long (spark.sql.legacy.parquet.nanosAsLong).
+    * Normalize to a microsecond TimestampType here so downstream operators
+    * see a standard timestamp whichever way the session is configured. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
