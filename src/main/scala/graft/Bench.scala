@@ -1,9 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench harness: one JSON line with per-query wall-clock at the
+  * target scale factor. A warmup pass at sf0.001 runs every query once
+  * first so the timed numbers measure the engine, not JVM/codegen/JIT
+  * warmup — the steady-state the reference's interval loop also measures
+  * (its first intervals are likewise discarded in BASELINE steady-state).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+    }
+    spark.sharedState.cacheManager.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.index.{IvfIndex, LshIndex}
 import graft.operators.{Knn, MetricsAnalytics, Recall, Snapshots}
 import graft.sources.{MetricLogs, Tables}
+import graft.text.{Dedup, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,6 +137,55 @@ object SparkEntry {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
 
+  /** Text quality / token statistics (LLM-pipeline text analysis). */
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(t).as("n_tokens"),
+      TextFunctions.distinctTokenCount(t).as("n_distinct"),
+      TextFunctions.avgTokenLen(t).as("avg_token_len"),
+      TextFunctions.stopwordRatio(t, TextFunctions.LangStopwords.head._2).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic over documents. */
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+
+  /** Exact + bag-of-words fingerprints per document. */
+  private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.bagFingerprint(col("text")).as("bag_fp"))
+
+  /** Exact dedup groups by normalized-text hash. */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Blocked n-gram Jaccard near-dup pairs (same lang+source block). */
+  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardBlocked(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Seq("lang", "source"), shingleSize = 1, threshold = 0.5)
+
+  /** MinHash-LSH near-dup pairs (3-word shingles, 16 hashes, 4 bands,
+    * verified Jaccard). Word-level shingles=1 admits far too many
+    * candidates on the vocabulary-dense synthetic corpus; 3-gram shingles
+    * keep banding selective — the scale-correct configuration. */
+  private def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDup(Tables.documents(spark, dir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+
+  /** SimHash near-dup pairs (banded 16-bit chunks, hamming ≤ 3). */
+  private def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDup(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+
+  /** Embedding-cosine near-dup pairs (brute; LSH variant in Dedup). */
+  private def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.35)
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -165,6 +215,14 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
+    "text_stats" -> ((s, dir) => textStats(s, dir)),
+    "lang_id" -> ((s, dir) => langId(s, dir)),
+    "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
+    "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
+    "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
+    "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
+    "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
+    "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -270,6 +328,54 @@ object SparkEntry {
     "event_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / greatest(len(toks), 1), 4) AS avg_token_len,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM t""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS c_en,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','un','une'))) AS c_fr,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht'))) AS c_de,
+        |  len(list_filter(toks, x -> x IN ('el','los','y','las','una','que'))) AS c_es
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'unknown'
+        |  WHEN c_en = greatest(c_en, c_fr, c_de, c_es) THEN 'en'
+        |  WHEN c_fr = greatest(c_en, c_fr, c_de, c_es) THEN 'fr'
+        |  WHEN c_de = greatest(c_en, c_fr, c_de, c_es) THEN 'de'
+        |  WHEN c_es = greatest(c_en, c_fr, c_de, c_es) THEN 'es'
+        |  ELSE 'unknown' END AS pred_lang
+        |FROM c""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS bag_fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

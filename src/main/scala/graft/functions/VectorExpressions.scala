@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen distance kernels (SURVEY §4.5): the reference's hot loop
+  * is a SIMD L2 kernel inside FAISS
+  * (`/root/reference/dynamic_script_faiss.py:60` calls into C++); the
+  * higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * correct but materializes a transient array per row-pair. These
+  * expressions generate a primitive fused loop over the two `ArrayData`
+  * buffers — no allocation, no boxing, stays inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the HOF versions: elements promoted to
+  * double, sequential left-to-right accumulation.
+  */
+abstract class FloatVecFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected def elemGetter(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(s"unsupported vector type $other")
+  }
+
+  /** Java source for one accumulation step given element vars x, y. */
+  protected def stepJava(acc: String, x: String, y: String): String
+  /** Interpreted accumulation step. */
+  protected def step(acc: Double, x: Double, y: Double): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val getA: Int => Double = left.dataType match {
+      case ArrayType(FloatType, _) => i => a.getFloat(i).toDouble
+      case _ => i => a.getDouble(i)
+    }
+    val getB: Int => Double = right.dataType match {
+      case ArrayType(FloatType, _) => i => b.getFloat(i).toDouble
+      case _ => i => b.getDouble(i)
+    }
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc = step(acc, getA(i), getB(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gA = elemGetter(left.dataType)
+    val gB = elemGetter(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$gA($i);
+         |  double $y = (double) $b.$gB($i);
+         |  ${stepJava(s"${ev.value}Acc", x, y)}
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+  }
+}
+
+/** Σ (a_i − b_i)² — squared L2 distance. */
+case class L2SquaredDistance(left: Expression, right: Expression) extends FloatVecFold {
+  override def prettyName: String = "l2sq_native"
+  override protected def stepJava(acc: String, x: String, y: String): String =
+    s"double d = $x - $y; $acc += d * d;"
+  override protected def step(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SquaredDistance =
+    copy(left = l, right = r)
+}
+
+/** Σ a_i · b_i — dot product. */
+case class DotProduct(left: Expression, right: Expression) extends FloatVecFold {
+  override def prettyName: String = "dot_native"
+  override protected def stepJava(acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
+  override protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}

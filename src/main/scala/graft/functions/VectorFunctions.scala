@@ -17,8 +17,16 @@ object VectorFunctions {
 
   /** Squared L2 distance. Squared form is order-equivalent to L2 (the
     * reference's FAISS backend also returns squared L2) and avoids a sqrt
-    * per candidate pair. */
+    * per candidate pair. Native fused-loop codegen ([[L2SquaredDistance]]);
+    * bit-identical to the HOF formulation in [[l2sqHof]]. */
   def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      L2SquaredDistance(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+
+  /** Reference HOF formulation of [[l2sq]] (used to cross-check codegen). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -30,8 +38,15 @@ object VectorFunctions {
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 
-  /** Dot product. */
+  /** Dot product (native fused-loop codegen, see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      DotProduct(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+
+  /** Reference HOF formulation of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

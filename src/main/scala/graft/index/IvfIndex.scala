@@ -29,14 +29,6 @@ final case class IvfModel(
 
 object IvfIndex {
 
-  /** Distance between a double-array centroid column and a float-array
-    * embedding column. */
-  private def l2sqD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
-      lit(0.0),
-      (acc, v) => acc + v)
-
   /** Fit KMeans(nlist) on `train` and assign every base row a cluster_id.
     *
     * `train` / `base`: (vec_id: Long, embedding: Array[Float]).
@@ -47,6 +39,7 @@ object IvfIndex {
     val kmeans = new KMeans()
       .setK(nlist)
       .setSeed(seed)
+      .setMaxIter(10)
       .setFeaturesCol("features")
       .setPredictionCol("cluster_id")
     val model = kmeans.fit(train.withColumn("features", array_to_vector(col("embedding"))))
@@ -65,7 +58,7 @@ object IvfIndex {
     val probeTopK = topKByDist(col("cluster_id"), col("cdist"), nprobe)
     queries
       .crossJoin(broadcast(model.centroids))
-      .withColumn("cdist", l2sqD(col("centroid"), col("q_embedding")))
+      .withColumn("cdist", l2sq(col("centroid"), col("q_embedding")))
       .groupBy(col("query_id"), col("q_embedding"))
       .agg(probeTopK.as("probed"))
       .select(col("query_id"), col("q_embedding"), explode(col("probed")).as("probed_id"))

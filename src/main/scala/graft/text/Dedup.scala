@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for the LLM-data-pipeline surface (builder
+  * brief): exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: every variant reduces candidate generation to an
+  * **equi-join on a derived key** (hash, band signature, or bucket) —
+  * never an all-pairs comparison. Verification (exact Jaccard / hamming /
+  * cosine) runs only on the candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-text fingerprint: one hash-groupBy.
+    * Output: (fp, keep_id, n_dups) — keep the smallest id per group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Bag-of-words dedup: order-insensitive fingerprint groupBy. */
+  def bagOfWords(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.bagFingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: for each of `numHashes` seeded xxhash64 functions,
+    * the min hash over the doc's shingle set. Returns
+    * (id, sig: array<long>[numHashes]). One explode + one groupBy. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextFunctions.shingles(textCol, shingleSize)).as("shingle"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (`numBands` bands
+    * of numHashes/numBands rows), bucket-join on (band index, band hash),
+    * then verify candidates with exact Jaccard over shingle sets.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
+  def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / numBands
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val bands = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until numBands).map(b =>
+          xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val candidates = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** Exact n-gram Jaccard over a candidate pair set. */
+  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol), TextFunctions.shingles(textCol, shingleSize).as("sh"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
+    * key (e.g. same source+lang); exact Jaccard on distinct-token sets.
+    * The SQL-oracle-friendly variant — no hashing involved. */
+  def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], shingleSize: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+ TextFunctions.shingles(textCol, shingleSize).as("sh"): _*)
+    val a = sets.select(col(idCol).as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col): _*)
+    val b = sets.select(col(idCol).as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash signatures: (id, simhash: long). */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__sh_hashes", TextFunctions.tokenHashes(col(textCol)))
+      .withColumn("simhash", TextFunctions.simhashFromHashes("__sh_hashes"))
+      .select(col(idCol), col("simhash"))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks (any pair within hamming distance ≤ 3 shares at least one
+    * chunk), bucket-join, verify with bit_count(xor) ≤ maxHamming. */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // Cached: the self-join would otherwise recompute the 64-bit-sum
+    // signature expression on both sides of the shuffle.
+    val sigs = simHashSignatures(docs, idCol, textCol).cache()
+    val chunks = sigs.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"), Seq("chunk_idx", "chunk"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, brute self-join variant
+    * (oracle-checkable). Norms are precomputed per side — the pairwise hot
+    * loop runs one array aggregate (the dot product), not three.
+    * Output: (id_a, id_b, cos) with cos ≥ threshold. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = emb.select(
+      col(idCol), col(vecCol), VectorFunctions.norm2(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding near-dup at scale: normalize, then LSH-bucketed similarity
+    * join (cos ≥ t ⇔ L2 ≤ √(2−2t) on unit vectors) — candidates co-located
+    * by hash bucket instead of the all-pairs cross join. */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numHashTables: Int = 4, bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val norm = VectorFunctions.norm2(col(vecCol))
+    val unit = emb.select(
+      col(idCol),
+      transform(col(vecCol), x => x.cast("double") / norm).as("unit"))
+    val feat = unit.withColumn("features", array_to_vector(col("unit")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(feat)
+    val dist = math.sqrt(math.max(2 - 2 * threshold, 0))
+    model.approxSimilarityJoin(feat, feat, dist, "l2")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(lit(1) - col("l2") * col("l2") / 2, 4).as("cos"))
+      .filter(col("id_a") < col("id_b"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the LLM-data-pipeline surface (builder brief):
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * row-local Catalyst expressions (no UDFs, no shuffles) — they scale
+  * embarrassingly and stay inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length, rounded for oracle parity. */
+  def avgTokenLen(text: Column): Column =
+    round(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(tokenCount(text), lit(1)),
+      4)
+
+  /** Count of tokens from a fixed stopword list. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Stopword ratio — a quality-scoring feature. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    round(stopwordCount(text, words).cast("double") / greatest(tokenCount(text), lit(1)), 4)
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("double") * -1
+        / greatest(length(text), lit(1)) + 1.0,
+      4)
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Token-based for the latin scripts, character-based for zh. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "es" -> Seq("el", "los", "y", "las", "una", "que"))
+
+  /** Language-ID: argmax of per-language stopword hits with a fixed
+    * preference order (en, fr, de, es, unknown) on ties — fully
+    * deterministic and SQL-mirrorable. */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) => lang -> stopwordCount(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("unknown"))) { case (acc, (lang, score)) =>
+      acc.when(score === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Order-insensitive bag-of-words fingerprint — catches shuffled
+    * near-duplicates exactly. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))).cast("binary"))
+
+  /** 64-bit SimHash over a precomputed token-hash array column: bit j of
+    * the signature is the sign of Σ_tokens (±1 by bit j of
+    * xxhash64(token)). Row-local (no shuffle); expressed as nested
+    * higher-order functions — the DSL can't shift by a column, so this is
+    * a SQL expression over the named array column. */
+  def simhashFromHashes(hashArrayCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, 63), j ->
+         |    if(aggregate($hashArrayCol, 0L,
+         |         (acc, h) -> acc + if(((shiftright(h, j)) & 1) = 1, 1L, -1L)) > 0,
+         |       shiftleft(1L, j), 0L)),
+         |  0L, (a, b) -> a | b)""".stripMargin)
+
+  /** Token-hash array for [[simhashFromHashes]]. */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space) from a
+    * named text column — the MinHash input. */
+  def shingles(textCol: String, n: Int): Column =
+    if (n <= 1) expr(s"array_distinct(split(trim($textCol), '\\\\s+'))")
+    else expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split(trim($textCol), '\\\\s+')) - ${n - 1}, 1)),
+         |  i -> array_join(slice(split(trim($textCol), '\\\\s+'), i, $n), ' ')))""".stripMargin)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Dedup, TextFunctions}
+
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"), // bag-dup of 1
+    (4L, "le chat est sur la table et les livres"),
+    (5L, "der hund und die katze das haus"),
+    (6L, "el perro y los gatos una casa que"),
+    (7L, "completely different words about spark engines"),
+    (8L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val groups = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = groups.filter(_.getLong(2) > 1)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 1L)
+  }
+
+  test("bag-of-words dedup catches shuffled duplicates") {
+    val groups = Dedup.bagOfWords(docs, "doc_id", "text").collect()
+    // 1, 3, 8 share a bag fingerprint
+    assert(groups.exists(r => r.getLong(1) == 1L && r.getLong(2) == 3L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate") {
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 8L)))
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("simhash: identical docs have zero hamming distance, near-dups small") {
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(8L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(7L)) >
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)))
+  }
+
+  test("simhash near-dup pairs include the exact dup with hamming 0") {
+    val pairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 8L && p._3 == 0))
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val preds = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(4L) == "fr")
+    assert(preds(5L) == "de")
+    assert(preds(6L) == "es")
+  }
+
+  test("embedding near-dup LSH variant agrees with brute force on hits") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.9, numHashTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L)))
+    assert(lsh.subsetOf(brute) || lsh == brute)
+  }
+}

