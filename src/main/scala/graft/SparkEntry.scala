@@ -186,6 +186,60 @@ object SparkEntry {
   private def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.35)
 
+  /** Multimodal metadata pass over text-as-payload media rows. */
+  private def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mediaMeta(
+      graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
+
+  /** TPC-H Q3-shaped: top-10 orders by revenue. Small dims broadcast. */
+  private def q3TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.orders(spark, dir)), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped: revenue by supplier nation across the full star
+    * join — exercises the multi-join chain with broadcast dims. */
+  private def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Running total per customer — the window-function coverage query. */
+  private def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** ROLLUP aggregation (grouping-sets coverage). */
+  private def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Semi/anti-join coverage: customers with vs without orders. */
+  private def semiAntiOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val withOrders = c.join(o, Seq("c_custkey"), "left_semi").agg(count(lit(1)).as("n_with"))
+    val withoutOrders = c.join(o, Seq("c_custkey"), "left_anti").agg(count(lit(1)).as("n_without"))
+    withOrders.crossJoin(withoutOrders)
+  }
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -223,6 +277,12 @@ object SparkEntry {
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
+    "multimodal_meta" -> ((s, dir) => multimodalMeta(s, dir)),
+    "q3_top_orders" -> ((s, dir) => q3TopOrders(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
+    "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
+    "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
+    "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -376,6 +436,39 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "semi_anti_orders" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, decoded/featurized in
+  * batched partition-local passes.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * environment): [[stubDecode]] derives a deterministic fake feature vector
+  * from the payload bytes. Everything around it — schema, binary payload
+  * handling, batch shape (one partition-local pass, constant memory per
+  * row), partitioning preservation — is the real production plumbing: swap
+  * `stubDecode` for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Wrap any table with a string column into a media table: the string
+    * bytes become the opaque payload (the fixtures ship no real media, so
+    * text bytes stand in for an encoded image). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadStrCol: String,
+      mediaType: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      encode(col(payloadStrCol), "UTF-8").as("payload"),
+      lit(mediaType).as("media_type"),
+      octet_length(encode(col(payloadStrCol), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** STUB decoder ??? — stands in for e.g. JPEG decode + CNN featurize.
+    * Deterministic: feature j = byte-sum of every FeatureDim-th byte,
+    * normalized. Replace with a real codec to productionize. */
+  private[multimodal] def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Partition-local batched feature extraction: mapPartitions over the
+    * binary payloads — the Scala analog of a pandas-UDF `mapInPandas`
+    * pass. Output schema: (media_id, media_type, n_bytes, features). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("media_type"), col("n_bytes"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1), r.getLong(2), stubDecode(r.getAs[Array[Byte]]("payload")))
+        }
+      }(enc)
+  }
+
+  /** Metadata pass (fully oracle-checkable — no stub involved): payload
+    * size + content digest per media row. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      col("n_bytes"),
+      md5(col("payload")).as("digest"))
+}

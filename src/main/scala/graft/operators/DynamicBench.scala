@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicReference
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two benchmark harnesses re-expressed on Spark:
+  *
+  *  - `simulate_dynamic_updates_*` (SURVEY §3.1;
+  *    /root/reference/dynamic_script_faiss.py:46-138): a search loop racing
+  *    delete/insert phases. Spark's immutable DataFrames give the snapshot
+  *    isolation the reference gets accidentally from Python rebinding
+  *    (§2.6 C2): queries hold the old snapshot while the new one is built,
+  *    then an atomic reference swap publishes it.
+  *  - `evaluate_scaling_behavior` (SURVEY §3.3;
+  *    /root/reference/multi_tenant_script.py:121-206): N concurrent clients
+  *    share one snapshot; per-client metrics aggregated by M7. Concurrency
+  *    = Scala Futures over one SparkSession (jobs schedule FAIR across
+  *    cores), the Spark analog of the reference's thread pool.
+  *
+  * Metric rows use an explicit `event` column instead of the reference's
+  * −1…−4 sentinel encoding (SURVEY §2.5 M8).
+  */
+object DynamicBench {
+
+  /** One timed batch search: returns (qps, latency_ms, recall). M2/M3/M1. */
+  def measuredSearch(queries: DataFrame, snapshot: DataFrame, gt: DataFrame, k: Int): (Double, Double, Double) = {
+    val t0 = System.nanoTime()
+    val pred = Knn.exact(queries, snapshot, k)
+    val recall = Recall.recallAtK(pred, gt, k).collect()(0).getDouble(0)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    val nQueries = queries.count().toDouble
+    (nQueries / (elapsedMs / 1000.0), elapsedMs, recall)
+  }
+
+  final case class MetricRow(interval: Int, qps: Double, latency_ms: Double,
+      recall: Double, event: String)
+
+  /** Dynamic-update phases: baseline search → delete (snapshot swap) →
+    * search → re-insert (snapshot swap) → search. Returns the metric log
+    * with event markers, exactly the stream the reference's log analytics
+    * (S4/S5, M5/M6, M9) consume. */
+  def dynamicUpdateRun(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      cutoff: Long, k: Int, intervalsPerPhase: Int = 3): DataFrame = {
+    import spark.implicits._
+    val gt = Knn.exact(queries, base, k).cache()
+    gt.count()
+    val snapshot = new AtomicReference[DataFrame](base.cache())
+    val log = scala.collection.mutable.ArrayBuffer[MetricRow]()
+    var interval = 0
+    def searchPhase(n: Int, event: String): Unit = (1 to n).foreach { _ =>
+      val (qps, lat, rec) = measuredSearch(queries, snapshot.get(), gt, k)
+      interval += 1
+      log += MetricRow(interval, qps, lat, rec, event)
+    }
+    searchPhase(intervalsPerPhase, "steady")
+    // delete phase: build the new snapshot, then atomically publish it
+    val t0 = System.nanoTime()
+    val deleted = Snapshots.deleteSuffix(snapshot.get(), cutoff).cache()
+    deleted.count()
+    snapshot.set(deleted)
+    interval += 1
+    log += MetricRow(interval, 0, (System.nanoTime() - t0) / 1e6, 0, "delete_end")
+    searchPhase(intervalsPerPhase, "post_delete")
+    // insert phase: re-insert the suffix, publish
+    val t1 = System.nanoTime()
+    val reinserted = Snapshots.insert(snapshot.get(), Snapshots.suffix(base, cutoff)).cache()
+    reinserted.count()
+    snapshot.set(reinserted)
+    interval += 1
+    log += MetricRow(interval, 0, (System.nanoTime() - t1) / 1e6, 0, "insert_end")
+    searchPhase(intervalsPerPhase, "recovered")
+    log.toSeq.toDF()
+  }
+
+  final case class ClientResult(num_clients: Int, client_id: Int, qps: Double,
+      latency_ms: Double, recall: Double)
+
+  /** Multi-tenant scaling: for each client count, run N concurrent full-batch
+    * searches against the shared snapshot; aggregate with M7. */
+  def multiTenantRun(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      k: Int, clientCounts: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val gt = Knn.exact(queries, base, k).cache()
+    gt.count()
+    val snapshot = base.cache()
+    snapshot.count()
+    val results = clientCounts.flatMap { n =>
+      val futures = (0 until n).map { cid =>
+        Future {
+          val (qps, lat, rec) = measuredSearch(queries, snapshot, gt, k)
+          ClientResult(n, cid, qps, lat, rec)
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    }
+    // M7: mean latency, mean qps, SUM qps (aggregate throughput), mean recall
+    results.toDF().groupBy(col("num_clients"))
+      .agg(
+        round(avg(col("latency_ms")), 2).as("mean_latency_ms"),
+        round(avg(col("qps")), 2).as("mean_qps"),
+        round(sum(col("qps")), 2).as("sum_qps"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+  }
+}

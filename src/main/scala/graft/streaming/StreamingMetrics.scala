@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analogs of the reference's streaming-shaped
+  * constructs (SURVEY §2.6):
+  *
+  *  - C1 `background_search_loop` (1 Hz batch kNN appending metric rows,
+  *    /root/reference/dynamic_script_faiss.py:31-43): a streaming query
+  *    over a query-batch stream, `foreachBatch` running kNN against the
+  *    current snapshot held in an [[AtomicReference]] — the snapshot swap
+  *    (C2) is the batch engine's isolation model carried over.
+  *  - The interval metric log as an event-time stream: watermarked windowed
+  *    aggregation, plus a stateful sessionizer
+  *    (`flatMapGroupsWithState`) for gap-based sessions — the streaming
+  *    form of [[graft.operators.MetricsAnalytics.sessionize]].
+  */
+object StreamingMetrics {
+
+  /** Watermarked tumbling-window aggregation over a metric/event stream:
+    * (ts, key, value) → per-window per-key count/avg/sum. Works on both
+    * batch and streaming DataFrames (same plan). */
+  def windowedAgg(events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("avg_value"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class SessionState(sessionId: Long, lastMs: Long)
+  final case class SessionOut(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState —
+    * KeyValueGroupedDataset custom state (C1's stateful form). Events must
+    * arrive in event-time order per key within a batch (sorted inside). */
+  def sessionizeStream(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val ms = e.ts.getTime
+            val sid =
+              if (st.lastMs == Long.MinValue || ms - st.lastMs > gapMs) st.sessionId + 1
+              else st.sessionId
+            st = SessionState(sid, ms)
+            SessionOut(uid, e.event_id, sid)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** C1/C2: the background search loop as a streaming query. Each incoming
+    * micro-batch of queries is answered with exact kNN against the snapshot
+    * current at that micro-batch (atomic read — the reference's
+    * accidental-snapshot semantics made explicit); results are handed to
+    * `sink` (a collector in tests, any writer in production). Returns the
+    * started query. */
+  def knnSearchLoop(queryStream: DataFrame, snapshot: AtomicReference[DataFrame],
+      k: Int)(sink: (DataFrame, Long) => Unit) = {
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val queries = batch.select(col("query_id"), col("q_embedding"))
+        sink(graft.operators.Knn.exact(queries, snapshot.get(), k), batchId)
+        (): Unit
+      }
+      .start()
+  }
+}

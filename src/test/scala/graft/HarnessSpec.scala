@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DynamicBench
+import graft.sources.{Fvecs, MetricLogs, Tables}
+
+class HarnessSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("dynamic-update run: phases ordered, recall recovers to baseline") {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val log = DynamicBench.dynamicUpdateRun(spark, queries, base,
+      cutoff = 250, k = 10, intervalsPerPhase = 2).collect()
+    val events = log.map(_.getAs[String]("event")).toSeq
+    assert(events == Seq("steady", "steady", "delete_end", "post_delete", "post_delete",
+      "insert_end", "recovered", "recovered"))
+    val steady = log.filter(_.getAs[String]("event") == "steady").map(_.getAs[Double]("recall"))
+    val post = log.filter(_.getAs[String]("event") == "post_delete").map(_.getAs[Double]("recall"))
+    val recovered = log.filter(_.getAs[String]("event") == "recovered").map(_.getAs[Double]("recall"))
+    assert(steady.forall(_ == 1.0))
+    assert(post.forall(_ < 1.0)) // half the base deleted → recall drops
+    assert(recovered.forall(_ == 1.0)) // delete∘insert = identity
+  }
+
+  test("multi-tenant run: per-client-count aggregate rows, recall stays exact") {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val agg = DynamicBench.multiTenantRun(spark, queries, base, 10, Seq(2, 4))
+      .orderBy("num_clients").collect()
+    assert(agg.map(_.getInt(0)).toSeq == Seq(2, 4))
+    assert(agg.forall(_.getAs[Double]("mean_recall") == 1.0))
+    assert(agg.forall(r => r.getAs[Double]("sum_qps") > r.getAs[Double]("mean_qps")))
+  }
+
+  test("metric log text round-trips through format + parse") {
+    import spark.implicits._
+    val metrics = Seq((1, 4970.25, 2010.5, 0.9769), (2, 27.11, 368876.0, 0.9416))
+      .toDF("interval", "qps", "latency_ms", "recall")
+    val parsed = MetricLogs.parseLines(MetricLogs.formatLines(metrics))
+      .orderBy("interval").collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getDouble(1) == 4970.25 && parsed(0).getDouble(3) == 0.9769)
+    assert(parsed(1).getDouble(2) == 368876.0)
+  }
+
+  test("fvecs/ivecs round-trip preserves vectors and positional ids") {
+    val tmp = new java.io.File("target/tmp"); tmp.mkdirs()
+    val fpath = "target/tmp/test.fvecs"
+    val ipath = "target/tmp/test.ivecs"
+    val vecs = (0 until 10).map(i => Array.tabulate(4)(j => i * 4.0f + j))
+    val ids = (0 until 10).map(i => Array.tabulate(3)(j => i * 3 + j))
+    Fvecs.writeFvecs(fpath, vecs)
+    Fvecs.writeIvecs(ipath, ids)
+    val f = Fvecs.readFvecs(spark, fpath).orderBy("id").collect()
+    assert(f.length == 10)
+    assert(f(3).getAs[scala.collection.Seq[Float]]("vector") .toSeq == vecs(3).toSeq)
+    val iv = Fvecs.readIvecs(spark, ipath).orderBy("id").collect()
+    assert(iv(7).getAs[scala.collection.Seq[Int]]("ids") .toSeq == ids(7).toSeq)
+  }
+
+  test("multimodal: stub features deterministic, meta digest matches payload") {
+    val media = graft.multimodal.Multimodal.asMediaTable(
+      Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+    val feats = graft.multimodal.Multimodal.extractFeatures(media)
+    val row = feats.orderBy("media_id").limit(1).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == graft.multimodal.Multimodal.FeatureDim)
+    val again = graft.multimodal.Multimodal.extractFeatures(media)
+      .orderBy("media_id").limit(1).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Float]]("features") == again.getAs[scala.collection.Seq[Float]]("features"))
+    val meta = graft.multimodal.Multimodal.mediaMeta(media).orderBy("media_id").limit(1).collect()(0)
+    assert(meta.getAs[String]("digest").length == 32)
+    assert(meta.getAs[Long]("n_bytes") > 0)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Snapshots
+import graft.sources.Tables
+import graft.streaming.StreamingMetrics
+import graft.streaming.StreamingMetrics.{Ev, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("windowed aggregation with watermark over a metric stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingMetrics.windowedAgg(events, "1 minute", "2 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_out").start()
+    input.addData(
+      (ts("2024-01-01 00:00:10"), "qps", 100.0),
+      (ts("2024-01-01 00:00:40"), "qps", 200.0),
+      (ts("2024-01-01 00:01:10"), "qps", 300.0),
+      (ts("2024-01-01 00:00:20"), "latency", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    val qpsW0 = out.find(r => r.getAs[String]("event_type") == "qps"
+      && r.getAs[java.sql.Timestamp]("window_start") == ts("2024-01-01 00:00:00")).get
+    assert(qpsW0.getAs[Long]("n") == 2 && qpsW0.getAs[Double]("avg_value") == 150.0)
+    assert(out.exists(r => r.getAs[String]("event_type") == "latency"))
+  }
+
+  test("stateful sessionization across micro-batches keeps state per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = StreamingMetrics.sessionizeStream(input.toDS(), gapMs = 60000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    input.addData(
+      Ev(1L, ts("2024-01-01 00:00:00"), 1),
+      Ev(1L, ts("2024-01-01 00:00:30"), 2))
+    q.processAllAvailable()
+    input.addData(
+      Ev(1L, ts("2024-01-01 00:00:50"), 3), // same session, next batch
+      Ev(1L, ts("2024-01-01 00:10:00"), 4), // gap → new session
+      Ev(2L, ts("2024-01-01 00:00:00"), 5))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").as[SessionOut].collect()
+    q.stop()
+    val u1 = rows.filter(_.user_id == 1L).sortBy(_.event_id).map(_.session_id).toSeq
+    assert(u1 == Seq(1L, 1L, 1L, 2L)) // state carried across batches
+    assert(rows.filter(_.user_id == 2L).map(_.session_id).toSeq == Seq(1L))
+  }
+
+  test("kNN search loop answers each micro-batch against the current snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.embeddingBase(spark, dir).cache()
+    val queries = Tables.embeddingQueries(spark, dir).limit(5).cache()
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val snapshot = new AtomicReference[DataFrame](base)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("query_id", "q_embedding")
+    val q = StreamingMetrics.knnSearchLoop(stream, snapshot, 10) { (df, batchId) =>
+      df.collect().foreach(r => results.add((batchId, r.getLong(0))))
+    }
+    input.addData(qRows.map { case (id, v) => (id, v.toArray) }.toSeq: _*)
+    q.processAllAvailable()
+    val batch0 = results.size()
+    assert(batch0 == 5 * 10) // 5 queries × k
+    // swap the snapshot (delete half) and send the same queries again
+    snapshot.set(Snapshots.deleteSuffix(base, 250))
+    input.addData(qRows.map { case (id, v) => (id, v.toArray) }.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(results.size() == 2 * 5 * 10)
+  }
+}

@@ -19,7 +19,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # sort on stringified values: robust to None/NaN in object columns
+    key = df.astype(str).apply(tuple, axis=1)
+    df = df.iloc[key.sort_values().index].reset_index(drop=True)
     return df
 
 
