@@ -48,7 +48,10 @@ object SparkEntry {
     * naturally clustered corpora the same code runs nlist=√n, nprobe≈10%. */
   private def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
-    val model = IvfIndex.fit(base, base, nlist = 8)
+    // coalesce(4) for the fit: the fixture train set is tiny, so per-task
+    // scheduling dominates KMeans iterations; at real scale keep the
+    // native partitioning (fit cost is then compute-bound).
+    val model = IvfIndex.fit(base.coalesce(4), base, nlist = 8)
     IvfIndex.search(model, Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
   }
 
@@ -445,10 +448,11 @@ object SparkEntry {
     "ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b,
+        |  round(CAST(n_int AS DOUBLE) / (na + nb - n_int), 4) AS jaccard FROM c)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
     "embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

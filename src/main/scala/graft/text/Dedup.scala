@@ -75,9 +75,11 @@ object Dedup {
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| for distinct sets: skips the array_union pass
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(col("n_int").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_int")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -93,9 +95,10 @@ object Dedup {
     val b = sets.select(col(idCol).as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(col("n_int").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_int")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

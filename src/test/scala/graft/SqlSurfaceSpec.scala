@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration path must expose the same kernels as the Column
+  * API — a user can run the flagship kNN entirely in spark.sql. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("l2sq, dot_product, topk_by_dist callable from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT l2sq(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+        "dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS p").collect()(0)
+    assert(row.getDouble(0) == 8.0 && row.getDouble(1) == 11.0)
+    val topk = spark.sql(
+      """SELECT topk_by_dist(id, dist, 2) AS nn FROM VALUES
+        |  (1L, 5.0D), (2L, 1.0D), (3L, 3.0D), (4L, 1.0D) AS t(id, dist)
+      """.stripMargin).collect()(0).getSeq[Long](0)
+    assert(topk.toList == List(2L, 4L, 3L).take(2))
+  }
+
+  test("SQL kNN over the fixture matches the Column-API result") {
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
+    val sqlResult = spark.sql(
+      """SELECT q.vec_id AS query_id, explode(topk_by_dist(b.vec_id, l2sq(q.embedding, b.embedding), 10)) AS neighbor_id
+        |FROM (SELECT * FROM emb WHERE vec_id % 20 = 0) q
+        |JOIN (SELECT * FROM emb WHERE vec_id % 20 != 0) b
+        |GROUP BY q.vec_id
+      """.stripMargin).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val api = graft.operators.Knn.exact(
+      graft.sources.Tables.embeddingQueries(spark, dir),
+      graft.sources.Tables.embeddingBase(spark, dir), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlResult == api)
+  }
+}
