@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{IvfIndex, LshIndex}
+import graft.index.{IvfIndex, LshIndex, PqIndex}
 import graft.operators.{Knn, MetricsAnalytics, Recall, Snapshots}
 import graft.sources.{MetricLogs, Tables}
 import graft.text.{Dedup, TextFunctions}
@@ -60,6 +60,21 @@ object SparkEntry {
     val base = Tables.embeddingBase(spark, dir)
     val model = LshIndex.fit(base, numHashTables = 8, bucketLength = 0.5)
     LshIndex.search(model, Tables.embeddingQueries(spark, dir), base, KnnK, threshold = 1.3)
+  }
+
+  /** PQ compressed-domain kNN with exact re-rank (SURVEY §2.2 I2, the PQ
+    * half of IndexIVFPQ): ADC shortlist 100 → exact top-10. */
+  private def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val model = PqIndex.fit(base, base, m = 16, ksub = 32)
+    PqIndex.searchRerank(model, Tables.embeddingQueries(spark, dir), base, KnnK, shortlist = 100)
+  }
+
+  /** PQ+rerank recall vs exact ground truth (≥0.9, asserted in tests). */
+  private def recallPq(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    Recall.recallAtK(knnPq(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
   }
 
   /** M1 recall with a full DuckDB oracle: predictions from a degraded base
@@ -277,6 +292,8 @@ object SparkEntry {
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
+    "knn_pq" -> ((s, dir) => knnPq(s, dir)),
+    "recall_pq" -> ((s, dir) => recallPq(s, dir)),
     "knn_update_identity" -> ((s, dir) => knnUpdateIdentity(s, dir)),
     "recall_degraded" -> ((s, dir) => recallDegraded(s, dir)),
     "recall_ivf" -> ((s, dir) => recallIvf(s, dir)),

@@ -83,6 +83,47 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends FloatV
     copy(left = l, right = r)
 }
 
+/** ADC (asymmetric distance computation) lookup for product quantization:
+  * given a query's flattened distance table (m·ksub floats: distance from
+  * the query's j-th subvector to centroid c is `table[j*ksub + c]`) and a
+  * candidate's code array (m ints), returns Σ_j table[j*ksub + codes[j]] —
+  * the PQ-approximate squared L2 distance. Fused-loop codegen, no
+  * allocation per pair (the FAISS IVFADC hot loop,
+  * /root/reference/multi_tenant_script.py:94-103 uses IndexIVFPQ). */
+case class PqAdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_adc_dist"
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val table = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) { acc += table.getFloat(j * ksub + codes.getInt(j)); j += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+         |int $m = $c.numElements();
+         |double ${ev.value}Acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  ${ev.value}Acc += $t.getFloat($j * $ksub + $c.getInt($j));
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDistance =
+    copy(left = l, right = r)
+}
+
 /** Σ a_i · b_i — dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecFold {
   override def prettyName: String = "dot_native"

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.index.{IvfIndex, LshIndex}
@@ -62,6 +63,25 @@ class KnnSpec extends AnyFunSuite {
     val model = IvfIndex.fit(base, base, nlist = 8)
     val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
     assert(r == r.sorted)
+  }
+
+  test("PQ with exact rerank clears 0.9 recall; encoding is deterministic") {
+    val model = graft.index.PqIndex.fit(base, base, m = 16, ksub = 32)
+    assert(recallOf(graft.index.PqIndex.searchRerank(model, queries, base, 10, 100)) >= 0.9)
+    val c1 = model.encodedBase.orderBy("vec_id").limit(5).collect().map(_.getSeq[Int](1).toList)
+    val again = graft.index.PqIndex.fit(base, base, m = 16, ksub = 32)
+    val c2 = again.encodedBase.orderBy("vec_id").limit(5).collect().map(_.getSeq[Int](1).toList)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
+  test("PQ ADC shortlist captures most exact neighbors (compressed-domain quality)") {
+    val model = graft.index.PqIndex.fit(base, base, m = 32, ksub = 32)
+    val pqTop30 = graft.index.PqIndex.search(model, queries, 30)
+    val hits = pqTop30.select("query_id", "neighbor_id")
+      .join(gt.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    val total = gt.count()
+    assert(hits.toDouble / total > 0.5, s"shortlist recall ${hits.toDouble / total}")
   }
 
   test("LSH recall clears the BASELINE bar (>= 0.7)") {
