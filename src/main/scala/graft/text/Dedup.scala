@@ -33,17 +33,18 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` seeded xxhash64 functions,
     * the min hash over the doc's shingle set. Returns
-    * (id, sig: array<long>[numHashes]). One explode + one groupBy. */
+    * (id, sig: array<long>[numHashes]). Entirely row-local — the min folds
+    * over the row's own shingle array (`array_min(transform(...))`), so
+    * signature computation needs no explode, no groupBy, no shuffle: it
+    * scales as a pure map stage. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(TextFunctions.shingles(textCol, shingleSize)).as("shingle"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
-    exploded
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
-  }
+      shingleSize: Int, numHashes: Int): DataFrame =
+    docs
+      .withColumn("__sh", TextFunctions.shingles(textCol, shingleSize))
+      .select(
+        col(idCol),
+        array((0 until numHashes).map(s =>
+          array_min(transform(col("__sh"), x => xxhash64(lit(s), x)))): _*).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`numBands` bands
     * of numHashes/numBands rows), bucket-join on (band index, band hash),
@@ -54,12 +55,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val r = numHashes / numBands
     val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    // Cached: the band self-join would otherwise recompute the row-local
+    // signature expression (numHashes hashes per shingle) on both sides.
     val bands = sigs.select(
       col(idCol),
       posexplode(
         array((0 until numBands).map(b =>
           xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
+      .cache()
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
@@ -103,12 +107,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash signatures: (id, simhash: long). */
-  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .withColumn("__sh_hashes", TextFunctions.tokenHashes(col(textCol)))
-      .withColumn("simhash", TextFunctions.simhashFromHashes("__sh_hashes"))
-      .select(col(idCol), col("simhash"))
+  /** SimHash signatures: (id, simhash: long). Token hashing stays in
+    * Catalyst (xxhash64); the 64-bit-sum fold runs as a primitive
+    * partition-local loop — the nested-HOF formulation
+    * ([[TextFunctions.simhashFromHashes]], kept for the SQL surface) walks
+    * the hash array 64 times through lambda frames, this walks it once. */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hashed = docs
+      .select(col(idCol).cast("long").as("id"), TextFunctions.tokenHashes(col(textCol)).as("hs"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    hashed.mapPartitions { rows =>
+      rows.map { r =>
+        val hs = r.getSeq[Long](1)
+        val sums = new Array[Int](64)
+        val it = hs.iterator
+        while (it.hasNext) {
+          val h = it.next()
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+            j += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+        org.apache.spark.sql.Row(r.getLong(0), sig)
+      }
+    }(enc)
+  }
 
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
     * chunks (any pair within hamming distance ≤ 3 shares at least one

@@ -55,6 +55,17 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 8L && p._3 == 0))
   }
 
+  test("simhash fast path matches the SQL-surface HOF formulation") {
+    import org.apache.spark.sql.functions.col
+    val fast = Dedup.simHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docs
+      .withColumn("__h", TextFunctions.tokenHashes(col("text")))
+      .withColumn("s", TextFunctions.simhashFromHashes("__h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
+    assert(fast == hof)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val preds = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
