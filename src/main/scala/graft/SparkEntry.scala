@@ -171,6 +171,52 @@ object SparkEntry {
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
 
+  /** Corpus term frequency: top-20 words by document frequency — the
+    * explode-aggregate text shape (vocabulary building). */
+  private def topWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(20)
+
+  /** TF-IDF per (doc, word) for the corpus top terms: tf = in-doc count,
+    * idf = ln(N / df). Two aggregations + a broadcast join. */
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+    val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 50) // corpus-common terms: keeps output bounded
+      .select(
+        col("doc_id"), col("word"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+  }
+
+  /** Semantic group-by (SURVEY §7 M8): element-wise centroid of the
+    * embedding vectors per label, emitted long-form (label, pos, avg). */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("e").cast("double")), 4).as("avg_val"))
+
+  /** Quality filter — the C4-style document gate: token-count range +
+    * minimum alphabetic ratio, emitting pass/fail per doc. */
+  private def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (TextFunctions.tokenCount(t).between(10, 1000) &&
+        (TextFunctions.avgTokenLen(t) >= lit(2.0)) &&
+        (TextFunctions.distinctTokenCount(t) >= lit(5))).as("pass"))
+  }
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -307,6 +353,10 @@ object SparkEntry {
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
+    "top_words" -> ((s, dir) => topWords(s, dir)),
+    "tfidf" -> ((s, dir) => tfidf(s, dir)),
+    "label_centroids" -> ((s, dir) => labelCentroids(s, dir)),
+    "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
@@ -436,6 +486,35 @@ object SparkEntry {
         |        / greatest(len(toks), 1), 4) AS avg_token_len,
         |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
         |        / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM t""".stripMargin,
+    "top_words" ->
+      """SELECT word, count(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
+    "tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word,
+        |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        |WHERE dfreq.df >= 50""".stripMargin,
+    "label_centroids" ->
+      """WITH u AS (SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |  unnest(embedding) AS e
+        |FROM embeddings)
+        |SELECT label, pos, round(avg(CAST(e AS DOUBLE)), 4) AS avg_val
+        |FROM u GROUP BY label, pos""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  (len(toks) BETWEEN 10 AND 1000
+        |   AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |             / greatest(len(toks), 1), 4) >= 2.0
+        |   AND len(list_distinct(toks)) >= 5) AS pass
         |FROM t""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
