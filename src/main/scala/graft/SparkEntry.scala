@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IvfIndex, LshIndex, PqIndex}
-import graft.operators.{Knn, MetricsAnalytics, Recall, Snapshots}
+import graft.operators.{Joins, Knn, MetricsAnalytics, Recall, Snapshots}
 import graft.sources.{MetricLogs, Tables}
 import graft.text.{Dedup, TextFunctions}
 
@@ -147,6 +147,30 @@ object SparkEntry {
       (col("value") / 100).as("recall"))
     MetricLogs.parseLines(MetricLogs.formatLines(metrics))
   }
+
+  /** Temporal as-of join: each click matched to the user's latest signup
+    * at or before it (composed union+window — no range cross-product). */
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_id"), col("value").as("signup_value"))
+    Joins.asOf(clicks, signups, "user_id", "ts", Seq("signup_id", "signup_value"))
+      .select(
+        col("event_id"), col("user_id"),
+        // sentinel for clicks before any signup: avoids engine-specific
+        // null-hashing differences in the oracle compare
+        coalesce(col("signup_id"), lit(-1L)).as("signup_id"),
+        coalesce(col("signup_value"), lit(-1.0)).as("signup_value"))
+  }
+
+  /** Winnowing fingerprint summary per document (rolling-hash k-grams,
+    * sliding-window min — candidate keys for plagiarism-style near-dup). */
+  private def docWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("min_fp"))
 
   /** JSON prop extraction + aggregation over the event stream. */
   private def eventProps(spark: SparkSession, dir: String): DataFrame =
@@ -352,6 +376,8 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
+    "asof_join" -> ((s, dir) => asofJoin(s, dir)),
+    "doc_winnow" -> ((s, dir) => docWinnow(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "top_words" -> ((s, dir) => topWords(s, dir)),
     "tfidf" -> ((s, dir) => tfidf(s, dir)),
@@ -487,6 +513,15 @@ object SparkEntry {
         |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
         |        / greatest(len(toks), 1), 4) AS stopword_ratio
         |FROM t""".stripMargin,
+    "asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts, event_id AS signup_id, value AS signup_value
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id,
+        |  coalesce(s.signup_id, -1) AS signup_id,
+        |  coalesce(s.signup_value, -1.0) AS signup_value
+        |FROM clicks c ASOF LEFT JOIN s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts""".stripMargin,
     "top_words" ->
       """SELECT word, count(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word

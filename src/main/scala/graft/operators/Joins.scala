@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond the built-in surface:
+  *
+  *  - [[asOf]]: temporal as-of join — for each left row, the latest right
+  *    row with `right.ts <= left.ts` per key. Composed from built-ins
+  *    (union + last-value window), per the extension preference order
+  *    (compose before custom plans): one shuffle on (key), no range
+  *    cross-product, scales as a sort within key partitions.
+  *  - [[salted]]: skew-safe inner equi-join — explodes the build side into
+  *    `saltFactor` replicas and salts the probe side's keys, so one hot
+  *    key spreads over saltFactor reducers. Result-identical to the plain
+  *    join (asserted in JoinsSpec).
+  */
+object Joins {
+
+  /** As-of join. `left`/`right` must share `keyCol` and `tsCol`; right
+    * columns in `payloadCols` are carried to the matched left row (null if
+    * no earlier right row exists). */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((keyCol +: tsCol +: payloadCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val leftCols = left.columns
+    // align schemas: left payload columns null on the right side rows
+    val allCols = (leftCols ++ payloadCols.map("__p_" + _)).distinct
+    val lAligned = payloadCols.foldLeft(l)((df, c) => df.withColumn("__p_" + c, lit(null)))
+      .select((allCols :+ "__side").map(col): _*)
+    val rAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
+      .foldLeft(payloadCols.foldLeft(r)((df, c) => df.withColumnRenamed(c, "__p_" + c)))(
+        (df, c) => df.withColumn(c, lit(null)))
+      .select((allCols :+ "__side").map(col): _*)
+    // order right rows (side 0) before left rows (side 1) at equal ts so
+    // a right row at exactly left.ts matches (ASOF >= semantics)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn("__p_" + c, last(when(col("__side") === 0, col("__p_" + c)), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payloadCols.map(c => col("__p_" + c).as(c))): _*)
+  }
+
+  /** Salted inner equi-join on `keyCol`: `big` gets a random-but-
+    * deterministic salt (hash of a row id), `small` is exploded
+    * saltFactor×. */
+  def salted(big: DataFrame, small: DataFrame, keyCol: String, saltFactor: Int,
+      bigIdCol: String): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(col(bigIdCol)), lit(saltFactor)))
+    val explodedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((saltFactor - 1).toLong))))
+    saltedBig.join(explodedSmall, Seq(keyCol, "__salt")).drop("__salt")
+  }
+}

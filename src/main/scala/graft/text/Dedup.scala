@@ -164,6 +164,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., MOSS): polynomial rolling
+    * hash over character k-grams (O(n) per doc), sliding-window min with a
+    * monotone deque (O(n)), distinct mins = the fingerprint set. Any
+    * shared substring of length ≥ k + w − 1 guarantees a shared
+    * fingerprint. Partition-local; candidate pairs come from an equi-join
+    * on exploded fingerprints — same scale shape as MinHash banding. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast("long"), lower(col(textCol))).mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getString(1)
+        val n = s.length
+        val fps: Array[Long] =
+          if (n < k) Array.empty[Long]
+          else {
+            val base = 257L
+            var pow = 1L // base^(k-1)
+            var i = 0
+            while (i < k - 1) { pow *= base; i += 1 }
+            val m = n - k + 1
+            val hashes = new Array[Long](m)
+            var h = 0L
+            i = 0
+            while (i < k) { h = h * base + s.charAt(i); i += 1 }
+            hashes(0) = h
+            i = 1
+            while (i < m) {
+              h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + k - 1)
+              hashes(i) = h
+              i += 1
+            }
+            if (m <= w) Array(hashes.min)
+            else {
+              // sliding-window min via monotone deque
+              val out = scala.collection.mutable.LinkedHashSet[Long]()
+              val deque = new java.util.ArrayDeque[Int]()
+              i = 0
+              while (i < m) {
+                while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i)) deque.pollLast()
+                deque.addLast(i)
+                if (deque.peekFirst() <= i - w) deque.pollFirst()
+                if (i >= w - 1) out += hashes(deque.peekFirst())
+                i += 1
+              }
+              out.toArray
+            }
+          }
+        org.apache.spark.sql.Row(r.getLong(0), fps)
+      }
+    }(enc)
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints, scored by
+    * fingerprint-set overlap (|∩| / min set size). */
+  def winnowNearDup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w).cache()
+    val exploded = fps.select(col(idCol), explode(col("fps")).as("fp"))
+    exploded.as("a").join(exploded.as("b"), Seq("fp"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute self-join variant
     * (oracle-checkable). Norms are precomputed per side — the pairwise hot
     * loop runs one array aggregate (the dot product), not three.

@@ -60,7 +60,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in g.columns:
             gc, wc = g[c], w[c]
             try:
-                eq = (gc.values == wc.values).all()
+                eq = gc.equals(wc) or (gc.values == wc.values).all()
             except Exception:
                 eq = gc.astype(str).equals(wc.astype(str))
             if not eq:
