@@ -187,7 +187,8 @@ object SparkEntry {
       TextFunctions.tokenCount(t).as("n_tokens"),
       TextFunctions.distinctTokenCount(t).as("n_distinct"),
       TextFunctions.avgTokenLen(t).as("avg_token_len"),
-      TextFunctions.stopwordRatio(t, TextFunctions.LangStopwords.head._2).as("stopword_ratio"))
+      TextFunctions.stopwordRatio(t, TextFunctions.LangStopwords.head._2).as("stopword_ratio"),
+      TextFunctions.bpeTokenCount(t).as("n_bpe_tokens"))
   }
 
   /** Language-ID heuristic over documents. */
@@ -504,14 +505,15 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "text_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
         |SELECT doc_id,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
         |        / greatest(len(toks), 1), 4) AS avg_token_len,
         |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |        / greatest(len(toks), 1), 4) AS stopword_ratio
+        |        / greatest(len(toks), 1), 4) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM t""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -65,6 +65,26 @@ object IvfIndex {
       .select(col("query_id"), col("q_embedding"), col("probed_id").cast("int").as("cluster_id"))
   }
 
+  /** IVF pruned kNN over a persisted partitioned layout
+    * ([[graft.sources.Layout.writeIvfPartitioned]]): the probe side joins
+    * the layout on its partition column, so Catalyst's **dynamic partition
+    * pruning** restricts the scan to the probed cluster directories — at
+    * cluster scale this reads nprobe/nlist of the files, nothing else.
+    * Same output contract as [[search]]. */
+  def searchPartitioned(model: IvfModel, layoutPath: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = probe(model, queries, nprobe)
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    graft.sources.Layout.readIvfPartitioned(spark, layoutPath)
+      .join(broadcast(probed), Seq("cluster_id"))
+      .withColumn("dist", l2sq(col("q_embedding"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF pruned kNN: equi-join the probed queries with the assigned base on
     * cluster_id, then the same bounded-heap top-k as exact search.
     * Output: (query_id, neighbor_id, rank). */

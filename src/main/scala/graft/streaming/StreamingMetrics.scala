@@ -36,6 +36,12 @@ object StreamingMetrics {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("avg_value"), col("sum_value"))
 
+  /** Streaming exact dedup: watermarked dropDuplicates on a fingerprint
+    * column — the streaming form of [[graft.text.Dedup.exact]] for
+    * continuous ingestion (state bounded by the watermark horizon). */
+  def streamingDedup(docs: DataFrame, fpCol: String, watermark: String): DataFrame =
+    docs.withWatermark("ts", watermark).dropDuplicates(fpCol)
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   final case class SessionState(sessionId: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, event_id: Long, session_id: Long)

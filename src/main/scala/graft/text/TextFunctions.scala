@@ -82,6 +82,16 @@ object TextFunctions {
          |       shiftleft(1L, j), 0L)),
          |  0L, (a, b) -> a | b)""".stripMargin)
 
+  /** BPE-ish subword tokenizer: letter runs, digit runs, and single
+    * punctuation marks — the GPT-2-pretokenizer shape without the
+    * byte-level merge table. Regex is portable across Java and RE2
+    * (no lookarounds), so the DuckDB oracle matches. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Token-hash array for [[simhashFromHashes]]. */
   def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
 

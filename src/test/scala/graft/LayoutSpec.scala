@@ -31,6 +31,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(prunedRows == manual)
   }
 
+  test("partitioned IVF search: dynamic partition pruning, same results") {
+    val base = Tables.embeddingBase(spark, dir)
+    val queries = Tables.embeddingQueries(spark, dir)
+    val model = IvfIndex.fit(base.coalesce(2), base, nlist = 8)
+    val path = "target/tmp/ivf_layout_dpp"
+    Layout.writeIvfPartitioned(model.assignedBase, path)
+    val viaLayout = IvfIndex.searchPartitioned(model, path, queries, 10, nprobe = 4)
+    val inMemory = IvfIndex.search(model, queries, 10, nprobe = 4)
+    val a = viaLayout.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = inMemory.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b && a.nonEmpty)
+    // dynamic partition pruning appears at the layout scan
+    val plan = viaLayout.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_.user_id == 2L).map(_.session_id).toSeq == Seq(1L))
   }
 
+  test("streaming dedup drops repeated fingerprints across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "fp", "payload")
+    val out = StreamingMetrics.streamingDedup(docs, "fp", "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    input.addData(
+      (ts("2024-01-01 00:00:01"), "fpA", "first"),
+      (ts("2024-01-01 00:00:02"), "fpA", "dup-in-batch"),
+      (ts("2024-01-01 00:00:03"), "fpB", "second"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "fpA", "dup-across-batch"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("fp")).toSet == Set("fpA", "fpB"))
+  }
+
   test("kNN search loop answers each micro-batch against the current snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
