@@ -242,6 +242,16 @@ object SparkEntry {
         (TextFunctions.distinctTokenCount(t) >= lit(5))).as("pass"))
   }
 
+  /** Full corpus-curation pipeline (quality gate → exact dedup → blocked
+    * near-dup kill → language tag) — the deterministic oracle variant;
+    * the MinHash variant is exercised in CorpusPipelineSpec. */
+  private def corpusCurate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusPipeline.curate(
+      Tables.documents(spark, dir),
+      graft.text.CorpusPipeline.Config(minhashShingle = 1, nearDupThreshold = 0.8),
+      graft.text.CorpusPipeline.BlockedKill(Seq("lang", "source")))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -384,6 +394,7 @@ object SparkEntry {
     "tfidf" -> ((s, dir) => tfidf(s, dir)),
     "label_centroids" -> ((s, dir) => labelCentroids(s, dir)),
     "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
+    "corpus_curate" -> ((s, dir) => corpusCurate(s, dir)),
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
@@ -553,6 +564,42 @@ object SparkEntry {
         |             / greatest(len(toks), 1), 4) >= 2.0
         |   AND len(list_distinct(toks)) >= 5) AS pass
         |FROM t""".stripMargin,
+    "corpus_curate" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text, lang, source, string_split(trim(text), ' ') AS toks
+        |  FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) BETWEEN 10 AND 1000
+        |    AND round(CAST(list_sum(list_transform(string_split(trim(text), ' '), x -> length(x))) AS DOUBLE)
+        |              / greatest(len(string_split(trim(text), ' ')), 1), 4) >= 2.0
+        |    AND len(list_distinct(string_split(trim(text), ' '))) >= 5),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM gated GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |deduped AS (SELECT g.* FROM gated g JOIN keepers USING (doc_id)),
+        |sets AS (SELECT doc_id, lang, source, list_distinct(toks) AS sh FROM deduped),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sets a JOIN sets b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |kill AS (SELECT DISTINCT id_b AS doc_id FROM cand
+        |  WHERE round(CAST(n_int AS DOUBLE) / (na + nb - n_int), 4) >= 0.8),
+        |survivors AS (SELECT d.* FROM deduped d LEFT JOIN kill k USING (doc_id)
+        |  WHERE k.doc_id IS NULL),
+        |c AS (SELECT doc_id, toks,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS c_en,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','un','une'))) AS c_fr,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht'))) AS c_de,
+        |  len(list_filter(toks, x -> x IN ('el','los','y','las','una','que'))) AS c_es
+        |  FROM survivors)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'unknown'
+        |  WHEN c_en = greatest(c_en, c_fr, c_de, c_es) THEN 'en'
+        |  WHEN c_fr = greatest(c_en, c_fr, c_de, c_es) THEN 'fr'
+        |  WHEN c_de = greatest(c_en, c_fr, c_de, c_es) THEN 'de'
+        |  WHEN c_es = greatest(c_en, c_fr, c_de, c_es) THEN 'es'
+        |  ELSE 'unknown' END AS pred_lang,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens
+        |FROM c""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |c AS (SELECT doc_id,
