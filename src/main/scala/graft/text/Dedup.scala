@@ -40,7 +40,7 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame =
     docs
-      .withColumn("__sh", TextFunctions.shingles(textCol, shingleSize))
+      .transform(TextFunctions.withShingles(_, textCol, shingleSize, "__sh"))
       .select(
         col(idCol),
         array((0 until numHashes).map(s =>
@@ -75,7 +75,8 @@ object Dedup {
   /** Exact n-gram Jaccard over a candidate pair set. */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol), TextFunctions.shingles(textCol, shingleSize).as("sh"))
+    val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
+      .select(col(idCol), col("sh"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -93,8 +94,8 @@ object Dedup {
     * The SQL-oracle-friendly variant — no hashing involved. */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+ TextFunctions.shingles(textCol, shingleSize).as("sh"): _*)
+    val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
+      .select((col(idCol) +: blockCols.map(col)) :+ col("sh"): _*)
     val a = sets.select(col(idCol).as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col): _*)
     val b = sets.select(col(idCol).as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
     a.join(b, blockCols)

@@ -95,12 +95,23 @@ object TextFunctions {
   /** Token-hash array for [[simhashFromHashes]]. */
   def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space) from a
-    * named text column — the MinHash input. */
-  def shingles(textCol: String, n: Int): Column =
-    if (n <= 1) expr(s"array_distinct(split(trim($textCol), '\\\\s+'))")
+  /** Word n-gram shingles from a named, already-tokenized array column.
+    * IMPORTANT: expressions inside HOF lambdas are re-evaluated per
+    * element (no common-subexpression elimination), so the tokenization
+    * must happen once in its own column — inlining `split(text)` here
+    * costs |tokens| regex splits per row. */
+  def shinglesOfTokens(tokensCol: String, n: Int): Column =
+    if (n <= 1) expr(s"array_distinct($tokensCol)")
     else expr(
       s"""array_distinct(transform(
-         |  sequence(1, greatest(size(split(trim($textCol), '\\\\s+')) - ${n - 1}, 1)),
-         |  i -> array_join(slice(split(trim($textCol), '\\\\s+'), i, $n), ' ')))""".stripMargin)
+         |  sequence(1, greatest(size($tokensCol) - ${n - 1}, 1)),
+         |  i -> array_join(slice($tokensCol, i, $n), ' ')))""".stripMargin)
+
+  /** Convenience: tokenize-then-shingle in two columns; see
+    * [[shinglesOfTokens]] for why the split must not be inlined. */
+  def withShingles(df: org.apache.spark.sql.DataFrame, textCol: String, n: Int,
+      outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__graft_toks", tokens(col(textCol)))
+      .withColumn(outCol, shinglesOfTokens("__graft_toks", n))
+      .drop("__graft_toks")
 }
