@@ -93,8 +93,14 @@ object DynamicBench {
     val results = clientCounts.flatMap { n =>
       val futures = (0 until n).map { cid =>
         Future {
-          val (qps, lat, rec) = measuredSearch(queries, snapshot, gt, k)
-          ClientResult(n, cid, qps, lat, rec)
+          // FAIR pool per client: concurrent jobs share executor slots
+          // instead of FIFO head-of-line blocking (the Spark analog of the
+          // reference's per-thread fairness).
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$cid")
+          try {
+            val (qps, lat, rec) = measuredSearch(queries, snapshot, gt, k)
+            ClientResult(n, cid, qps, lat, rec)
+          } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

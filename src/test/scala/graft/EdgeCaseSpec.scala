@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Knn, Recall}
+import graft.text.{Dedup, TextFunctions}
+
+/** Hardening: empty/degenerate inputs must not crash or mis-rank. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("text functions on empty, whitespace, unicode, and punctuation-only text") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "héllo wörld 你好"), (4L, "!!! ??? ...")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.avgTokenLen(col("text")).as("avg"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe")).collect()
+    assert(out.length == 4) // no exceptions
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    assert(m(3L).getAs[String]("lang") == "unknown")
+    assert(m(4L).getAs[Int]("bpe") == 9) // nine punctuation marks
+  }
+
+  test("dedup operators tolerate empty and single-token docs") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "word")).toDF("doc_id", "text")
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 2) // "" and "word" groups
+    assert(Dedup.minHashNearDup(docs, "doc_id", "text").collect()
+      .exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L))
+    assert(Dedup.winnowFingerprints(docs, "doc_id", "text").count() == 3)
+    assert(Dedup.simHashSignatures(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("kNN with k larger than the base returns all base rows ranked") {
+    val base = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(0f, 0f))).toDF("query_id", "q_embedding")
+    val out = Knn.exact(queries, base, 10).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("recall against an empty prediction set is zero, not an error") {
+    val base = Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(0f, 0f))).toDF("query_id", "q_embedding")
+    val gt = Knn.exact(queries, base, 1)
+    val empty = gt.filter(lit(false))
+    val r = Recall.recallAtK(empty, gt, 1).collect()(0).getDouble(0)
+    assert(r == 0.0)
+  }
+
+  test("mismatched vector dimensions fold over the shorter prefix (documented)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val d = df.select(graft.functions.VectorFunctions.l2sq(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(d == 0.0)
+  }
+}
