@@ -48,6 +48,20 @@ class HarnessSpec extends AnyFunSuite {
     assert(parsed(1).getDouble(2) == 368876.0)
   }
 
+  test("metric log round-trips through actual text files (S4 -> S5)") {
+    import spark.implicits._
+    val metrics = Seq((1, 4970.25, 2010.5, 0.9769), (2, 1234.0, 5.25, 0.5))
+      .toDF("interval", "qps", "latency_ms", "recall")
+    val path = "target/tmp/metric_log_txt"
+    MetricLogs.formatLines(metrics).coalesce(1).write.mode("overwrite").text(path)
+    val parsed = MetricLogs.parseLines(
+      spark.read.text(path).withColumnRenamed("value", "line"))
+      .orderBy("interval").collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getDouble(1) == 4970.25)
+    assert(parsed(1).getDouble(3) == 0.5)
+  }
+
   test("fvecs/ivecs round-trip preserves vectors and positional ids") {
     val tmp = new java.io.File("target/tmp"); tmp.mkdirs()
     val fpath = "target/tmp/test.fvecs"
