@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded binary max-heap keeping the k smallest (dist, id) pairs seen,
-  * ordered lexicographically by (dist, id) so results are deterministic
-  * under ties. O(k) state, O(log k) insert.
+/** Bounded binary max-heap keeping the k smallest **distinct** (dist, id)
+  * pairs seen, ordered lexicographically by (dist, id) so results are
+  * deterministic under ties. Distinctness makes the aggregate insensitive
+  * to duplicated candidate pairs (e.g. LSH multi-table collisions).
+  * O(k) state, O(log k) insert (+O(k) equality scan on accepted inserts).
   */
 final class TopKHeap(val k: Int) extends Serializable {
   val dists = new Array[Double](k)
@@ -21,8 +23,18 @@ final class TopKHeap(val k: Int) extends Serializable {
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
 
+  @inline private def contains(d: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < size) {
+      if (dists(i) == d && ids(i) == id) return true
+      i += 1
+    }
+    false
+  }
+
   def insert(d: Double, id: Long): Unit = {
     if (size < k) {
+      if (contains(d, id)) return
       var i = size
       dists(i) = d; ids(i) = id; size += 1
       // sift up
@@ -31,6 +43,7 @@ final class TopKHeap(val k: Int) extends Serializable {
         swap(i, p); i = p
       }
     } else if (k > 0 && worse(dists(0), ids(0), d, id)) {
+      if (contains(d, id)) return
       dists(0) = d; ids(0) = id
       // sift down
       var i = 0

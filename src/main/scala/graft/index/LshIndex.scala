@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,39 @@ object LshIndex {
 
   private def featurize(df: DataFrame): DataFrame =
     df.withColumn("features", array_to_vector(col("embedding")))
+
+  /** Spark-first RP-LSH without the MLlib wrapper: `numHashTables` seeded
+    * Gaussian projection vectors; bucket = ⌊(v·p)/bucketLength⌋; candidates
+    * = equi-join on (table, bucket); exact distance + bounded-heap top-k
+    * on the candidate set. Same algorithm family as
+    * `BucketedRandomProjectionLSH`, leaner plan (no UDT conversions, no
+    * per-pair key dedup pass). */
+  def searchFast(queries: DataFrame, base: DataFrame, k: Int,
+      numHashTables: Int, bucketLength: Double, dim: Int, seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.topKByDist
+    import graft.functions.VectorFunctions.{dot, l2sq}
+    val rnd = new scala.util.Random(seed)
+    // deterministic Gaussian projections, one array literal per table
+    val projections = Array.fill(numHashTables)(Array.fill(dim)(rnd.nextGaussian()))
+    def buckets(vec: Column): Column = array(projections.zipWithIndex.map { case (p, t) =>
+      struct(lit(t).as("table"),
+        floor(dot(vec, lit(p)) / bucketLength).cast("long").as("bucket"))
+    }: _*)
+    val b = base.select(col("vec_id"), col("embedding"),
+      explode(buckets(col("embedding"))).as("tb"))
+    val q = queries.select(col("query_id"), col("q_embedding"),
+      explode(buckets(col("q_embedding"))).as("tb"))
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    // duplicate (query, candidate) pairs from multi-table collisions are
+    // absorbed by the heap's distinct-(dist,id) semantics — no dedup pass
+    b.join(broadcast(q), Seq("tb"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Approximate kNN: bucket-join candidates within `threshold` L2 distance,
     * then per-query top-k. Output: (query_id, neighbor_id, rank).

@@ -84,9 +84,31 @@ class KnnSpec extends AnyFunSuite {
     assert(hits.toDouble / total > 0.5, s"shortlist recall ${hits.toDouble / total}")
   }
 
-  test("LSH recall clears the BASELINE bar (>= 0.7)") {
+  test("LSH recall clears the BASELINE bar (>= 0.7), both implementations") {
     val model = LshIndex.fit(base, numHashTables = 8, bucketLength = 0.5)
     assert(recallOf(LshIndex.search(model, queries, base, 10, threshold = 1.3)) >= 0.7)
+    assert(recallOf(LshIndex.searchFast(queries, base, 10, 8, 1.0, dim = 64)) >= 0.7)
+  }
+
+  test("kNN results invariant under base row permutation (SURVEY §5.3)") {
+    val shuffled = base.orderBy(rand(seed = 7))
+    val a = Knn.exact(queries, base, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Knn.exact(queries, shuffled, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
+  test("top-k ids identical under L2 vs squared-L2 ordering (SURVEY §5.3)") {
+    import graft.functions.GraftFunctions.topKByDist
+    import graft.functions.VectorFunctions.{l2, l2sq}
+    def run(dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      base.crossJoin(org.apache.spark.sql.functions.broadcast(queries))
+        .withColumn("dist", dist(col("q_embedding"), col("embedding")))
+        .groupBy(col("query_id"))
+        .agg(topKByDist(col("vec_id"), col("dist"), 10).as("nn"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(run(l2sq) == run(l2))
   }
 
   test("cosine top-k returns k rows per query") {

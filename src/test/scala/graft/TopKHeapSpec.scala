@@ -18,7 +18,8 @@ class TopKHeapSpec extends AnyFunSuite {
       val clean = pairs.filterNot { case (d, _) => d.isNaN }
       val heap = new TopKHeap(k)
       clean.foreach { case (d, i) => heap.insert(d, i) }
-      heap.sortedIds.toList == clean.sorted.take(k).map(_._2)
+      // heap keeps distinct (dist, id) pairs
+      heap.sortedIds.toList == clean.distinct.sorted.take(k).map(_._2)
     })
   }
 
