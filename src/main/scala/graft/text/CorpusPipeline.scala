@@ -48,7 +48,10 @@ object CorpusPipeline {
       .select(col("doc_id"), TextFunctions.fingerprint(t).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi")
+    // cached: consumed three times (both sides of the near-dup pair join
+    // and the survivor anti-join) — without it the quality-gate HOFs and
+    // fingerprint hash re-evaluate per consumer
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").cache()
     // 3. near-dup kill: drop the larger id of each verified pair
     val pairs = nearDup match {
       case MinHashKill => Dedup.minHashNearDup(deduped, "doc_id", "text",
