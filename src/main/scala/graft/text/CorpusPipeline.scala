@@ -60,7 +60,8 @@ object CorpusPipeline {
         blockCols, cfg.minhashShingle, cfg.nearDupThreshold)
     }
     val kill = pairs.select(col("id_b").as("doc_id")).distinct()
-    val survivors = deduped.join(kill, Seq("doc_id"), "left_anti")
+    // kill list ≪ corpus: broadcast the anti-join instead of sort-merge
+    val survivors = deduped.join(broadcast(kill), Seq("doc_id"), "left_anti")
     // 4. language tag
     survivors.select(
       col("doc_id"), col("text"),
