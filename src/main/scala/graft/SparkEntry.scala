@@ -78,6 +78,20 @@ object SparkEntry {
     Recall.recallAtK(knnPq(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
   }
 
+  /** SQ8 scalar-quantized kNN with exact rerank (shortlist 50). */
+  private def knnSq(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val model = graft.index.SqIndex.fit(base, base)
+    graft.index.SqIndex.searchRerank(model, Tables.embeddingQueries(spark, dir), base, KnnK, 50)
+  }
+
+  /** SQ8 recall vs exact ground truth (≥0.9, asserted in tests). */
+  private def recallSq(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    Recall.recallAtK(knnSq(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
+  }
+
   /** M1 recall with a full DuckDB oracle: predictions from a degraded base
     * (every 3rd vector dropped) scored against exact ground truth. */
   private def recallDegraded(spark: SparkSession, dir: String): DataFrame = {
@@ -376,6 +390,8 @@ object SparkEntry {
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_pq" -> ((s, dir) => knnPq(s, dir)),
     "recall_pq" -> ((s, dir) => recallPq(s, dir)),
+    "knn_sq" -> ((s, dir) => knnSq(s, dir)),
+    "recall_sq" -> ((s, dir) => recallSq(s, dir)),
     "knn_update_identity" -> ((s, dir) => knnUpdateIdentity(s, dir)),
     "recall_degraded" -> ((s, dir) => recallDegraded(s, dir)),
     "recall_ivf" -> ((s, dir) => recallIvf(s, dir)),

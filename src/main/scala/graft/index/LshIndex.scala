@@ -43,20 +43,27 @@ object LshIndex {
     * `BucketedRandomProjectionLSH`, leaner plan (no UDT conversions, no
     * per-pair key dedup pass). */
   def searchFast(queries: DataFrame, base: DataFrame, k: Int,
-      numHashTables: Int, bucketLength: Double, dim: Int, seed: Long = 42L): DataFrame = {
+      numHashTables: Int, bucketLength: Double, dim: Int, seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
     import graft.functions.GraftFunctions.topKByDist
     import graft.functions.VectorFunctions.{dot, l2sq}
     val rnd = new scala.util.Random(seed)
     // deterministic Gaussian projections, one array literal per table
     val projections = Array.fill(numHashTables)(Array.fill(dim)(rnd.nextGaussian()))
-    def buckets(vec: Column): Column = array(projections.zipWithIndex.map { case (p, t) =>
-      struct(lit(t).as("table"),
-        floor(dot(vec, lit(p)) / bucketLength).cast("long").as("bucket"))
-    }: _*)
+    // multi-probe: the query side also visits neighboring buckets
+    // (offset 0, ±1, ±2, …) — recall of more tables at the index size of
+    // fewer (Lv et al.'s multi-probe LSH)
+    val offsets: Seq[Long] =
+      (0 until probes).map(i => if (i % 2 == 0) (i / 2).toLong else -((i + 1) / 2).toLong)
+    def buckets(vec: Column, offs: Seq[Long]): Column =
+      array((for (t <- projections.indices; o <- offs) yield {
+        struct(lit(t).as("table"),
+          (floor(dot(vec, lit(projections(t))) / bucketLength).cast("long") + lit(o)).as("bucket"))
+      }): _*)
     val b = base.select(col("vec_id"), col("embedding"),
-      explode(buckets(col("embedding"))).as("tb"))
+      explode(buckets(col("embedding"), Seq(0L))).as("tb"))
     val q = queries.select(col("query_id"), col("q_embedding"),
-      explode(buckets(col("q_embedding"))).as("tb"))
+      explode(buckets(col("q_embedding"), offsets)).as("tb"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     // duplicate (query, candidate) pairs from multi-table collisions are
     // absorbed by the heap's distinct-(dist,id) semantics — no dedup pass

@@ -90,6 +90,18 @@ class KnnSpec extends AnyFunSuite {
     assert(recallOf(LshIndex.searchFast(queries, base, 10, 8, 1.0, dim = 64)) >= 0.7)
   }
 
+  test("SQ8 rerank recall >= 0.9; compressed-domain recall reasonable") {
+    val model = graft.index.SqIndex.fit(base, base)
+    assert(recallOf(graft.index.SqIndex.searchRerank(model, queries, base, 10, 50)) >= 0.9)
+    assert(recallOf(graft.index.SqIndex.search(model, queries, 10)) >= 0.8)
+  }
+
+  test("multi-probe LSH lifts recall at fixed table count") {
+    val r1 = recallOf(LshIndex.searchFast(queries, base, 10, 4, 0.5, dim = 64, probes = 1))
+    val r3 = recallOf(LshIndex.searchFast(queries, base, 10, 4, 0.5, dim = 64, probes = 3))
+    assert(r3 > r1, s"probes=3 recall $r3 should exceed probes=1 recall $r1")
+  }
+
   test("kNN results invariant under base row permutation (SURVEY §5.3)") {
     val shuffled = base.orderBy(rand(seed = 7))
     val a = Knn.exact(queries, base, 10).collect()
