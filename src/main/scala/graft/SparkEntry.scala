@@ -267,6 +267,24 @@ object SparkEntry {
       graft.text.CorpusPipeline.BlockedKill(Seq("lang", "source")))
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
 
+  /** BM25 lexical retrieval: top-10 documents for a fixed term query. */
+  private def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextRank.bm25TopK(
+      Tables.documents(spark, dir), Seq("spark", "join", "query"), 10)
+
+  /** Reciprocal-rank fusion of two lexical rankings (BM25 and raw TF) —
+    * the hybrid-retrieval combiner, rank ties broken deterministically. */
+  private def rrfFuse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "join", "query")
+    val byBm25 = graft.text.TextRank.bm25(docs, terms)
+    val byTf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("score"))
+    graft.text.TextRank.rrfFuse(Seq(byBm25, byTf))
+  }
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -412,6 +430,8 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) => labelCentroids(s, dir)),
     "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
     "corpus_curate" -> ((s, dir) => corpusCurate(s, dir)),
+    "bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
+    "rrf_fuse" -> ((s, dir) => rrfFuse(s, dir)),
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
@@ -557,6 +577,42 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
         |  FROM documents)
         |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','join','query') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfq CROSS JOIN n),
+        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        |scored AS (SELECT tf.doc_id,
+        |    round(sum(idf.idf * (tf.tf * 2.2)
+        |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "rrf_fuse" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','join','query') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfq CROSS JOIN n),
+        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        |bm AS (SELECT tf.doc_id,
+        |    round(sum(idf.idf * (tf.tf * 2.2)
+        |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+        |  GROUP BY tf.doc_id),
+        |tfs AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS score FROM toks
+        |        WHERE term IN ('spark','join','query') GROUP BY 1),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tfs),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+        |FROM u GROUP BY doc_id""".stripMargin,
     "tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),

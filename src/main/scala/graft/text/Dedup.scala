@@ -165,6 +165,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph — the transitive
+    * closure step real dedup pipelines need (A≈B, B≈C ⇒ {A,B,C} is one
+    * duplicate cluster with one canonical survivor). Iterative min-label
+    * propagation entirely in DataFrames: each round every node adopts the
+    * smallest label in its neighborhood; converges in O(diameter) rounds
+    * (bounded by `maxIter`), each round one shuffle on node id. Returns
+    * (id, component) where component = min doc id in the cluster. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      // truncate lineage periodically: 20 self-referential rounds would
+      // otherwise compound the plan (the usual iterative-algorithm trap)
+      labels = if (i % 5 == 4) next.localCheckpoint() else next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Winnowing fingerprints (Schleimer et al., MOSS): polynomial rolling
     * hash over character k-grams (O(n) per doc), sliding-window min with a
     * monotone deque (O(n)), distinct mins = the fingerprint set. Any

@@ -55,6 +55,22 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 8L && p._3 == 0))
   }
 
+  test("duplicate clusters: transitive closure of pair graph") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3, pair 5-6, singleton 9 (not in any pair → not emitted)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(5L) == 5L && comps(6L) == 5L)
+    assert(!comps.contains(9L))
+    // long chain needs multiple propagation rounds
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(c2(_) == 1L))
+  }
+
   test("simhash fast path matches the SQL-surface HOF formulation") {
     import org.apache.spark.sql.functions.col
     val fast = Dedup.simHashSignatures(docs, "doc_id", "text")
