@@ -267,6 +267,13 @@ object SparkEntry {
       graft.text.CorpusPipeline.BlockedKill(Seq("lang", "source")))
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
 
+  /** Deterministic hash-based train/test split counts per label. */
+  private def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.trainTestSplit(
+      Tables.embeddings(spark, dir), "vec_id", trainPct = 80)
+      .groupBy(col("label"), col("split"))
+      .agg(count(lit(1)).as("n"))
+
   /** BM25 lexical retrieval: top-10 documents for a fixed term query. */
   private def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextRank.bm25TopK(
@@ -432,6 +439,7 @@ object SparkEntry {
     "corpus_curate" -> ((s, dir) => corpusCurate(s, dir)),
     "bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "rrf_fuse" -> ((s, dir) => rrfFuse(s, dir)),
+    "train_test_split" -> ((s, dir) => trainTestSplit(s, dir)),
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
@@ -577,6 +585,11 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
         |  FROM documents)
         |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
+    "train_test_split" ->
+      """SELECT label,
+        |  CASE WHEN (vec_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY 1, 2""".stripMargin,
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

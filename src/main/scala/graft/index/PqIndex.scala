@@ -200,6 +200,23 @@ object PqIndex {
       .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF+PQ+rerank — the full IndexIVFPQ search pipeline: cluster pruning
+    * (nprobe), compressed-domain ADC shortlist, exact rerank. */
+  def searchIvfRerank(ivf: IvfModel, model: PqModel, queries: DataFrame, base: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val candidates = searchIvf(ivf, model, queries, shortlist, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val topk = GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
+    candidates
+      .join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("dist", graft.functions.VectorFunctions.l2sq(col("q_embedding"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF+ADC: prune candidates to the query's nprobe clusters (IvfIndex),
     * then PQ-approximate distances within — the full IndexIVFPQ analog. */
   def searchIvf(ivf: IvfModel, model: PqModel, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {

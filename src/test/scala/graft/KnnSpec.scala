@@ -90,6 +90,14 @@ class KnnSpec extends AnyFunSuite {
     assert(recallOf(LshIndex.searchFast(queries, base, 10, 8, 1.0, dim = 64)) >= 0.7)
   }
 
+  test("IVF+PQ+rerank composes both prunings, recall bounded by nprobe ceiling") {
+    val ivf = IvfIndex.fit(base, base, nlist = 8)
+    val pq = graft.index.PqIndex.fit(base, base, m = 16, ksub = 32)
+    val r = recallOf(graft.index.PqIndex.searchIvfRerank(ivf, pq, queries, base, 10, nprobe = 6, shortlist = 100))
+    val ceiling = recallOf(IvfIndex.search(ivf, queries, 10, nprobe = 6))
+    assert(r >= 0.8 && r <= ceiling + 1e-9, s"ivfpq recall $r vs ivf ceiling $ceiling")
+  }
+
   test("SQ8 rerank recall >= 0.9; compressed-domain recall reasonable") {
     val model = graft.index.SqIndex.fit(base, base)
     assert(recallOf(graft.index.SqIndex.searchRerank(model, queries, base, 10, 50)) >= 0.9)
