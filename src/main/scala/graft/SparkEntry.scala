@@ -244,7 +244,9 @@ object SparkEntry {
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("e").cast("double")), 4).as("avg_val"))
+      // quantized to int with floor(x·1e4 + .5): engines disagree on
+      // round()'s half-rule (HALF_UP vs half-even), floor is rule-free
+      .agg(floor(avg(col("e").cast("double")) * 10000 + 0.5).cast("long").as("avg_q"))
 
   /** Quality filter — the C4-style document gate: token-count range +
     * minimum alphabetic ratio, emitting pass/fail per doc. */
@@ -516,17 +518,17 @@ object SparkEntry {
       """WITH r AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
-        |SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n_rows
+        |SELECT user_id, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents, count(*) AS n_rows
         |FROM r WHERE rn <= 5 GROUP BY user_id""".stripMargin,
     "metrics_head_summary" ->
       """WITH r AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
-        |SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n_rows
+        |SELECT user_id, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents, count(*) AS n_rows
         |FROM r WHERE rn <= 5 GROUP BY user_id""".stripMargin,
     "multi_tenant_agg" ->
-      """SELECT event_type, round(avg(value), 4) AS avg_value,
-        |  round(sum(value), 2) AS sum_value, count(*) AS n_rows
+      """SELECT event_type, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents,
+        |  count(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
     "event_regions" ->
       """WITH f AS (SELECT user_id, event_id, event_type, ts FROM events
@@ -640,7 +642,8 @@ object SparkEntry {
         |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
         |  unnest(embedding) AS e
         |FROM embeddings)
-        |SELECT label, pos, round(avg(CAST(e AS DOUBLE)), 4) AS avg_val
+        |SELECT label, pos,
+        |  CAST(floor(avg(CAST(e AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS avg_q
         |FROM u GROUP BY label, pos""".stripMargin,
     "quality_filter" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
@@ -760,7 +763,7 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
     "windowed_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        |  count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+        |  count(*) AS n, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

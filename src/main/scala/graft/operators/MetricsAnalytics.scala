@@ -23,7 +23,9 @@ object MetricsAnalytics {
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .groupBy(key)
-      .agg(round(avg(value), 4).as("avg_value"), count(lit(1)).as("n_rows"))
+      // sum in integer cents: 2-decimal inputs make this exact, immune to
+      // engine-specific summation order and round-half rules
+      .agg(round(sum(value * 100)).cast("long").as("sum_cents"), count(lit(1)).as("n_rows"))
   }
 
   /** M6 head-window summary — first n rows per key
@@ -33,7 +35,7 @@ object MetricsAnalytics {
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .groupBy(key)
-      .agg(round(avg(value), 4).as("avg_value"), count(lit(1)).as("n_rows"))
+      .agg(round(sum(value * 100)).cast("long").as("sum_cents"), count(lit(1)).as("n_rows"))
   }
 
   /** M7 cross-client aggregation — per backend/client-count: mean latency,
@@ -42,8 +44,7 @@ object MetricsAnalytics {
   def crossClientAgg(df: DataFrame, key: Column, value: Column): DataFrame =
     df.groupBy(key)
       .agg(
-        round(avg(value), 4).as("avg_value"),
-        round(sum(value), 2).as("sum_value"),
+        round(sum(value * 100)).cast("long").as("sum_cents"),
         count(lit(1)).as("n_rows"))
 
   /** M8/M9 sentinel-region pairing — the reference injects start/end

@@ -42,7 +42,9 @@ object Tables {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division: `/` on Columns is floating-point and int64
+        // nanos exceed double's 2^53 exact range (silent ±1µs corruption)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

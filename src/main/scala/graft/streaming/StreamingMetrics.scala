@@ -30,11 +30,11 @@ object StreamingMetrics {
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // integer cents: exact for 2-decimal inputs, engine-order immune
+        round(sum(col("value") * 100)).cast("long").as("sum_cents"))
       .select(
         col("window.start").as("window_start"),
-        col("event_type"), col("n"), col("avg_value"), col("sum_value"))
+        col("event_type"), col("n"), col("sum_cents"))
 
   /** Streaming exact dedup: watermarked dropDuplicates on a fingerprint
     * column — the streaming form of [[graft.text.Dedup.exact]] for

@@ -35,7 +35,7 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val qpsW0 = out.find(r => r.getAs[String]("event_type") == "qps"
       && r.getAs[java.sql.Timestamp]("window_start") == ts("2024-01-01 00:00:00")).get
-    assert(qpsW0.getAs[Long]("n") == 2 && qpsW0.getAs[Double]("avg_value") == 150.0)
+    assert(qpsW0.getAs[Long]("n") == 2 && qpsW0.getAs[Long]("sum_cents") == 30000L)
     assert(out.exists(r => r.getAs[String]("event_type") == "latency"))
   }
 
