@@ -98,7 +98,7 @@ object SparkEntry {
     val queries = Tables.embeddingQueries(spark, dir)
     val base = Tables.embeddingBase(spark, dir)
     val degraded = base.filter(col("vec_id") % 3 =!= 0)
-    Recall.recallAtK(Knn.exact(queries, degraded, KnnK), Knn.exact(queries, base, KnnK), KnnK)
+    Recall.recallBasisPoints(Knn.exact(queries, degraded, KnnK), Knn.exact(queries, base, KnnK), KnnK)
   }
 
   /** IVF recall vs exact ground truth (no SQL oracle — KMeans; threshold
@@ -502,11 +502,9 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY q.query_id
       |           ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(deg.embedding AS DOUBLE[])), deg.vec_id) AS rank
       |  FROM q CROSS JOIN deg) WHERE rank <= 10),
-      |hits AS (SELECT gt.query_id, count(*) AS n FROM gt JOIN pr USING (query_id, neighbor_id) GROUP BY gt.query_id),
-      |per_query AS (
-      |  SELECT round(CAST(coalesce(hits.n, 0) AS DOUBLE) / 10, 4) AS recall
-      |  FROM (SELECT DISTINCT query_id FROM gt) g LEFT JOIN hits USING (query_id))
-      |SELECT round(avg(recall), 4) AS recall_at_k FROM per_query""".stripMargin
+      |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+      |total AS (SELECT count(*) AS n_gt FROM gt)
+      |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_exact" -> knnOracle,
@@ -671,7 +669,7 @@ object SparkEntry {
         |  FROM sets a JOIN sets b
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
         |kill AS (SELECT DISTINCT id_b AS doc_id FROM cand
-        |  WHERE round(CAST(n_int AS DOUBLE) / (na + nb - n_int), 4) >= 0.8),
+        |  WHERE (n_int * 10000) // (na + nb - n_int) >= 8000),
         |survivors AS (SELECT d.* FROM deduped d LEFT JOIN kill k USING (doc_id)
         |  WHERE k.doc_id IS NULL),
         |c AS (SELECT doc_id, toks,
@@ -720,9 +718,8 @@ object SparkEntry {
         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
-        |p AS (SELECT id_a, id_b,
-        |  round(CAST(n_int AS DOUBLE) / (na + nb - n_int), 4) AS jaccard FROM c)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+        |p AS (SELECT id_a, id_b, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp FROM c)
+        |SELECT id_a, id_b, jaccard_bp FROM p WHERE jaccard_bp >= 5000""".stripMargin,
     "embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos

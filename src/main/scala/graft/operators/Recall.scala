@@ -33,4 +33,15 @@ object Recall {
   def recallAtK(pred: DataFrame, gt: DataFrame, k: Int): DataFrame =
     perQuery(pred, gt, k)
       .agg(round(avg(col("recall")), 4).as("recall_at_k"))
+
+  /** Recall in basis points — pure integer arithmetic (total hits ×10⁴
+    * div total gt rows), bit-exact in any engine; the oracle-safe form. */
+  def recallBasisPoints(pred: DataFrame, gt: DataFrame, k: Int): DataFrame = {
+    val p = pred.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val g = gt.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val hits = p.join(g, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
+    val total = g.agg(count(lit(1)).as("n_gt"))
+    hits.crossJoin(total)
+      .select(expr("(n_hits * 10000L) div n_gt").as("recall_bp"))
+  }
 }

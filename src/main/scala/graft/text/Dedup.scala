@@ -81,12 +81,14 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      // |A∪B| = |A|+|B|−|A∩B| for distinct sets: skips the array_union pass
-      .withColumn("jaccard",
-        round(col("n_int").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_int")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // |A∪B| = |A|+|B|−|A∩B| for distinct sets: skips the array_union
+      // pass. Jaccard in basis points via integer division — exact in any
+      // engine (a rounded double here is a half-tie landmine, see
+      // SCALING.md oracle notes).
+      .withColumn("jaccard_bp", expr(
+        s"(n_int * 10000L) div (size(sh_a) + size(sh_b) - n_int)"))
+      .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"))
   }
 
   /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
@@ -101,11 +103,10 @@ object Dedup {
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("n_int").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_int")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("jaccard_bp", expr(
+        s"(n_int * 10000L) div (size(sh_a) + size(sh_b) - n_int)"))
+      .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"))
   }
 
   /** SimHash signatures: (id, simhash: long). Token hashing stays in
