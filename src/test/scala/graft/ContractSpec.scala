@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself: every registered query must run and
+  * produce rows at the smoke scale factor (the driver's t1/t2 behavior),
+  * and the oracle map must stay consistent with the query map. */
+class ContractSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("rows-only queries are exactly the documented non-SQL-expressible set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      // seeded-model or hash-function ops DuckDB cannot replicate:
+      "knn_ivf", "recall_ivf", "knn_lsh", "recall_lsh",
+      "knn_pq", "recall_pq", "knn_sq", "recall_sq",
+      "minhash_neardup", "simhash_neardup", "doc_winnow")
+    assert(rowsOnly == documented,
+      s"undocumented rows-only queries: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        if (fn(spark, dir).count() > 0) None else Some(s"$name: 0 rows")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
