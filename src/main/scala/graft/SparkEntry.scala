@@ -398,6 +398,32 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** Table profiling — the ANALYZE/data-quality shape: per-column null
+    * count, distinct count, min/max over lineitem's numeric columns. */
+  private def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 2).as("min_val"),
+        round(max(col(c)), 2).as("max_val"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact p50/p95 of the event value (in integer cents — engine-stable
+    * interpolation on identical integer inputs) per event type. */
+  private def metricsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        floor(expr("percentile(cents, 0.5)") * 100 + 0.5).cast("long").as("p50_q"),
+        floor(expr("percentile(cents, 0.95)") * 100 + 0.5).cast("long").as("p95_q"))
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -457,6 +483,8 @@ object SparkEntry {
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
     "windowed_agg" -> ((s, dir) => windowedAgg(s, dir)),
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
+    "table_profile" -> ((s, dir) => tableProfile(s, dir)),
+    "metrics_quantiles" -> ((s, dir) => metricsQuantiles(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -766,6 +794,27 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "table_profile" ->
+      """SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+        |  count(*) FILTER (l_quantity IS NULL) AS n_nulls,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  round(min(l_quantity), 2) AS min_val, round(max(l_quantity), 2) AS max_val
+        |FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', count(*),
+        |  count(*) FILTER (l_extendedprice IS NULL), count(DISTINCT l_extendedprice),
+        |  round(min(l_extendedprice), 2), round(max(l_extendedprice), 2) FROM lineitem
+        |UNION ALL SELECT 'l_discount', count(*),
+        |  count(*) FILTER (l_discount IS NULL), count(DISTINCT l_discount),
+        |  round(min(l_discount), 2), round(max(l_discount), 2) FROM lineitem
+        |UNION ALL SELECT 'l_tax', count(*),
+        |  count(*) FILTER (l_tax IS NULL), count(DISTINCT l_tax),
+        |  round(min(l_tax), 2), round(max(l_tax), 2) FROM lineitem""".stripMargin,
+    "metrics_quantiles" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CAST(floor(quantile_cont(cents, 0.5) * 100 + 0.5) AS BIGINT) AS p50_q,
+        |  CAST(floor(quantile_cont(cents, 0.95) * 100 + 0.5) AS BIGINT) AS p95_q
+        |FROM c GROUP BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
