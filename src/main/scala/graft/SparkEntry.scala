@@ -294,6 +294,16 @@ object SparkEntry {
     graft.text.TextRank.rrfFuse(Seq(byBm25, byTf))
   }
 
+  /** Connected components over the blocked near-dup pair graph — the
+    * transitive-closure dedup-cluster operator; oracled against a DuckDB
+    * recursive CTE (undirected reachability → min label per component). */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardBlocked(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Seq("lang", "source"), shingleSize = 1, threshold = 0.8)
+    graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+  }
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -471,6 +481,7 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
+    "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
@@ -740,6 +751,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM c WHERE (n_int * 10000) // (na + nb - n_int) >= 8000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS c FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src)
+        |SELECT id, min(c) AS component FROM reach GROUP BY id""".stripMargin,
     "ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),

@@ -173,31 +173,43 @@ object Dedup {
     * smallest label in its neighborhood; converges in O(diameter) rounds
     * (bounded by `maxIter`), each round one shuffle on node id. Returns
     * (id, component) where component = min doc id in the cluster. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint()
+    // convergence tracked by Σ labels — strictly decreasing until fixed
+    // point (labels only ever shrink), so one cheap aggregate per round
+    // replaces an anti-join change detector
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
+      // hop 1: adopt the min label in the neighborhood
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val hop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      // truncate lineage periodically: 20 self-referential rounds would
-      // otherwise compound the plan (the usual iterative-algorithm trap)
-      labels = if (i % 5 == 4) next.localCheckpoint() else next
-      converged = changed == 0
+      // hop 2: pointer jumping — adopt the label of one's label
+      // (component ids are node ids), halving path lengths per round:
+      // O(log diameter) rounds instead of O(diameter)
+      val jumped = hop.as("l")
+        .join(hop.select(col("id").as("component"), col("component").as("jump")).as("r"),
+          Seq("component"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
+        // localCheckpoint each round: truncates the self-referential
+        // lineage AND materializes once for the sum + next round
+        .localCheckpoint()
+      labels = jumped
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels
