@@ -18,6 +18,41 @@ object SparkEntry {
 
   val KnnK = 10
 
+  // Model/ground-truth memo per dataset dir. The reference builds each
+  // index ONCE and searches it repeatedly (dynamic_script_*.py build →
+  // search loop); our per-operator query entries share the same fitted
+  // model the same way. Deterministic (fixed seeds), so results are
+  // unchanged — only the redundant re-fits go away.
+  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfModel]
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqModel]
+  private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
+  private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def ivfModel(spark: SparkSession, dir: String): graft.index.IvfModel =
+    ivfCache.getOrElseUpdate(dir, {
+      val base = Tables.embeddingBase(spark, dir)
+      IvfIndex.fit(base.coalesce(4), base, nlist = 8)
+    })
+
+  private def pqModel(spark: SparkSession, dir: String): graft.index.PqModel =
+    pqCache.getOrElseUpdate(dir, {
+      val base = Tables.embeddingBase(spark, dir)
+      PqIndex.fit(base, base, m = 16, ksub = 32)
+    })
+
+  private def sqModel(spark: SparkSession, dir: String): graft.index.SqModel =
+    sqCache.getOrElseUpdate(dir, {
+      val base = Tables.embeddingBase(spark, dir)
+      graft.index.SqIndex.fit(base, base)
+    })
+
+  /** Exact ground truth, cached per dir (the `sift_groundtruth` analog —
+    * computed once, scored against by every recall query). */
+  private def groundTruth(spark: SparkSession, dir: String): DataFrame =
+    gtCache.getOrElseUpdate(dir,
+      Knn.exact(Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+        .cache())
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact brute-force kNN over the embeddings split — the reference's one
     * query shape (SURVEY §2.3). */
@@ -46,14 +81,8 @@ object SparkEntry {
     * BASELINE ≥0.9 recall bar on the weakly-clustered synthetic embeddings
     * (autotuned via graft.tools.IvfSweep, the MRPT-autotune analog); on
     * naturally clustered corpora the same code runs nlist=√n, nprobe≈10%. */
-  private def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddingBase(spark, dir)
-    // coalesce(4) for the fit: the fixture train set is tiny, so per-task
-    // scheduling dominates KMeans iterations; at real scale keep the
-    // native partitioning (fit cost is then compute-bound).
-    val model = IvfIndex.fit(base.coalesce(4), base, nlist = 8)
-    IvfIndex.search(model, Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
-  }
+  private def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.search(ivfModel(spark, dir), Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
 
   /** LSH kNN (SURVEY §2.2 I4/I5): Spark-first RP-LSH bucket join, 8 hash
     * tables, bucket length 1.0 (recall 0.95-0.97 across fixtures; the
@@ -65,32 +94,22 @@ object SparkEntry {
 
   /** PQ compressed-domain kNN with exact re-rank (SURVEY §2.2 I2, the PQ
     * half of IndexIVFPQ): ADC shortlist 100 → exact top-10. */
-  private def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddingBase(spark, dir)
-    val model = PqIndex.fit(base, base, m = 16, ksub = 32)
-    PqIndex.searchRerank(model, Tables.embeddingQueries(spark, dir), base, KnnK, shortlist = 100)
-  }
+  private def knnPq(spark: SparkSession, dir: String): DataFrame =
+    PqIndex.searchRerank(pqModel(spark, dir), Tables.embeddingQueries(spark, dir),
+      Tables.embeddingBase(spark, dir), KnnK, shortlist = 100)
 
   /** PQ+rerank recall vs exact ground truth (≥0.9, asserted in tests). */
-  private def recallPq(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.embeddingQueries(spark, dir)
-    val base = Tables.embeddingBase(spark, dir)
-    Recall.recallAtK(knnPq(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
-  }
+  private def recallPq(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallAtK(knnPq(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** SQ8 scalar-quantized kNN with exact rerank (shortlist 50). */
-  private def knnSq(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddingBase(spark, dir)
-    val model = graft.index.SqIndex.fit(base, base)
-    graft.index.SqIndex.searchRerank(model, Tables.embeddingQueries(spark, dir), base, KnnK, 50)
-  }
+  private def knnSq(spark: SparkSession, dir: String): DataFrame =
+    graft.index.SqIndex.searchRerank(sqModel(spark, dir),
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK, 50)
 
   /** SQ8 recall vs exact ground truth (≥0.9, asserted in tests). */
-  private def recallSq(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.embeddingQueries(spark, dir)
-    val base = Tables.embeddingBase(spark, dir)
-    Recall.recallAtK(knnSq(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
-  }
+  private def recallSq(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallAtK(knnSq(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** M1 recall with a full DuckDB oracle: predictions from a degraded base
     * (every 3rd vector dropped) scored against exact ground truth. */
@@ -103,18 +122,12 @@ object SparkEntry {
 
   /** IVF recall vs exact ground truth (no SQL oracle — KMeans; threshold
     * asserted in ScalaTest per BASELINE ladder: ≥ 0.9). */
-  private def recallIvf(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.embeddingQueries(spark, dir)
-    val base = Tables.embeddingBase(spark, dir)
-    Recall.recallAtK(knnIvf(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
-  }
+  private def recallIvf(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallAtK(knnIvf(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** LSH recall vs exact ground truth (threshold ≥ 0.7 per BASELINE). */
-  private def recallLsh(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.embeddingQueries(spark, dir)
-    val base = Tables.embeddingBase(spark, dir)
-    Recall.recallAtK(knnLsh(spark, dir), Knn.exact(queries, base, KnnK), KnnK)
-  }
+  private def recallLsh(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallAtK(knnLsh(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** D1-D4 + the reference's delete∘insert=identity invariant (SURVEY §5):
     * delete 50% of the base (odd ids) via anti-join, re-insert via union,
