@@ -83,6 +83,62 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends FloatV
     copy(left = l, right = r)
 }
 
+/** Cosine similarity in one fused pass: dot, ‖a‖², ‖b‖² accumulate in a
+  * single loop, then dot / (√a·√b) — same arithmetic as the composed
+  * dot/(norm·norm) formulation (bit-identical), one array traversal
+  * instead of three. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "cosine_native"
+
+  private def getter(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(s"unsupported vector type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val isFloatA = getter(left.dataType) == "getFloat"
+    val isFloatB = getter(right.dataType) == "getFloat"
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloatA) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gA = getter(left.dataType)
+    val gB = getter(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$gA($i);
+         |  double $y = (double) $b.$gB($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
 /** ADC (asymmetric distance computation) lookup for product quantization:
   * given a query's flattened distance table (m·ksub floats: distance from
   * the query's j-th subvector to centroid c is `table[j*ksub + c]`) and a

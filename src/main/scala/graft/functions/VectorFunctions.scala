@@ -55,6 +55,16 @@ object VectorFunctions {
   /** L2 norm. */
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity — fused single-pass kernel ([[CosineSimilarity]]);
+    * bit-identical to `dot(a,b) / (norm2(a) * norm2(b))`. For self-joins
+    * where one side's norm can be precomputed per row, compose `dot` with
+    * cached norm columns instead (see Dedup.embeddingNearDup). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      CosineSimilarity(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+
+  /** Composed formulation of [[cosine]] (cross-check reference). */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 }

@@ -27,6 +27,17 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("fused cosine matches the composed formulation bit-for-bit") {
+    val e = Tables.embeddings(spark, dir).limit(50).cache()
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+    val diff = pairs.select(
+      cosine(col("va"), col("vb")).as("f"),
+      cosineComposed(col("va"), col("vb")).as("c"))
+      .filter(col("f") =!= col("c"))
+    assert(diff.count() == 0)
+  }
+
   test("native kernels handle nulls and empty arrays") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
