@@ -23,6 +23,8 @@ abstract class FloatVecFold extends BinaryExpression {
   protected def elemGetter(dt: DataType): String = dt match {
     case ArrayType(FloatType, _) => "getFloat"
     case ArrayType(DoubleType, _) => "getDouble"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _) => "getLong"
     case other => throw new IllegalArgumentException(s"unsupported vector type $other")
   }
 
@@ -34,14 +36,14 @@ abstract class FloatVecFold extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val getA: Int => Double = left.dataType match {
-      case ArrayType(FloatType, _) => i => a.getFloat(i).toDouble
-      case _ => i => a.getDouble(i)
+    def mk(dt: DataType, d: ArrayData): Int => Double = dt match {
+      case ArrayType(FloatType, _) => i => d.getFloat(i).toDouble
+      case ArrayType(IntegerType, _) => i => d.getInt(i).toDouble
+      case ArrayType(LongType, _) => i => d.getLong(i).toDouble
+      case _ => i => d.getDouble(i)
     }
-    val getB: Int => Double = right.dataType match {
-      case ArrayType(FloatType, _) => i => b.getFloat(i).toDouble
-      case _ => i => b.getDouble(i)
-    }
+    val getA = mk(left.dataType, a)
+    val getB = mk(right.dataType, b)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0

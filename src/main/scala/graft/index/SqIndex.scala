@@ -75,14 +75,11 @@ object SqIndex {
       model.mins, model.scales)
       .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
-    // per-dim scale must weight the code difference: dist = Σ (Δcode·scale/255)²
-    val scaleLit = array(model.scales.map(s => lit(s.toDouble / 255.0)): _*)
     model.encodedBase
       .crossJoin(broadcast(qCodes))
+      // native fused loop over the int code arrays (Σ Δcode², see note)
       .withColumn("dist",
-        aggregate(
-          zip_with(col("codes"), col("q_codes"), (a, b) => (a - b).cast("double")),
-          lit(0.0), (acc, x) => acc + x * x)) // unscaled: see note below
+        graft.functions.VectorFunctions.l2sq(col("codes"), col("q_codes")))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
