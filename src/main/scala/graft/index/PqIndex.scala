@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{GraftFunctions, PqAdcDistance}
-import graft.sources.Tables
 
 /** Product quantization — the PQ half of FAISS `IndexIVFPQ` (SURVEY §2.2
   * I2; `/root/reference/multi_tenant_script.py:94-99`: m=16 subquantizers ×
