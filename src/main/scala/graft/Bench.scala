@@ -26,19 +26,31 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache()
     // best-of-two per query: single-shot numbers carry ±15% scheduler/GC
-    // noise at fixture scale; min-of-2 reports the repeatable cost
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // noise at fixture scale; min-of-2 reports the repeatable cost.
+    // A failed run must NOT masquerade as a fast timing: it reports as -1
+    // in the JSON and logs the failure to stderr.
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Double.NaN
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
+      val best = math.min(if (a.isNaN) Double.MaxValue else a, if (b.isNaN) Double.MaxValue else b)
+      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.{DotProduct, L2SquaredDistance, TopKByDistance}
 
@@ -29,9 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_by_dist"),
       new ExpressionInfo(classOf[TopKByDistance].getName, "topk_by_dist"),
-      (children: Seq[Expression]) =>
-        TopKByDistance(children(0), children(1), children(2)).toAggregateExpression()))
+      (children: Seq[Expression]) => GraftExtensions.topKFromSql(children)))
   }
+}
+
+object GraftExtensions {
+  /** SQL builder for topk_by_dist — applies the same Long/Double input
+    * casts as the Column API (GraftFunctions.topKByDist), so an int id or
+    * float/decimal dist column works instead of ClassCastException-ing in
+    * the raw asInstanceOf accumulator. */
+  private[graft] def topKFromSql(children: Seq[Expression]): Expression =
+    TopKByDistance(
+      Cast(children(0), LongType),
+      Cast(children(1), DoubleType),
+      children(2)).toAggregateExpression()
 }
 
 object GraftFunctions {
@@ -43,6 +55,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "dot_product", es => DotProduct(es(0), es(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "topk_by_dist", es => TopKByDistance(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+      "topk_by_dist", es => GraftExtensions.topKFromSql(es), "built-in")
   }
 }

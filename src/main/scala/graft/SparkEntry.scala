@@ -638,10 +638,14 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
     "train_test_split" ->
-      """SELECT label,
-        |  CASE WHEN (vec_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+      """WITH h AS (SELECT label, vec_id % 4294967296 AS a FROM embeddings),
+        |m AS (SELECT label,
+        |  (((a >> 16) * 2654435761) % 65536 * 65536 + (a & 65535) * 2654435761)
+        |    % 4294967296 AS mixed FROM h)
+        |SELECT label,
+        |  CASE WHEN mixed % 100 < 80 THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n
-        |FROM embeddings GROUP BY 1, 2""".stripMargin,
+        |FROM m GROUP BY 1, 2""".stripMargin,
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -44,7 +44,7 @@ abstract class FloatVecFold extends BinaryExpression {
     }
     val getA = mk(left.dataType, a)
     val getB = mk(right.dataType, b)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = FloatVecFold.checkDims(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc = step(acc, getA(i), getB(i)); i += 1 }
@@ -60,7 +60,7 @@ abstract class FloatVecFold extends BinaryExpression {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.FloatVecFold.checkDims($a.numElements(), $b.numElements());
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.$gA($i);
@@ -70,6 +70,18 @@ abstract class FloatVecFold extends BinaryExpression {
          |${ev.value} = ${ev.value}Acc;
        """.stripMargin
     })
+  }
+}
+
+object FloatVecFold {
+  /** Equal-length guard shared by interpreted + generated code paths: a
+    * silent min-length fold would return a plausible-but-wrong distance on
+    * mismatched vectors (l2sq([1,2,3],[1,2]) = 0.0), which then poisons
+    * every downstream top-k / bucket decision. Fail loudly instead. */
+  def checkDims(na: Int, nb: Int): Int = {
+    if (na != nb) throw new IllegalArgumentException(
+      s"vector dimension mismatch: left has $na elements, right has $nb")
+    na
   }
 }
 
@@ -105,7 +117,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     val b = r.asInstanceOf[ArrayData]
     val isFloatA = getter(left.dataType) == "getFloat"
     val isFloatB = getter(right.dataType) == "getFloat"
-    val n = math.min(a.numElements(), b.numElements())
+    val n = FloatVecFold.checkDims(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -125,7 +137,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.FloatVecFold.checkDims($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.$gA($i);

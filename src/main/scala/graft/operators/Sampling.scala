@@ -14,9 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket in [0, buckets) from the id — multiplicative hashing. */
-  def idBucket(id: Column, buckets: Int): Column =
-    pmod(id * lit(2654435761L), lit(buckets.toLong))
+  /** Bucket in [0, buckets) from the id — Knuth multiplicative hashing
+    * computed as (id · 2654435761) mod 2³², with the multiply split into
+    * 16-bit halves so no intermediate exceeds 2⁴⁹: a naive `id * K`
+    * overflows int64 for ids above ~3.5e9 (a runtime error under ANSI
+    * mode — Spark 4's default — and in DuckDB), which a 100 TB id space
+    * absolutely reaches. Every step stays in exact wrap-free int64
+    * arithmetic, so the bucket is reproducible in any engine. */
+  def idBucket(id: Column, buckets: Int): Column = {
+    val k = 2654435761L // Knuth's 2^32 / phi
+    val a = pmod(id.cast("long"), lit(4294967296L)) // id mod 2^32
+    val hi = shiftright(a, 16) // top 16 bits
+    val lo = a.bitwiseAND(lit(65535L)) // low 16 bits
+    // (hi·2^16 + lo)·K mod 2^32 = ((hi·K mod 2^16)·2^16 + lo·K) mod 2^32
+    val mixed = pmod(pmod(hi * lit(k), lit(65536L)) * lit(65536L) + lo * lit(k),
+      lit(4294967296L))
+    pmod(mixed, lit(buckets.toLong))
+  }
 
   /** Deterministic train/test split: rows with bucket < trainPct go to
     * train. Returns the input with a `split` column ("train"/"test"). */

@@ -48,10 +48,14 @@ object CorpusPipeline {
       .select(col("doc_id"), TextFunctions.fingerprint(t).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // cached: consumed three times (both sides of the near-dup pair join
-    // and the survivor anti-join) — without it the quality-gate HOFs and
-    // fingerprint hash re-evaluate per consumer
-    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").cache()
+    // materialized once (localCheckpoint): consumed three times (both
+    // sides of the near-dup pair join and the survivor anti-join) —
+    // without it the quality-gate HOFs and fingerprint hash re-evaluate
+    // per consumer. localCheckpoint instead of cache so the copy is
+    // released by the ContextCleaner when the result is dropped, not
+    // pinned across invocations. (On a multi-executor cluster prefer a
+    // reliable checkpoint dir if executor loss must be survivable.)
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
     // 3. near-dup kill: drop the larger id of each verified pair
     val pairs = nearDup match {
       case MinHashKill => Dedup.minHashNearDup(deduped, "doc_id", "text",

@@ -55,15 +55,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val r = numHashes / numBands
     val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-    // Cached: the band self-join would otherwise recompute the row-local
-    // signature expression (numHashes hashes per shingle) on both sides.
+    // Materialized once (localCheckpoint): the band self-join would
+    // otherwise recompute the row-local signature expression (numHashes
+    // hashes per shingle) on both sides. Unlike cache(), the checkpoint
+    // RDD is released by the ContextCleaner when the result is dropped —
+    // repeated invocations don't accumulate pinned copies.
     val bands = sigs.select(
       col(idCol),
       posexplode(
         array((0 until numBands).map(b =>
           xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
-      .cache()
+      .localCheckpoint()
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
@@ -148,9 +151,10 @@ object Dedup {
     * chunk), bucket-join, verify with bit_count(xor) ≤ maxHamming. */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // Cached: the self-join would otherwise recompute the 64-bit-sum
-    // signature expression on both sides of the shuffle.
-    val sigs = simHashSignatures(docs, idCol, textCol).cache()
+    // Materialized once (localCheckpoint, not cache: released by the
+    // ContextCleaner instead of pinned forever): the self-join would
+    // otherwise recompute the 64-bit-sum signature on both sides.
+    val sigs = simHashSignatures(docs, idCol, textCol).localCheckpoint()
     val chunks = sigs.select(
       col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
@@ -276,7 +280,7 @@ object Dedup {
     * fingerprint-set overlap (|∩| / min set size). */
   def winnowNearDup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w).cache()
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w).localCheckpoint()
     val exploded = fps.select(col(idCol), explode(col("fps")).as("fp"))
     exploded.as("a").join(exploded.as("b"), Seq("fp"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))

@@ -54,9 +54,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r == 0.0)
   }
 
-  test("mismatched vector dimensions fold over the shorter prefix (documented)") {
+  test("mismatched vector dimensions raise instead of silently truncating") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
-    val d = df.select(graft.functions.VectorFunctions.l2sq(col("a"), col("b"))).collect()(0).getDouble(0)
-    assert(d == 0.0)
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.l2sq(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
+    // cosine kernel enforces the same guard
+    val e2 = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.cosine(col("a"), col("b"))).collect()
+    }
+    assert(causes(e2).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
   }
 }
