@@ -107,9 +107,10 @@ object SparkEntry {
     graft.index.SqIndex.searchRerank(sqModel(spark, dir),
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK, 50)
 
-  /** SQ8 recall vs exact ground truth (≥0.9, asserted in tests). */
+  /** SQ8 recall vs exact ground truth, in basis points — the SQ codec is
+    * deterministic double arithmetic, so this has a full DuckDB oracle. */
   private def recallSq(spark: SparkSession, dir: String): DataFrame =
-    Recall.recallAtK(knnSq(spark, dir), groundTruth(spark, dir), KnnK)
+    Recall.recallBasisPoints(knnSq(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** M1 recall with a full DuckDB oracle: predictions from a degraded base
     * (every 3rd vector dropped) scored against exact ground truth. */
@@ -125,9 +126,11 @@ object SparkEntry {
   private def recallIvf(spark: SparkSession, dir: String): DataFrame =
     Recall.recallAtK(knnIvf(spark, dir), groundTruth(spark, dir), KnnK)
 
-  /** LSH recall vs exact ground truth (threshold ≥ 0.7 per BASELINE). */
+  /** LSH recall vs exact ground truth in basis points (threshold ≥ 0.7
+    * per BASELINE ladder) — hash-sign projections are exact integer
+    * constructions, so this has a full DuckDB oracle too. */
   private def recallLsh(spark: SparkSession, dir: String): DataFrame =
-    Recall.recallAtK(knnLsh(spark, dir), groundTruth(spark, dir), KnnK)
+    Recall.recallBasisPoints(knnLsh(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** D1-D4 + the reference's delete∘insert=identity invariant (SURVEY §5):
     * delete 50% of the base (odd ids) via anti-join, re-insert via union,
@@ -195,10 +198,12 @@ object SparkEntry {
   }
 
   /** Winnowing fingerprint summary per document (rolling-hash k-grams,
-    * sliding-window min — candidate keys for plagiarism-style near-dup). */
+    * sliding-window min — candidate keys for plagiarism-style near-dup).
+    * min_fp −1-sentineled for sub-k-length docs (engine-neutral null). */
   private def docWinnow(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("min_fp"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"))
 
   /** JSON prop extraction + aggregation over the event stream. */
   private def eventProps(spark: SparkSession, dir: String): DataFrame =
@@ -558,7 +563,175 @@ object SparkEntry {
       |total AS (SELECT count(*) AS n_gt FROM gt)
       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
+  // ---- Portable-hash oracle fragments -------------------------------
+  // DuckDB replicas of graft.functions.PolyHash and the derived MinHash /
+  // SimHash / winnowing / SQ / LSH pipelines. Every constant is inlined
+  // from the same Scala definitions the Spark operators use, so the two
+  // sides can only drift if the code drifts.
+
+  /** DuckDB replica of PolyHash.hash(x, base, mod): left fold over
+    * codepoints in exact int64 arithmetic. */
+  private def duckPolyHash(x: String, base: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($x)), i -> CAST(unicode($x[i]) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $base + c) % $mod)"
+
+  private val minhashOracle: String = {
+    val p = graft.text.Dedup.MinHashMod
+    val sigExprs = (0 until 16).map { s =>
+      val a = graft.text.Dedup.minHashCoeffA(s)
+      val b = graft.text.Dedup.minHashCoeffB(s)
+      s"list_min(list_transform(phs, h -> (h * $a + $b) % $p))"
+    }
+    // band hash = left fold (acc*31 + sig_i) mod P over the band's 4 rows
+    val bandSelects = (0 until 4).map { b =>
+      val e = (b * 4 until b * 4 + 4).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+        s"($acc * 31 + sig[${i + 1}]) % $p"
+      }
+      s"SELECT doc_id, shingles, $b AS band_idx, $e AS band_hash FROM sig"
+    }.mkString("\n", "\nUNION ALL ", "")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS shingles FROM t),
+       |ph AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, x -> ${duckPolyHash("x", 257L, p)}) AS phs FROM sh),
+       |sig AS (SELECT doc_id, shingles, [${sigExprs.mkString(",\n  ")}] AS sig FROM ph),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_hash) WHERE a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, len(list_intersect(sa.shingles, sb.shingles)) AS n_int,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp
+       |FROM v WHERE (n_int * 10000) // (na + nb - n_int) >= 5000""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val two30 = 1073741824L
+    val bits = graft.text.TextFunctions.SimHashBits
+    val kHi = graft.text.TextFunctions.SimHashMixHi
+    val kLo = graft.text.TextFunctions.SimHashMixLo
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, tk ->
+       |  ((${duckPolyHash("tk", 313L, two30)} * $kHi % 4294967296) >> 2) * $two30 +
+       |  ((${duckPolyHash("tk", 257L, two30)} * $kLo % 4294967296) >> 2)) AS hs FROM t),
+       |sg AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), j ->
+       |  CASE WHEN 2 * len(list_filter(hs, hh -> ((hh >> j) & 1) = 1)) - len(hs) > 0
+       |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h),
+       |ch AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_idx FROM sg),
+       |ch2 AS (SELECT doc_id, simhash, chunk_idx,
+       |  (simhash >> (chunk_idx * 15)) & 32767 AS chunk FROM ch),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM ch2 a JOIN ch2 b USING (chunk_idx, chunk) WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+  }
+
+  private val winnowOracle: String = {
+    val p = 4294967291L // must match Dedup.winnowFingerprints
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS s FROM documents),
+       |cp AS (SELECT doc_id, list_transform(generate_series(1, length(s)),
+       |  i -> CAST(unicode(s[i]) AS BIGINT)) AS cps FROM lo),
+       |hs AS (SELECT doc_id, CASE WHEN len(cps) < 8 THEN []::BIGINT[] ELSE
+       |    list_transform(generate_series(1, len(cps) - 7), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i:i+7]),
+       |        (acc, c) -> (acc * 257 + c) % $p)) END AS hashes FROM cp),
+       |fp AS (SELECT doc_id, CASE
+       |    WHEN len(hashes) = 0 THEN []::BIGINT[]
+       |    WHEN len(hashes) <= 4 THEN [list_min(hashes)]
+       |    ELSE list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+       |      i -> list_min(hashes[i:i+3]))) END AS fps FROM hs)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+       |  coalesce(list_min(fps), -1) AS min_fp FROM fp""".stripMargin
+  }
+
+  /** Shared CTE prefix replicating the SQ8 codec + compressed-domain
+    * shortlist + exact rerank (SqIndex.fit/encode/searchRerank). */
+  private val sqKnnCtes: String =
+    """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      |dims AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS e FROM b),
+      |st AS (SELECT pos, min(e) AS mn, greatest(max(e) - min(e), 1e-9) AS sc
+      |  FROM dims GROUP BY pos),
+      |codec AS (SELECT array_agg(mn ORDER BY pos) AS mns, array_agg(sc ORDER BY pos) AS scs FROM st),
+      |encb AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)), i ->
+      |    least(255, greatest(0, CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i] * 255 + 0.5) AS BIGINT)))) AS codes
+      |  FROM b CROSS JOIN codec),
+      |encq AS (SELECT query_id, list_transform(generate_series(1, len(embedding)), i ->
+      |    least(255, greatest(0, CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i] * 255 + 0.5) AS BIGINT)))) AS q_codes
+      |  FROM q CROSS JOIN codec),
+      |appx AS (SELECT query_id, vec_id, list_sum(list_transform(generate_series(1, len(codes)),
+      |    i -> (codes[i] - q_codes[i]) * (codes[i] - q_codes[i]))) AS adist
+      |  FROM encb CROSS JOIN encq),
+      |short AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS r
+      |  FROM appx) WHERE r <= 50),
+      |sq_scored AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rank
+      |  FROM short s JOIN q ON q.query_id = s.query_id JOIN b ON b.vec_id = s.vec_id)""".stripMargin
+
+  private val sqKnnOracle: String =
+    s"WITH $sqKnnCtes\nSELECT query_id, neighbor_id, rank FROM sq_scored WHERE rank <= 10"
+
+  private val sqRecallOracle: String =
+    s"""WITH $sqKnnCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM sq_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** Shared CTE prefix replicating hash-sign RP-LSH bucketing
+    * (LshIndex.signProjection/searchFast: 8 tables, bucketLength 1.0). */
+  private val lshKnnCtes: String = {
+    val dot =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) *
+        |        CASE WHEN ((((tbl * 64 + i - 1) * 2654435761) % 4294967296) >> 16) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END)), (a, x) -> a + x)""".stripMargin
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bt AS (SELECT vec_id, embedding, unnest(generate_series(0, 7)) AS tbl FROM b),
+       |bb AS (SELECT vec_id, tbl, CAST(floor($dot) AS BIGINT) AS bucket FROM bt),
+       |qt AS (SELECT query_id, embedding, unnest(generate_series(0, 7)) AS tbl FROM q),
+       |qb AS (SELECT query_id, tbl, CAST(floor($dot) AS BIGINT) AS bucket FROM qt),
+       |cand AS (SELECT DISTINCT qb.query_id, bb.vec_id
+       |  FROM qb JOIN bb ON qb.tbl = bb.tbl AND qb.bucket = bb.bucket),
+       |lsh_scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
+       |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN b ON b.vec_id = c.vec_id)""".stripMargin
+  }
+
+  private val lshKnnOracle: String =
+    s"WITH $lshKnnCtes\nSELECT query_id, neighbor_id, rank FROM lsh_scored WHERE rank <= 10"
+
+  private val lshRecallOracle: String =
+    s"""WITH $lshKnnCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM lsh_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "minhash_neardup" -> minhashOracle,
+    "simhash_neardup" -> simhashOracle,
+    "doc_winnow" -> winnowOracle,
+    "knn_sq" -> sqKnnOracle,
+    "recall_sq" -> sqRecallOracle,
+    "knn_lsh" -> lshKnnOracle,
+    "recall_lsh" -> lshRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_cosine" -> knnCosineOracle,

@@ -36,20 +36,31 @@ object LshIndex {
   private def featurize(df: DataFrame): DataFrame =
     df.withColumn("features", array_to_vector(col("embedding")))
 
-  /** Spark-first RP-LSH without the MLlib wrapper: `numHashTables` seeded
-    * Gaussian projection vectors; bucket = ⌊(v·p)/bucketLength⌋; candidates
-    * = equi-join on (table, bucket); exact distance + bounded-heap top-k
-    * on the candidate set. Same algorithm family as
-    * `BucketedRandomProjectionLSH`, leaner plan (no UDT conversions, no
-    * per-pair key dedup pass). */
+  /** Hash-sign (Rademacher ±1) projection matrix: entry (t, j) is the
+    * 17th bit of the Knuth multiplicative mix of t·dim + j. Statistically
+    * interchangeable with Gaussian entries for random-projection LSH
+    * (Achlioptas' database-friendly projections), but built from exact
+    * integer arithmetic — so a SQL oracle regenerates the same matrix and
+    * replays bucketing bit-for-bit, which seeded `Random.nextGaussian`
+    * can never offer. */
+  def signProjection(t: Int, j: Int, dim: Int): Double = {
+    val mixed = (t.toLong * dim + j) * 2654435761L % 4294967296L
+    if (((mixed >> 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Spark-first RP-LSH without the MLlib wrapper: `numHashTables`
+    * deterministic ±1 projection vectors ([[signProjection]]); bucket =
+    * ⌊(v·p)/bucketLength⌋; candidates = equi-join on (table, bucket);
+    * exact distance + bounded-heap top-k on the candidate set. Same
+    * algorithm family as `BucketedRandomProjectionLSH`, leaner plan (no
+    * UDT conversions, no per-pair key dedup pass). */
   def searchFast(queries: DataFrame, base: DataFrame, k: Int,
-      numHashTables: Int, bucketLength: Double, dim: Int, seed: Long = 42L,
+      numHashTables: Int, bucketLength: Double, dim: Int,
       probes: Int = 1): DataFrame = {
     import graft.functions.GraftFunctions.topKByDist
     import graft.functions.VectorFunctions.{dot, l2sq}
-    val rnd = new scala.util.Random(seed)
-    // deterministic Gaussian projections, one array literal per table
-    val projections = Array.fill(numHashTables)(Array.fill(dim)(rnd.nextGaussian()))
+    val projections = Array.tabulate(numHashTables)(t =>
+      Array.tabulate(dim)(j => signProjection(t, j, dim)))
     // multi-probe: the query side also visits neighboring buckets
     // (offset 0, ±1, ±2, …) — recall of more tables at the index size of
     // fewer (Lv et al.'s multi-probe LSH)

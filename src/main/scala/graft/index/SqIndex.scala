@@ -17,7 +17,7 @@ import graft.functions.GraftFunctions.topKByDist
   * cheap enough that rerank is optional, unlike PQ.
   */
 final case class SqModel(
-    mins: Array[Float], scales: Array[Float], // x ≈ min + code/255 * scale
+    mins: Array[Float], scales: Array[Double], // x ≈ min + code/255 * scale
     encodedBase: DataFrame) // (vec_id, codes: array<int> 0..255)
 
 object SqIndex {
@@ -38,11 +38,15 @@ object SqIndex {
         i += 1
       }
     }
-    val scales = Array.tabulate(d)(i => math.max(maxs(i) - mins(i), 1e-9f))
+    // codec parameters in DOUBLE with explicit floor(x+0.5) rounding in
+    // encode(): float32 arithmetic + float round have engine-specific
+    // behavior, double + floor reproduce bit-identically in any engine
+    // (the knn_sq/recall_sq DuckDB oracles replay this codec exactly)
+    val scales = Array.tabulate(d)(i => math.max(maxs(i).toDouble - mins(i).toDouble, 1e-9))
     SqModel(mins, scales, encode(base, mins, scales))
   }
 
-  def encode(df: DataFrame, mins: Array[Float], scales: Array[Float]): DataFrame = {
+  def encode(df: DataFrame, mins: Array[Float], scales: Array[Double]): DataFrame = {
     val spark = df.sparkSession
     val bcMin = spark.sparkContext.broadcast(mins)
     val bcScale = spark.sparkContext.broadcast(scales)
@@ -57,7 +61,7 @@ object SqIndex {
         val codes = new Array[Int](mn.length)
         var i = 0
         while (i < mn.length) {
-          val q = math.round((v(i) - mn(i)) / sc(i) * 255f)
+          val q = math.floor((v(i).toDouble - mn(i).toDouble) / sc(i) * 255.0 + 0.5).toInt
           codes(i) = math.min(255, math.max(0, q))
           i += 1
         }

@@ -31,8 +31,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures: for each of `numHashes` seeded xxhash64 functions,
-    * the min hash over the doc's shingle set. Returns
+  /** Modulus of the portable hash family used for MinHash bucketing:
+    * seeded hash s of shingle x is (A(s)·ph(x) + B(s)) mod P where ph is
+    * the polynomial codepoint hash ([[graft.functions.PolyHash]]) and
+    * A/B are Knuth-mixed 20-bit constants (A odd). A(s)·ph(x) < 2⁵⁰ —
+    * all intermediates < 2⁶³, so a SQL oracle replays the exact banding. */
+  val MinHashMod = 1000000007L
+
+  /** Seed-s multiplier: well-mixed (small sequential multipliers correlate
+    * the per-seed argmins and gut banding recall), 20-bit, odd. */
+  def minHashCoeffA(s: Int): Long = (s.toLong * 2654435761L % 4294967296L >> 12) | 1L
+
+  /** Seed-s offset: mixed 20-bit. */
+  def minHashCoeffB(s: Int): Long = (s.toLong * 2654435761L + 1234567L) % 4294967296L >> 12
+
+  /** MinHash signatures: for each of `numHashes` seeded portable hash
+    * functions, the min hash over the doc's shingle set. Returns
     * (id, sig: array<long>[numHashes]). Entirely row-local — the min folds
     * over the row's own shingle array (`array_min(transform(...))`), so
     * signature computation needs no explode, no groupBy, no shuffle: it
@@ -44,7 +58,9 @@ object Dedup {
       .select(
         col(idCol),
         array((0 until numHashes).map(s =>
-          array_min(transform(col("__sh"), x => xxhash64(lit(s), x)))): _*).as("sig"))
+          array_min(transform(col("__sh"), x =>
+            (graft.functions.PolyHash.column(x, 257L, MinHashMod) * minHashCoeffA(s)
+              + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`numBands` bands
     * of numHashes/numBands rows), bucket-join on (band index, band hash),
@@ -60,11 +76,15 @@ object Dedup {
     // hashes per shingle) on both sides. Unlike cache(), the checkpoint
     // RDD is released by the ContextCleaner when the result is dropped —
     // repeated invocations don't accumulate pinned copies.
+    // band hash = left fold (acc·31 + sig_i) mod P over the band's rows —
+    // same portable-arithmetic contract as the signature hashes
     val bands = sigs.select(
       col(idCol),
       posexplode(
         array((0 until numBands).map(b =>
-          xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*))
+          (b * r until (b + 1) * r).foldLeft(lit(0L)) { (acc, i) =>
+            (acc * 31L + col("sig")(i)) % MinHashMod
+          }): _*))
         .as(Seq("band_idx", "band_hash")))
       .localCheckpoint()
     val candidates = bands.as("a")
@@ -125,28 +145,29 @@ object Dedup {
       StructField(idCol, LongType, nullable = false),
       StructField("simhash", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bits = TextFunctions.SimHashBits
     hashed.mapPartitions { rows =>
       rows.map { r =>
         val hs = r.getSeq[Long](1)
-        val sums = new Array[Int](64)
+        val sums = new Array[Int](bits)
         val it = hs.iterator
         while (it.hasNext) {
           val h = it.next()
           var j = 0
-          while (j < 64) {
+          while (j < bits) {
             if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
             j += 1
           }
         }
         var sig = 0L
         var j = 0
-        while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+        while (j < bits) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
         org.apache.spark.sql.Row(r.getLong(0), sig)
       }
     }(enc)
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+  /** SimHash near-dup pairs: band the 60-bit signature into four 15-bit
     * chunks (any pair within hamming distance ≤ 3 shares at least one
     * chunk), bucket-join, verify with bit_count(xor) ≤ maxHamming. */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
@@ -158,7 +179,7 @@ object Dedup {
     val chunks = sigs.select(
       col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"), Seq("chunk_idx", "chunk"))
@@ -220,11 +241,16 @@ object Dedup {
   }
 
   /** Winnowing fingerprints (Schleimer et al., MOSS): polynomial rolling
-    * hash over character k-grams (O(n) per doc), sliding-window min with a
+    * hash over codepoint k-grams (O(n) per doc), sliding-window min with a
     * monotone deque (O(n)), distinct mins = the fingerprint set. Any
     * shared substring of length ≥ k + w − 1 guarantees a shared
     * fingerprint. Partition-local; candidate pairs come from an equi-join
-    * on exploded fingerprints — same scale shape as MinHash banding. */
+    * on exploded fingerprints — same scale shape as MinHash banding.
+    *
+    * The hash is (Σ c_i·257^i) mod 4294967291 in exact wrap-free int64
+    * arithmetic over codepoints — the per-window value equals the direct
+    * fold ((acc·257 + c) mod P), so a SQL engine can replay it without
+    * int64 wraparound semantics (the doc_winnow DuckDB oracle does). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
@@ -235,23 +261,28 @@ object Dedup {
     docs.select(col(idCol).cast("long"), lower(col(textCol))).mapPartitions { rows =>
       rows.map { r =>
         val s = r.getString(1)
-        val n = s.length
+        val cps = s.codePoints().toArray
+        val n = cps.length
         val fps: Array[Long] =
           if (n < k) Array.empty[Long]
           else {
             val base = 257L
-            var pow = 1L // base^(k-1)
+            val p = 4294967291L // largest prime < 2^32
+            var pow = 1L // base^(k-1) mod p
             var i = 0
-            while (i < k - 1) { pow *= base; i += 1 }
+            while (i < k - 1) { pow = pow * base % p; i += 1 }
             val m = n - k + 1
             val hashes = new Array[Long](m)
             var h = 0L
             i = 0
-            while (i < k) { h = h * base + s.charAt(i); i += 1 }
+            while (i < k) { h = (h * base + cps(i)) % p; i += 1 }
             hashes(0) = h
             i = 1
             while (i < m) {
-              h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + k - 1)
+              // codepoint < 2^21 and pow < p < 2^32 keep every product
+              // below 2^53; (+ p·2^21) keeps the difference non-negative
+              val dropped = cps(i - 1) * pow % p
+              h = ((h - dropped + p) % p * base + cps(i + k - 1)) % p
               hashes(i) = h
               i += 1
             }

@@ -68,15 +68,21 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))).cast("binary"))
 
-  /** 64-bit SimHash over a precomputed token-hash array column: bit j of
-    * the signature is the sign of Σ_tokens (±1 by bit j of
-    * xxhash64(token)). Row-local (no shuffle); expressed as nested
-    * higher-order functions — the DSL can't shift by a column, so this is
-    * a SQL expression over the named array column. */
+  /** SimHash bit width: 60 = 4 chunks × 15 bits. 60 rather than 64 so the
+    * portable token hash ([[tokenHashes]]) can be assembled from two
+    * 30-bit polynomial hashes without any int64 overflow — the property
+    * that makes the whole SimHash pipeline replayable in a SQL oracle. */
+  val SimHashBits = 60
+
+  /** SimHash over a precomputed token-hash array column: bit j of the
+    * signature is the sign of Σ_tokens (±1 by bit j of the token hash).
+    * Row-local (no shuffle); expressed as nested higher-order functions —
+    * the DSL can't shift by a column, so this is a SQL expression over the
+    * named array column. */
   def simhashFromHashes(hashArrayCol: String): Column =
     expr(
       s"""aggregate(
-         |  transform(sequence(0, 63), j ->
+         |  transform(sequence(0, ${SimHashBits - 1}), j ->
          |    if(aggregate($hashArrayCol, 0L,
          |         (acc, h) -> acc + if(((shiftright(h, j)) & 1) = 1, 1L, -1L)) > 0,
          |       shiftleft(1L, j), 0L)),
@@ -92,8 +98,28 @@ object TextFunctions {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
-  /** Token-hash array for [[simhashFromHashes]]. */
-  def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
+  /** Multiplicative finalizers for [[tokenHashes]]: a raw polynomial hash
+    * of a short token has near-zero high bits (a 2-char token hashes
+    * below 2¹⁷), which would leave the upper SimHash bits degenerate
+    * across the corpus. (x·K mod 2³²) >> 2 spreads each 30-bit half over
+    * the full range — exact int64 arithmetic (x < 2³⁰, K < 2³² ⇒
+    * x·K < 2⁶²), so SQL oracles replay it. */
+  val SimHashMixHi = 2654435761L // Knuth 2^32/phi
+  val SimHashMixLo = 2246822519L // xxhash PRIME32_2
+
+  /** Token-hash array for [[simhashFromHashes]]: a portable 60-bit hash
+    * assembled from two independently-mixed 30-bit polynomial hashes —
+    * every step exact int64, so a SQL oracle reproduces it bit-for-bit
+    * (xxhash64 would not be). */
+  def tokenHashes(text: Column): Column = {
+    val two30 = 1073741824L // 2^30
+    val two32 = 4294967296L
+    transform(tokens(text), t =>
+      shiftright(graft.functions.PolyHash.column(t, base = 313L, mod = two30)
+        * SimHashMixHi % two32, 2) * two30 +
+        shiftright(graft.functions.PolyHash.column(t, base = 257L, mod = two30)
+          * SimHashMixLo % two32, 2))
+  }
 
   /** Word n-gram shingles from a named, already-tokenized array column.
     * IMPORTANT: expressions inside HOF lambdas are re-evaluated per

@@ -18,10 +18,11 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented non-SQL-expressible set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
-      // seeded-model or hash-function ops DuckDB cannot replicate:
-      "knn_ivf", "recall_ivf", "knn_lsh", "recall_lsh",
-      "knn_pq", "recall_pq", "knn_sq", "recall_sq",
-      "minhash_neardup", "simhash_neardup", "doc_winnow")
+      // iteratively-trained (KMeans) models DuckDB cannot replicate;
+      // everything else — incl. MinHash/SimHash/winnow (portable
+      // PolyHash family), SQ8 (double codec), and hash-sign LSH — is
+      // fully oracle-checked.
+      "knn_ivf", "recall_ivf", "knn_pq", "recall_pq")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }

@@ -33,7 +33,10 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds the planted near-duplicate") {
-    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5)
+    // 8 bands × 2 rows: collision probability ≥ 0.999 at jaccard 0.8 —
+    // the planted-pair assertion tests the operator, not one band draw
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+      numHashes = 16, numBands = 8, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 8L)))
