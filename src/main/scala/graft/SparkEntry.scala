@@ -322,6 +322,31 @@ object SparkEntry {
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** PII redaction pass (emails / long digit runs) with redacted-text
+    * fingerprint — the scrubbing stage of a training-data pipeline. */
+  private def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.piiRedact(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Context-window chunking: 128-token windows, stride 64. */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.chunk(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Gopher-style repetition signals + verdict per doc. */
+  private def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Benchmark-contamination scan: docs with doc_id ≡ 7 (mod 20) act as
+    * the held-out benchmark; count training docs sharing an 8-gram. */
+  private def contaminationScan(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.contamination(Tables.documents(spark, dir), "doc_id", "text",
+      col("doc_id") % 20 === 7)
+
+  /** Domain mixing: deterministic hash-priority downsample to ≤5 docs
+    * per (lang, source) cell. */
+  private def domainMix(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.domainMix(Tables.documents(spark, dir), "doc_id",
+      Seq("lang", "source"), cap = 5)
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -514,6 +539,11 @@ object SparkEntry {
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
     "table_profile" -> ((s, dir) => tableProfile(s, dir)),
     "metrics_quantiles" -> ((s, dir) => metricsQuantiles(s, dir)),
+    "pii_redact" -> ((s, dir) => piiRedact(s, dir)),
+    "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
+    "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
+    "contamination" -> ((s, dir) => contaminationScan(s, dir)),
+    "domain_mix" -> ((s, dir) => domainMix(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -724,7 +754,74 @@ object SparkEntry {
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
+  private val piiRedactOracle: String = {
+    import graft.text.Curation.{EmailRe, LongNumRe}
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS INTEGER) AS n_long_numbers,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
+       |FROM documents""".stripMargin
+  }
+
+  private val docChunksOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |s AS (SELECT doc_id, toks, n,
+      |  CASE WHEN n <= 128 THEN 0 ELSE ((n - 128 + 63) // 64) * 64 END AS smax FROM n),
+      |c AS (SELECT doc_id, toks, unnest(generate_series(0, smax, 64)) AS start FROM s)
+      |SELECT doc_id, CAST(start // 64 AS INTEGER) AS chunk_idx,
+      |  CAST(len(toks[start+1 : start+128]) AS INTEGER) AS n_chunk_tokens,
+      |  md5(array_to_string(toks[start+1 : start+128], ' ')) AS chunk_fp
+      |FROM c""".stripMargin
+
+  private val repetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |tok AS (SELECT doc_id, n, unnest(toks) AS tok FROM n),
+      |tc AS (SELECT doc_id, n, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |tt AS (SELECT doc_id, n, max(c) AS top_tok FROM tc GROUP BY 1, 2),
+      |bg AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+      |  for i in generate_series(1, greatest(len(toks) - 1, 1))]) AS big FROM t),
+      |bc AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+      |tb AS (SELECT doc_id, max(c) AS top_big FROM bc GROUP BY 1)
+      |SELECT doc_id,
+      |  (top_tok * 10000) // n AS top_token_bp,
+      |  (top_big * 10000) // greatest(n - 1, 1) AS top_bigram_bp,
+      |  ((top_tok * 10000) // n < 2000
+      |   AND (top_big * 10000) // greatest(n - 1, 1) < 1800) AS pass
+      |FROM tt JOIN tb USING (doc_id)""".stripMargin
+
+  private val contaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |shs AS (SELECT doc_id, (doc_id % 20 = 7) AS is_bench,
+      |  list_distinct([array_to_string(toks[i:i+7], ' ')
+      |    for i in generate_series(1, greatest(len(toks) - 7, 1))]) AS sh FROM t),
+      |bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM shs WHERE is_bench),
+      |train AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM shs WHERE NOT is_bench),
+      |hits AS (SELECT bench_id, count(DISTINCT train_id) AS n_contaminated
+      |  FROM bench JOIN train USING (g) GROUP BY 1)
+      |SELECT s.doc_id AS bench_id, coalesce(h.n_contaminated, 0) AS n_contaminated
+      |FROM shs s LEFT JOIN hits h ON h.bench_id = s.doc_id WHERE s.is_bench""".stripMargin
+
+  private val domainMixOracle: String =
+    """WITH h AS (SELECT doc_id, lang, source, doc_id % 4294967296 AS a FROM documents),
+      |m AS (SELECT doc_id, lang, source,
+      |  (((a >> 16) * 2654435761) % 65536 * 65536 + (a & 65535) * 2654435761)
+      |    % 4294967296 % 1000000 AS bucket FROM h),
+      |r AS (SELECT lang, source, doc_id,
+      |  row_number() OVER (PARTITION BY lang, source ORDER BY bucket, doc_id) AS rn FROM m)
+      |SELECT lang, source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn <= 5 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "pii_redact" -> piiRedactOracle,
+    "doc_chunks" -> docChunksOracle,
+    "repetition_stats" -> repetitionOracle,
+    "contamination" -> contaminationOracle,
+    "domain_mix" -> domainMixOracle,
     "minhash_neardup" -> minhashOracle,
     "simhash_neardup" -> simhashOracle,
     "doc_winnow" -> winnowOracle,

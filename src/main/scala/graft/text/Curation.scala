@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/quality-gating (builder
+  * brief): PII redaction, context-window chunking, repetition filtering
+  * (Gopher-style), benchmark-contamination detection, and domain mixing.
+  *
+  * Scale design: redaction/chunking/repetition signals are row-local or
+  * keyed by doc_id (no cross-doc shuffle except the explode-aggregate
+  * pattern, whose shuffle key is the natural partition key); contamination
+  * reduces to an equi-join on shingle strings (broadcastable benchmark
+  * side); domain mixing is one window over the (lang, source) partition —
+  * exactly the keys a 100 TB corpus would already be bucketed by.
+  */
+object Curation {
+
+  /** Email pattern — identical semantics in Java regex and RE2/DuckDB
+    * (no lookarounds, no backreferences). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (phone/account/SSN-ish) — the blunt numeric PII net. */
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII redaction pass: per doc, occurrence counts per pattern and the
+    * fingerprint of the redacted text (emails → <EMAIL>, long digit runs
+    * → <NUM>). Purely row-local — scales as a map stage. */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(t, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(LongNumRe), lit(0))).as("n_long_numbers"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
+  }
+
+  /** Context-window chunking: sliding token windows of `chunkSize` with
+    * `stride` (the LLM-pretokenization shape). Emits one row per chunk:
+    * (id, chunk_idx, n_chunk_tokens, chunk_fp). Row-local explode — no
+    * shuffle; chunk count ≈ n_tokens / stride. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128, stride: Int = 64): DataFrame = {
+    val withToks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // last window start: smallest stride multiple covering the tail;
+      // guarded to 0 for short docs (integer div of a negative differs
+      // between engines — truncation vs floor — so never divide one)
+      .withColumn("__smax",
+        when(col("__n") <= chunkSize, lit(0)).otherwise(
+          expr(s"((__n - $chunkSize + ${stride - 1}) div $stride) * $stride")))
+    withToks
+      .select(col(idCol), col("__toks"),
+        explode(expr(s"sequence(0, __smax, $stride)")).as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_idx"),
+        expr(s"slice(__toks, __start + 1, $chunkSize)").as("__chunk"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_fp"))
+  }
+
+  /** Gopher-style repetition signals per doc: most-frequent-token and
+    * most-frequent-bigram shares (basis points, integer-exact), plus the
+    * pass verdict. Explode→aggregate keyed by doc id. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTopTokenBp: Long = 2000L, maxTopBigramBp: Long = 1800L): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val topTok = base
+      .select(col(idCol), col("__n"), explode(col("__toks")).as("tok"))
+      .groupBy(col(idCol), col("__n"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("__n")).agg(max(col("c")).as("top_tok"))
+    // raw (non-distinct) bigrams — same slice/join shape as shingles but
+    // counts matter here, so no array_distinct
+    val topBig = base
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, greatest(__n - 1, 1)), i -> array_join(slice(__toks, i, 2), ' '))"))
+        .as("big"))
+      .groupBy(col(idCol), col("big")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_big"))
+    topTok.join(topBig, Seq(idCol))
+      .select(
+        col(idCol),
+        expr("(top_tok * 10000L) div __n").as("top_token_bp"),
+        expr("(top_big * 10000L) div greatest(__n - 1, 1)").as("top_bigram_bp"))
+      .withColumn("pass",
+        col("top_token_bp") < maxTopTokenBp && col("top_bigram_bp") < maxTopBigramBp)
+  }
+
+  /** Benchmark-contamination scan: for each doc in the benchmark slice,
+    * how many training docs share at least one word `n`-gram with it
+    * (n-gram membership via the shingle equi-join — never a cross
+    * product; the benchmark side is broadcastable by construction).
+    * Emits every benchmark doc, zero-filled — absence of contamination
+    * is a result, not a missing row. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int = 8): DataFrame = {
+    val sh = TextFunctions.withShingles(docs, textCol, n, "__sh")
+      .select(col(idCol), col("__sh"), isBenchmark.as("__is_bench"))
+    val bench = sh.filter(col("__is_bench"))
+      .select(col(idCol).as("bench_id"), explode(col("__sh")).as("g"))
+    val train = sh.filter(!col("__is_bench"))
+      .select(col(idCol).as("train_id"), explode(col("__sh")).as("g"))
+    val hits = broadcast(bench).join(train, Seq("g"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("train_id")).as("n_contaminated"))
+    sh.filter(col("__is_bench")).select(col(idCol).as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  /** Domain mixing: deterministic per-(group) downsampling to `cap` docs,
+    * prioritized by the Knuth id-hash (graft.operators.Sampling.idBucket)
+    * so the kept set is a pure function of doc identity — stable across
+    * runs and engines. Emits per-group totals, kept counts, and the kept
+    * id-sum (which pins the exact selection, not just its size). */
+  def domainMix(docs: DataFrame, idCol: String, groupCols: Seq[String],
+      cap: Int): DataFrame = {
+    val bucket = graft.operators.Sampling.idBucket(col(idCol), 1000000)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(bucket, col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") <= cap, col(idCol)).otherwise(lit(0L))).as("kept_id_sum"))
+  }
+}
