@@ -248,7 +248,9 @@ object SparkEntry {
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("word"))
+    // df is vocabulary-sized — unbounded at corpus scale, so no broadcast
+    // hint (AQE broadcasts at runtime when it measures small)
+    tf.join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .filter(col("df") >= 50) // corpus-common terms: keeps output bounded
       .select(
@@ -386,21 +388,25 @@ object SparkEntry {
       graft.multimodal.Multimodal.asMediaTable(
         Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
 
-  /** TPC-H Q3-shaped: top-10 orders by revenue. Small dims broadcast. */
+  /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
+    * scale factor — no broadcast hint (a forced broadcast of a fact-sized
+    * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
+    * fixture scale from runtime stats. */
   private def q3TopOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.orders(spark, dir)), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
   /** TPC-H Q5-shaped: revenue by supplier nation across the full star
-    * join — exercises the multi-join chain with broadcast dims. */
+    * join. nation/region are constant-size (25/5 rows at ANY scale
+    * factor) — broadcast them; supplier grows with SF, so AQE decides. */
   private def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

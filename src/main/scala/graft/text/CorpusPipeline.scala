@@ -63,9 +63,11 @@ object CorpusPipeline {
       case BlockedKill(blockCols) => Dedup.ngramJaccardBlocked(deduped, "doc_id", "text",
         blockCols, cfg.minhashShingle, cfg.nearDupThreshold)
     }
+    // kill list size is proportional to the corpus dup rate — unbounded
+    // at 100 TB, so no broadcast hint; AQE broadcasts the anti-join build
+    // side at runtime whenever it measures small
     val kill = pairs.select(col("id_b").as("doc_id")).distinct()
-    // kill list ≪ corpus: broadcast the anti-join instead of sort-merge
-    val survivors = deduped.join(broadcast(kill), Seq("doc_id"), "left_anti")
+    val survivors = deduped.join(kill, Seq("doc_id"), "left_anti")
     // 4. language tag
     survivors.select(
       col("doc_id"), col("text"),

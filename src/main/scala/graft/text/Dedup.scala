@@ -55,12 +55,17 @@ object Dedup {
       shingleSize: Int, numHashes: Int): DataFrame =
     docs
       .transform(TextFunctions.withShingles(_, textCol, shingleSize, "__sh"))
+      // hash every shingle ONCE; the numHashes seeded variants are pure
+      // arithmetic over the precomputed array (a 16x reduction in string
+      // hashing — CollapseProject keeps the expensive transform
+      // unduplicated because it's referenced more than once)
+      .withColumn("__ph", transform(col("__sh"), x =>
+        graft.functions.PolyHash.column(x, 257L, MinHashMod)))
       .select(
         col(idCol),
         array((0 until numHashes).map(s =>
-          array_min(transform(col("__sh"), x =>
-            (graft.functions.PolyHash.column(x, 257L, MinHashMod) * minHashCoeffA(s)
-              + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
+          array_min(transform(col("__ph"), h =>
+            (h * minHashCoeffA(s) + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`numBands` bands
     * of numHashes/numBands rows), bucket-join on (band index, band hash),
@@ -199,8 +204,13 @@ object Dedup {
     * (bounded by `maxIter`), each round one shuffle on node id. Returns
     * (id, component) where component = min doc id in the cluster. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions in ONE pass over the pair source (a union of
+    // two selects would evaluate the — typically expensive — pair-finding
+    // join twice)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
