@@ -431,6 +431,23 @@ object SparkEntry {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** CUBE aggregation — completes the grouping-sets family. */
+  private def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** PIVOT: per-user-cohort event counts spread over the (fixed, known)
+    * event-type set — explicit value list keeps the output schema static,
+    * which is both the deterministic and the 100 TB-safe form (a dynamic
+    * pivot needs a driver-side distinct scan first). */
+  private def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0) // empty (cohort, type) combos: 0, like a FILTERed count
+
   /** Semi/anti-join coverage: customers with vs without orders. */
   private def semiAntiOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -540,6 +557,8 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
+    "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
+    "pivot_events" -> ((s, dir) => pivotEvents(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
     "windowed_agg" -> ((s, dir) => windowedAgg(s, dir)),
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
@@ -1101,6 +1120,17 @@ object SparkEntry {
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "semi_anti_orders" ->
       """SELECT
         |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
