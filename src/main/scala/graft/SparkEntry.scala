@@ -24,6 +24,7 @@ object SparkEntry {
   // model the same way. Deterministic (fixed seeds), so results are
   // unchanged — only the redundant re-fits go away.
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfModel]
+  private val ivfFlatCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqModel]
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
   private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -83,6 +84,21 @@ object SparkEntry {
     * naturally clustered corpora the same code runs nlist=√n, nprobe≈10%. */
   private def knnIvf(spark: SparkSession, dir: String): DataFrame =
     IvfIndex.search(ivfModel(spark, dir), Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
+
+  /** Deterministic integer-Lloyd IVF (graft.index.IvfFlat): the
+    * oracle-checkable member of the IVF family — quantized grid, exact
+    * int64 training, fixed 2 iterations, nprobe=6 probe + float rerank. */
+  private def ivfFlatModel(spark: SparkSession, dir: String): Array[Array[Long]] =
+    ivfFlatCache.getOrElseUpdate(dir,
+      graft.index.IvfFlat.fit(Tables.embeddingBase(spark, dir), nlist = 8))
+
+  private def knnIvfFlat(spark: SparkSession, dir: String): DataFrame =
+    graft.index.IvfFlat.search(ivfFlatModel(spark, dir),
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK, nprobe = 6)
+
+  /** Integer-IVF recall vs exact ground truth in basis points (⊕). */
+  private def recallIvfFlat(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnIvfFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** LSH kNN (SURVEY §2.2 I4/I5): Spark-first RP-LSH bucket join, 8 hash
     * tables, bucket length 1.0 (recall 0.95-0.97 across fixtures; the
@@ -516,6 +532,8 @@ object SparkEntry {
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
+    "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
+    "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_pq" -> ((s, dir) => knnPq(s, dir)),
     "recall_pq" -> ((s, dir) => recallPq(s, dir)),
@@ -764,6 +782,65 @@ object SparkEntry {
        |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN b ON b.vec_id = c.vec_id)""".stripMargin
   }
 
+  /** Shared CTE prefix replaying IvfFlat end to end: quantize → hash-pick
+    * init → 2 integer Lloyd steps (floor-div means, empty clusters keep
+    * their centroid) → assign/probe → exact rerank. */
+  private val ivfFlatCtes: String = {
+    // integer squared L2 between two 64-d BIGINT lists
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    // one Lloyd step: centroids `prev` -> assignment a_<n> -> centroids c_<n>
+    def stepSql(n: Int, prev: String): String =
+      s"""s$n AS (SELECT vec_id, qv, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT bq.vec_id, bq.qv, c.cid, ${idist("bq.qv", "c.cvec")} AS dist FROM bq CROSS JOIN $prev c)),
+         |a$n AS (SELECT vec_id, qv, cid FROM s$n WHERE rn = 1),
+         |g$n AS (SELECT cid, pos, sum(e) AS s, count(*) AS cnt FROM
+         |  (SELECT cid, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM a$n)
+         |  GROUP BY cid, pos),
+         |m$n AS (SELECT cid, pos,
+         |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM g$n),
+         |c$n AS (SELECT cid, array_agg(c ORDER BY pos) AS cvec FROM m$n GROUP BY cid
+         |  UNION ALL SELECT cid, cvec FROM $prev WHERE cid NOT IN (SELECT cid FROM m$n))""".stripMargin
+    val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bq AS (SELECT vec_id, $quant AS qv FROM b),
+       |mx AS (SELECT vec_id, qv,
+       |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM bq),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid, qv AS cvec
+       |  FROM (SELECT * FROM mx ORDER BY mx, vec_id LIMIT 8)),
+       |${stepSql(1, "init")},
+       |${stepSql(2, "c1")},
+       |ab AS (SELECT vec_id, cid FROM (
+       |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
+       |  FROM bq CROSS JOIN c2 c) WHERE rn = 1),
+       |qq AS (SELECT query_id, $quant AS qv FROM q),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT qq.query_id, c.cid, row_number() OVER (PARTITION BY qq.query_id ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS rn
+       |  FROM qq CROSS JOIN c2 c) WHERE rn <= 6),
+       |ivf_scored AS (SELECT p.query_id, ab.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), ab.vec_id) AS INTEGER) AS rank
+       |  FROM probes p JOIN ab ON ab.cid = p.cid
+       |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
+  }
+
+  private val ivfFlatKnnOracle: String =
+    s"WITH $ivfFlatCtes\nSELECT query_id, neighbor_id, rank FROM ivf_scored WHERE rank <= 10"
+
+  private val ivfFlatRecallOracle: String =
+    s"""WITH $ivfFlatCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM ivf_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   private val lshKnnOracle: String =
     s"WITH $lshKnnCtes\nSELECT query_id, neighbor_id, rank FROM lsh_scored WHERE rank <= 10"
 
@@ -854,6 +931,8 @@ object SparkEntry {
     "recall_sq" -> sqRecallOracle,
     "knn_lsh" -> lshKnnOracle,
     "recall_lsh" -> lshRecallOracle,
+    "knn_ivf_flat" -> ivfFlatKnnOracle,
+    "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_cosine" -> knnCosineOracle,

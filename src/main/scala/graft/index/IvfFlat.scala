@@ -1,0 +1,127 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.topKByDist
+import graft.functions.VectorFunctions.l2sq
+
+/** Deterministic integer-arithmetic IVF — the oracle-checkable coarse
+  * quantizer completing the IVF family next to [[IvfIndex]] (MLlib
+  * KMeans): embeddings are quantized to a 2²⁰ integer grid, Lloyd runs a
+  * FIXED number of iterations with integer centroids (sums are exact
+  * int64, means round back to the grid via floor-div), and every
+  * assignment breaks ties by centroid id. No floating-point accumulation
+  * anywhere in training ⇒ bit-identical replay in any engine, any
+  * partitioning, any run — the property MLlib's KMeans (seeded but
+  * float-summed) cannot give. Quantized Lloyd is a legitimate coarse
+  * quantizer: IVF recall comes from nprobe, not converged centroids.
+  *
+  * Scale shape: assignment is a broadcast join against nlist centroid
+  * literals + a per-vec_id window (one shuffle keyed by vec_id); the
+  * per-iteration centroid update is one explode-aggregate keyed by
+  * (cluster, dim); centroids collect to the driver like any model
+  * parameter (8×64 ints). Reference analog: the IVF training inside
+  * FAISS IndexIVFPQ (/root/reference/multi_tenant_script.py:94-103).
+  */
+object IvfFlat {
+
+  val Scale = 1048576L // 2^20 — |e| < 1 keeps every distance term < 2^47
+
+  /** floor(e·2²⁰ + ½) per element — exact in double (|e·2²⁰| < 2^21),
+    * identical in any engine. */
+  def quantize(vec: Column): Column =
+    transform(vec, e => floor(e.cast("double") * Scale + lit(0.5)).cast("long"))
+
+  /** Deterministic init: the `nlist` vectors with the smallest Knuth-mixed
+    * id hash (spread ≈ uniformly over the corpus, no data order
+    * dependence). Distributed TakeOrdered — no global sort materializes. */
+  private def initCentroids(bq: DataFrame, nlist: Int): Array[Array[Long]] =
+    bq.select(col("qv"),
+        graft.operators.Sampling.idBucket(col("vec_id"), 1000000007).as("__mix"),
+        col("vec_id"))
+      .orderBy(col("__mix"), col("vec_id"))
+      .limit(nlist)
+      .select(col("qv"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  private def centroidLits(cs: Array[Array[Long]]): Column =
+    array(cs.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedlit(c.toSeq).as("cvec"))
+    }: _*)
+
+  /** (vec_id, qv, cid, dist) for each of the nlist centroids — integer
+    * distances, exact in double (< 2^47). */
+  private def scored(bq: DataFrame, cs: Array[Array[Long]]): DataFrame =
+    bq.select(col("vec_id"), col("qv"), explode(centroidLits(cs)).as("c"))
+      .select(col("vec_id"), col("qv"), col("c.cid").as("cid"),
+        l2sq(col("qv"), col("c.cvec")).as("dist"))
+
+  /** Nearest-centroid assignment, ties by cid. */
+  private def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    scored(bq, cs).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"))
+  }
+
+  /** One Lloyd step: integer mean per (cluster, dim), rounded back to the
+    * grid with floor(s/cnt + ½) = (2s + cnt) floordiv 2cnt — computed
+    * portably as (a − ((a mod b + b) mod b)) intdiv b (both Spark `div`
+    * and DuckDB `//` truncate, so plain a div b would round negative
+    * means toward zero instead). Empty clusters keep their centroid. */
+  private def lloydStep(bq: DataFrame, cs: Array[Array[Long]]): Array[Array[Long]] = {
+    val sums = assign(bq, cs)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "e")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("e")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("cid"), col("pos"),
+        expr("(2*s + cnt - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) div (2*cnt)").as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    cs.indices.map(i => sums.getOrElse(i, cs(i))).toArray
+  }
+
+  /** Train: quantize → deterministic init → `iters` fixed Lloyd steps.
+    * Returns integer centroids (position = cluster id). */
+  def fit(base: DataFrame, nlist: Int, iters: Int = 2): Array[Array[Long]] = {
+    val bq = base.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .localCheckpoint()
+    var cs = initCentroids(bq, nlist)
+    (0 until iters).foreach(_ => cs = lloydStep(bq, cs))
+    cs
+  }
+
+  /** IVF probe search: queries visit their `nprobe` nearest clusters
+    * (integer distance on the quantized query), candidates are the base
+    * vectors assigned there, exact float rerank to top-k. */
+  def search(centroids: Array[Array[Long]], queries: DataFrame, base: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val bq = base.select(col("vec_id"), col("embedding"), quantize(col("embedding")).as("qv"))
+    val baseAssign = assign(bq.select(col("vec_id"), col("qv")), centroids)
+      .select(col("vec_id"), col("cid"))
+    val qq = queries.select(col("query_id").as("vec_id"),
+      quantize(col("q_embedding")).as("qv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val probes = scored(qq, centroids).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    probes
+      .join(baseAssign, Seq("cid"))
+      .join(base, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

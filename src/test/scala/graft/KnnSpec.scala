@@ -59,6 +59,14 @@ class KnnSpec extends AnyFunSuite {
     assert(recallOf(IvfIndex.search(model, queries, 10, nprobe = 6)) >= 0.9)
   }
 
+  test("deterministic integer-Lloyd IVF clears 0.9 recall and is run-stable") {
+    val m1 = graft.index.IvfFlat.fit(base, nlist = 8)
+    assert(recallOf(graft.index.IvfFlat.search(m1, queries, base, 10, nprobe = 6)) >= 0.9)
+    // training is exact integer arithmetic — a refit is bit-identical
+    val m2 = graft.index.IvfFlat.fit(base, nlist = 8)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+  }
+
   test("IVF recall is monotone in nprobe") {
     val model = IvfIndex.fit(base, base, nlist = 8)
     val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
