@@ -25,6 +25,7 @@ object SparkEntry {
   // unchanged — only the redundant re-fits go away.
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfModel]
   private val ivfFlatCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+  private val pqFlatCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqFlat.Model]
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqModel]
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
   private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -99,6 +100,21 @@ object SparkEntry {
   /** Integer-IVF recall vs exact ground truth in basis points (⊕). */
   private def recallIvfFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfFlat(spark, dir), groundTruth(spark, dir), KnnK)
+
+  /** Deterministic integer PQ (graft.index.PqFlat): all 16 codebooks
+    * trained in one relational Lloyd chain; ADC shortlist 150 → exact
+    * rerank — the oracle-checkable PQ. */
+  private def pqFlatModel(spark: SparkSession, dir: String): graft.index.PqFlat.Model =
+    pqFlatCache.getOrElseUpdate(dir,
+      graft.index.PqFlat.fit(Tables.embeddingBase(spark, dir)))
+
+  private def knnPqFlat(spark: SparkSession, dir: String): DataFrame =
+    graft.index.PqFlat.searchRerank(pqFlatModel(spark, dir),
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK, 150)
+
+  /** Integer-PQ recall vs exact ground truth in basis points (⊕). */
+  private def recallPqFlat(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnPqFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** LSH kNN (SURVEY §2.2 I4/I5): Spark-first RP-LSH bucket join, 8 hash
     * tables, bucket length 1.0 (recall 0.95-0.97 across fixtures; the
@@ -534,6 +550,8 @@ object SparkEntry {
     "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
+    "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
+    "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_pq" -> ((s, dir) => knnPq(s, dir)),
     "recall_pq" -> ((s, dir) => recallPq(s, dir)),
@@ -826,6 +844,77 @@ object SparkEntry {
        |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
   }
 
+  /** Shared CTE prefix replaying PqFlat end to end: quantize → subvector
+    * rows → joint init → 2 joint Lloyd steps over (sub_id, cid) → encode
+    * → per-query ADC tables → shortlist 150 → exact rerank. */
+  private val pqFlatCtes: String = {
+    def d4(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 4), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    def stepSql(n: Int, prev: String): String =
+      s"""ps$n AS (SELECT vec_id, sub_id, sv, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT sr.vec_id, sr.sub_id, sr.sv, c.cid, ${d4("sr.sv", "c.cvec")} AS dist
+         |        FROM sr JOIN $prev c ON c.sub_id = sr.sub_id)),
+         |pa$n AS (SELECT vec_id, sub_id, sv, cid FROM ps$n WHERE rn = 1),
+         |pg$n AS (SELECT sub_id, cid, pos, sum(e) AS s, count(*) AS cnt FROM
+         |  (SELECT sub_id, cid, CAST(generate_subscripts(sv, 1) AS INTEGER) AS pos, unnest(sv) AS e FROM pa$n)
+         |  GROUP BY sub_id, cid, pos),
+         |pm$n AS (SELECT sub_id, cid, pos,
+         |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM pg$n),
+         |pc$n AS (SELECT sub_id, cid, array_agg(c ORDER BY pos) AS cvec FROM pm$n GROUP BY sub_id, cid
+         |  UNION ALL SELECT p.sub_id, p.cid, p.cvec FROM $prev p
+         |    LEFT JOIN (SELECT DISTINCT sub_id AS su, cid AS cu FROM pg$n) u
+         |      ON u.su = p.sub_id AND u.cu = p.cid WHERE u.cu IS NULL)""".stripMargin
+    val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bq AS (SELECT vec_id, $quant AS qv FROM b),
+       |sr0 AS (SELECT vec_id, qv, unnest(generate_series(0, 15)) AS sub_id FROM bq),
+       |sr AS (SELECT vec_id, sub_id, qv[sub_id*4+1 : sub_id*4+4] AS sv FROM sr0),
+       |pmx AS (SELECT vec_id,
+       |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM bq),
+       |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT * FROM pmx ORDER BY mx, vec_id LIMIT 32)),
+       |pinit AS (SELECT sr.sub_id, seeds.cid, sr.sv AS cvec FROM sr JOIN seeds USING (vec_id)),
+       |${stepSql(1, "pinit")},
+       |${stepSql(2, "pc1")},
+       |enc AS (SELECT vec_id, sub_id, cid AS code FROM (
+       |  SELECT sr.vec_id, sr.sub_id, c.cid,
+       |    row_number() OVER (PARTITION BY sr.vec_id, sr.sub_id ORDER BY ${d4("sr.sv", "c.cvec")}, c.cid) AS rn
+       |  FROM sr JOIN pc2 c ON c.sub_id = sr.sub_id) WHERE rn = 1),
+       |qq AS (SELECT query_id, $quant AS qv FROM q),
+       |qsr0 AS (SELECT query_id, qv, unnest(generate_series(0, 15)) AS sub_id FROM qq),
+       |qsr AS (SELECT query_id, sub_id, qv[sub_id*4+1 : sub_id*4+4] AS sv FROM qsr0),
+       |qtab AS (SELECT qsr.query_id, qsr.sub_id, c.cid AS code, ${d4("qsr.sv", "c.cvec")} AS qdist
+       |  FROM qsr JOIN pc2 c ON c.sub_id = qsr.sub_id),
+       |adc AS (SELECT qtab.query_id, enc.vec_id, sum(qdist) AS adist
+       |  FROM enc JOIN qtab ON qtab.sub_id = enc.sub_id AND qtab.code = enc.code
+       |  GROUP BY 1, 2),
+       |pshort AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 150),
+       |pq_scored AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rank
+       |  FROM pshort s JOIN q ON q.query_id = s.query_id JOIN b ON b.vec_id = s.vec_id)""".stripMargin
+  }
+
+  private val pqFlatKnnOracle: String =
+    s"WITH $pqFlatCtes\nSELECT query_id, neighbor_id, rank FROM pq_scored WHERE rank <= 10"
+
+  private val pqFlatRecallOracle: String =
+    s"""WITH $pqFlatCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM pq_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   private val ivfFlatKnnOracle: String =
     s"WITH $ivfFlatCtes\nSELECT query_id, neighbor_id, rank FROM ivf_scored WHERE rank <= 10"
 
@@ -933,6 +1022,8 @@ object SparkEntry {
     "recall_lsh" -> lshRecallOracle,
     "knn_ivf_flat" -> ivfFlatKnnOracle,
     "recall_ivf_flat" -> ivfFlatRecallOracle,
+    "knn_pq_flat" -> pqFlatKnnOracle,
+    "recall_pq_flat" -> pqFlatRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_cosine" -> knnCosineOracle,

@@ -1,0 +1,132 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions.topKByDist
+import graft.functions.VectorFunctions.l2sq
+
+/** Deterministic integer-arithmetic product quantizer — the
+  * oracle-checkable member of the PQ family next to [[PqIndex]] (MLlib
+  * KMeans codebooks). Same construction as [[IvfFlat]], lifted to
+  * subspaces: vectors quantize to the 2²⁰ grid, split into `m` 4-d
+  * subvectors, and ALL `m` codebooks train in ONE relational Lloyd chain
+  * with (sub_id, cid) as the grouping key — integer sums, floor-div
+  * means, ties by cid. A SQL engine replays the entire training, the
+  * encoding, the ADC scan, and the rerank bit-for-bit.
+  *
+  * Scale shape: training is two explode-aggregates keyed by
+  * (sub_id, cid, pos); the ADC scan is an equi-join of the encoded base
+  * (m rows per vector) against the per-query distance table on
+  * (sub_id, code) followed by a sum keyed by (query, vec). The
+  * lookup-kernel variant ([[PqIndex]] with `PqAdcDistance`) remains the
+  * raw-throughput path; this is the reproducibility-grade one.
+  */
+object PqFlat {
+
+  final case class Model(m: Int, ksub: Int, dsub: Int,
+      centroids: DataFrame, // (sub_id, cid, cvec: array<long>[dsub])
+      encodedBase: DataFrame) // (vec_id, sub_id, code)
+
+  /** Subvector rows (id, sub_id, sv) from quantized vectors. */
+  private def subRows(qdf: DataFrame, m: Int, dsub: Int): DataFrame =
+    qdf.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("vec_id"), col("sub_id"),
+        expr(s"slice(qv, sub_id * $dsub + 1, $dsub)").as("sv"))
+
+  /** Nearest-centroid assignment within each subspace, ties by cid. */
+  private def assign(rows: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+      .orderBy(col("dist"), col("cid"))
+    rows.join(centroids, Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("sv"), col("cid"),
+        l2sq(col("sv"), col("cvec")).as("dist"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("sub_id"), col("sv"), col("cid"))
+  }
+
+  /** One Lloyd step over every subspace at once: exact integer mean per
+    * (sub_id, cid, pos), floor-div rounded; empty cells keep their
+    * centroid. */
+  private def lloydStep(rows: DataFrame, centroids: DataFrame): DataFrame = {
+    val updated = assign(rows, centroids)
+      .select(col("sub_id"), col("cid"), posexplode(col("sv")).as(Seq("pos", "e")))
+      .groupBy(col("sub_id"), col("cid"), col("pos"))
+      .agg(sum(col("e")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("sub_id"), col("cid"), col("pos"),
+        expr("(2*s + cnt - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) div (2*cnt)").as("c"))
+      .groupBy(col("sub_id"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cvec"))
+    centroids.as("p")
+      .join(updated.as("u"), Seq("sub_id", "cid"), "left")
+      .select(col("sub_id"), col("cid"),
+        coalesce(col("u.cvec"), col("p.cvec")).as("cvec"))
+  }
+
+  /** Train all m codebooks: quantize → per-subspace init from the ksub
+    * smallest Knuth-mixed ids → `iters` joint Lloyd steps → encode. */
+  def fit(base: DataFrame, m: Int = 16, ksub: Int = 32, iters: Int = 2): Model = {
+    val spark = base.sparkSession
+    val dsub = 64 / m
+    val bq = base
+      .select(col("vec_id"), IvfFlat.quantize(col("embedding")).as("qv"))
+      .localCheckpoint()
+    val rows = subRows(bq, m, dsub).localCheckpoint()
+    // init: same ksub seed vectors for every subspace (id-hash pick)
+    val seedIds = bq.select(col("vec_id"),
+        graft.operators.Sampling.idBucket(col("vec_id"), 1000000007).as("__mix"))
+      .orderBy(col("__mix"), col("vec_id")).limit(ksub)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val rankByIdLit = map(seedIds.zipWithIndex.flatMap { case (id, r) =>
+      Seq(lit(id), lit(r))
+    }: _*)
+    var centroids = rows
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("sub_id"), rankByIdLit(col("vec_id")).as("cid"), col("sv").as("cvec"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      centroids = lloydStep(rows, centroids).localCheckpoint()
+    }
+    val encoded = assign(rows, centroids)
+      .select(col("vec_id"), col("sub_id"), col("cid").as("code"))
+      .localCheckpoint()
+    Model(m, ksub, dsub, centroids, encoded)
+  }
+
+  /** ADC search with exact rerank: per-query integer distance table
+    * (query subvector → every centroid), equi-joined against the encoded
+    * base on (sub_id, code), summed per (query, vec) — the compressed-
+    * domain shortlist — then exact float top-k on the shortlist. */
+  def searchRerank(model: Model, queries: DataFrame, base: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val qq = queries.select(col("query_id").as("vec_id"),
+      IvfFlat.quantize(col("q_embedding")).as("qv"))
+    val qtab = subRows(qq, model.m, model.dsub)
+      .join(model.centroids, Seq("sub_id"))
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("cid").as("code"),
+        l2sq(col("sv"), col("cvec")).as("qdist"))
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val short = model.encodedBase
+      .join(qtab, Seq("sub_id", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    short
+      .join(base, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

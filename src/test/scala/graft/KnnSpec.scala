@@ -67,6 +67,15 @@ class KnnSpec extends AnyFunSuite {
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
   }
 
+  test("deterministic integer PQ clears 0.9 recall and refits identically") {
+    val m1 = graft.index.PqFlat.fit(base)
+    assert(recallOf(graft.index.PqFlat.searchRerank(m1, queries, base, 10, 100)) >= 0.9)
+    val m2 = graft.index.PqFlat.fit(base)
+    val c1 = m1.centroids.orderBy("sub_id", "cid").collect().map(_.getSeq[Long](2).toList)
+    val c2 = m2.centroids.orderBy("sub_id", "cid").collect().map(_.getSeq[Long](2).toList)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
   test("IVF recall is monotone in nprobe") {
     val model = IvfIndex.fit(base, base, nlist = 8)
     val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
