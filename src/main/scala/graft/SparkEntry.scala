@@ -420,6 +420,13 @@ object SparkEntry {
       graft.multimodal.Multimodal.asMediaTable(
         Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
 
+  /** Multimodal frame sampling: 256-byte frames, stride 192, one digest
+    * row per frame (stub decode = byte slicing; plumbing is real). */
+  private def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
+
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
     * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
@@ -589,6 +596,7 @@ object SparkEntry {
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
     "multimodal_meta" -> ((s, dir) => multimodalMeta(s, dir)),
+    "multimodal_frames" -> ((s, dir) => multimodalFrames(s, dir)),
     "q3_top_orders" -> ((s, dir) => q3TopOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
@@ -1266,6 +1274,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // payloads are ASCII in the fixtures, so byte windows == char windows
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT media_id, text, n,
+        |  CASE WHEN n <= 256 THEN 0 ELSE ((n - 256 + 191) // 192) * 192 END AS smax FROM m),
+        |f AS (SELECT media_id, text, n, unnest(generate_series(0, smax, 192)) AS start FROM s)
+        |SELECT media_id, CAST(start // 192 AS INTEGER) AS frame_idx,
+        |  CAST(least(256, n - start) AS INTEGER) AS frame_bytes,
+        |  md5(substring(text, start + 1, 256)) AS frame_digest
+        |FROM f""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

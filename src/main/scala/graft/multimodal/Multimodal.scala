@@ -67,6 +67,34 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame sampling: overlapping byte windows over the payload — the
+    * video/audio frame-extraction shape (stub "decode" = identity byte
+    * slicing; a real codec would decode then stride over frames, same
+    * plumbing). One row per frame with its digest; row-local flatMap, no
+    * shuffle, constant memory per frame. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, stride: Int = 192): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val n = p.length
+          val smax = if (n <= frameBytes) 0 else ((n - frameBytes + stride - 1) / stride) * stride
+          (0 to smax by stride).iterator.map { st =>
+            Row(r.getLong(0), st / stride,
+              java.util.Arrays.copyOfRange(p, st, math.min(n, st + frameBytes)))
+          }
+        }
+      }(enc)
+      .select(col("media_id"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_digest"))
+  }
+
   /** Metadata pass (fully oracle-checkable — no stub involved): payload
     * size + content digest per media row. */
   def mediaMeta(media: DataFrame): DataFrame =

@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(r => r.getAs[String]("event_type") == "latency"))
   }
 
+  test("curation transforms run unchanged on a stream (batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the SAME row-local transform serves batch and stream — no code fork
+    val q = graft.text.Curation.piiRedact(docs, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_out").start()
+    input.addData((1L, "mail me at a@b.co now"), (2L, "nothing here"))
+    q.processAllAvailable()
+    val out = spark.table("pii_out").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(out == Map(1L -> 1, 2L -> 0))
+    val batch = graft.text.Curation.piiRedact(
+      Seq((1L, "mail me at a@b.co now"), (2L, "nothing here")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch == out)
+  }
+
   test("stateful sessionization across micro-batches keeps state per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
