@@ -220,22 +220,29 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("component"))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
+    // Runtime-adaptive broadcast: checkpointed leaves carry no size stats,
+    // so the static planner sort-merge-joins every round. The node count
+    // is already known (one cheap count on the checkpoint) — hint
+    // broadcast only when MEASURED small, which is the scale-correct
+    // policy (a blanket hint would OOM on a billion-node dup graph).
+    val smallGraph = labels.count() < 2000000L
+    def maybeBc(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // hop 1: adopt the min label in the neighborhood
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(maybeBc(labels.withColumnRenamed("id", "dst")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val hop = labels.join(neighborMin, Seq("id"), "left")
+      val hop = labels.join(maybeBc(neighborMin), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
       // hop 2: pointer jumping — adopt the label of one's label
       // (component ids are node ids), halving path lengths per round:
       // O(log diameter) rounds instead of O(diameter)
       val jumped = hop.as("l")
-        .join(hop.select(col("id").as("component"), col("component").as("jump")).as("r"),
+        .join(maybeBc(hop.select(col("id").as("component"), col("component").as("jump"))).as("r"),
           Seq("component"), "left")
         .select(col("id"), least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
         // localCheckpoint each round: truncates the self-referential
