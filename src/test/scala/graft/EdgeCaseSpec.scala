@@ -54,6 +54,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r == 0.0)
   }
 
+  test("PolyHash: empty, unicode, and codegen/interpreted agreement") {
+    import graft.functions.PolyHash
+    assert(PolyHash.hash("", 257L, 1000000007L) == 0L)
+    // astral char (outside BMP) hashes by codepoint, not UTF-16 units
+    assert(PolyHash.hash("😀", 257L, 1000000007L) == 0x1F600L % 1000000007L)
+    val df = Seq("", "a", "héllo", "😀x").toDF("s")
+    val viaExpr = df.select(PolyHash.column(col("s"))).collect().map(_.getLong(0))
+    val viaScala = Seq("", "a", "héllo", "😀x").map(PolyHash.hash(_, 257L, 1000000007L))
+    assert(viaExpr.toSeq == viaScala)
+  }
+
+  test("curation ops tolerate empty and single-token docs") {
+    import graft.text.Curation
+    val docs = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+    assert(Curation.piiRedact(docs, "doc_id", "text").count() == 2)
+    assert(Curation.chunk(docs, "doc_id", "text").count() == 2) // one chunk each
+    assert(Curation.repetitionStats(docs, "doc_id", "text").count() == 2)
+    val media = graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val frames = graft.multimodal.Multimodal.frameSample(media).collect()
+    assert(frames.length == 2 && frames.forall(_.getInt(1) == 0))
+  }
+
   test("mismatched vector dimensions raise instead of silently truncating") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     val e = intercept[Exception] {
