@@ -67,6 +67,29 @@ object SparkEntry {
       Tables.embeddingBase(spark, dir),
       KnnK)
 
+  /** Grouped kNN: neighbors restricted to the query's own label — the
+    * per-domain retrieval shape (equi-join on the group key, no global
+    * nested loop). */
+  private def knnGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("label"))
+    val b = emb.filter(col("vec_id") % 20 =!= 0)
+    Knn.groupedExact(q, b, "label", KnnK)
+  }
+
+  /** Approximate distinct (HLL++) with a deterministic error-bound check
+    * against the exact count — the sketch-aggregation coverage. HLL is
+    * deterministic for fixed input, so the boolean is stable. */
+  private def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey")).as("__approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.15).as("within_15pct"))
+
   private def knnExactWindow(spark: SparkSession, dir: String): DataFrame =
     Knn.exactWindow(
       Tables.embeddingQueries(spark, dir),
@@ -553,6 +576,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
+    "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
+    "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
@@ -1034,6 +1059,17 @@ object SparkEntry {
     "recall_pq_flat" -> pqFlatRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
+    "knn_grouped" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q JOIN b USING (label))
+        |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin,
+    "approx_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS within_15pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "knn_cosine" -> knnCosineOracle,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,

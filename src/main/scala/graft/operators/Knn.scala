@@ -32,6 +32,27 @@ import graft.functions.VectorFunctions._
   */
 object Knn {
 
+  /** Grouped kNN: top-k nearest neighbors WITHIN the query's group (e.g.
+    * per-domain / per-label retrieval in a training pipeline). The group
+    * column turns the all-pairs nested loop into an equi-join on the
+    * group key — candidates are co-partitioned by group, which is
+    * exactly the layout a label-bucketed 100 TB corpus already has.
+    * Output: (query_id, neighbor_id, rank) with rank ≤ k inside the
+    * query's own group. */
+  def groupedExact(queries: DataFrame, base: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.topKByDist
+    import graft.functions.VectorFunctions.l2sq
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    queries
+      .join(base, Seq(groupCol))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Cross product of base × broadcast(queries) with the distance column. */
   private def scored(queries: DataFrame, base: DataFrame, distance: (Column, Column) => Column): DataFrame =
     base
