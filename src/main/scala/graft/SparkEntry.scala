@@ -124,6 +124,23 @@ object SparkEntry {
   private def recallIvfFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val ivfLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Same IVF search served from the cluster-partitioned parquet layout:
+    * dynamic partition pruning reads only the probed cluster directories.
+    * Identical results to knn_ivf_flat (deterministic assignment), so it
+    * shares that oracle — one logical answer, two physical plans. */
+  private def knnIvfFlatPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFlatModel(spark, dir)
+    val path = ivfLayoutCache.getOrElseUpdate(dir, {
+      val p = s"target/ivf_flat_layout/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.index.IvfFlat.writeLayout(model, Tables.embeddingBase(spark, dir), p)
+      p
+    })
+    graft.index.IvfFlat.searchPartitioned(model, path,
+      Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
+  }
+
   /** Deterministic integer PQ (graft.index.PqFlat): all 16 codebooks
     * trained in one relational Lloyd chain; ADC shortlist 150 → exact
     * rerank — the oracle-checkable PQ. */
@@ -581,6 +598,7 @@ object SparkEntry {
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
+    "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
@@ -1054,6 +1072,7 @@ object SparkEntry {
     "knn_lsh" -> lshKnnOracle,
     "recall_lsh" -> lshRecallOracle,
     "knn_ivf_flat" -> ivfFlatKnnOracle,
+    "knn_ivf_flat_part" -> ivfFlatKnnOracle, // same logical answer, file-pruned plan
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,

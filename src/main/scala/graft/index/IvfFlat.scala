@@ -98,6 +98,41 @@ object IvfFlat {
     cs
   }
 
+  /** Persist the base partitioned by the deterministic cluster id —
+    * the file-level inverted-list layout. Because assignment is exact
+    * integer arithmetic, the layout is REPRODUCIBLE: any rewrite of the
+    * same data lands every row in the same cluster directory. */
+  def writeLayout(centroids: Array[Array[Long]], base: DataFrame, path: String): Unit = {
+    val bq = base.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val assigned = assign(bq, centroids).select(col("vec_id"), col("cid").as("cluster_id"))
+    graft.sources.Layout.writeIvfPartitioned(base.join(assigned, Seq("vec_id")), path)
+  }
+
+  /** Probe search over a persisted [[writeLayout]] directory: the probe
+    * side joins the layout on its partition column, so dynamic partition
+    * pruning restricts the scan to the nprobe cluster directories —
+    * identical results to [[search]], file-pruned physical plan. */
+  def searchPartitioned(centroids: Array[Array[Long]], layoutPath: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qq = queries.select(col("query_id").as("vec_id"),
+      quantize(col("q_embedding")).as("qv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val probes = scored(qq, centroids).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cluster_id"))
+    val topk = topKByDist(col("vec_id"), col("dist"), k)
+    graft.sources.Layout.readIvfPartitioned(spark, layoutPath)
+      .join(broadcast(probes), Seq("cluster_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF probe search: queries visit their `nprobe` nearest clusters
     * (integer distance on the quantized query), candidates are the base
     * vectors assigned there, exact float rerank to top-k. */
