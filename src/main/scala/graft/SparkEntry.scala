@@ -461,11 +461,17 @@ object SparkEntry {
         Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
 
   /** Multimodal frame sampling: 256-byte frames, stride 192, one digest
-    * row per frame (stub decode = byte slicing; plumbing is real). */
+    * row per frame (stub decode = byte slicing; plumbing is real). The
+    * payload is ASCII-sanitized on BOTH sides (DuckDB cannot slice
+    * blobs, so its oracle windows by character — projecting each
+    * non-ASCII codepoint to '?' makes byte and character windows
+    * provably identical for any fixture, not just today's). */
   private def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.frameSample(
       graft.multimodal.Multimodal.asMediaTable(
-        Tables.documents(spark, dir), "doc_id", "text", "text/plain"))
+        Tables.documents(spark, dir)
+          .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
+        "doc_id", "text", "text/plain"))
 
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
@@ -1329,9 +1335,10 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
-    // payloads are ASCII in the fixtures, so byte windows == char windows
+    // non-ASCII sanitized to '?' on both sides → byte windows == char windows
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+        |m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM d),
         |s AS (SELECT media_id, text, n,
         |  CASE WHEN n <= 256 THEN 0 ELSE ((n - 256 + 191) // 192) * 192 END AS smax FROM m),
         |f AS (SELECT media_id, text, n, unnest(generate_series(0, smax, 192)) AS start FROM s)

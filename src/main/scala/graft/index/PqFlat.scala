@@ -72,7 +72,10 @@ object PqFlat {
     * smallest Knuth-mixed ids → `iters` joint Lloyd steps → encode. */
   def fit(base: DataFrame, m: Int = 16, ksub: Int = 32, iters: Int = 2): Model = {
     val spark = base.sparkSession
-    val dsub = 64 / m
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0,
+      s"embedding dim $dim is not divisible by m=$m subspaces — trailing dims would be silently dropped")
+    val dsub = dim / m
     val bq = base
       .select(col("vec_id"), IvfFlat.quantize(col("embedding")).as("qv"))
       .localCheckpoint()

@@ -22,22 +22,22 @@ final case class SqModel(
 
 object SqIndex {
 
-  /** Train per-dim ranges on (a sample of) `train`; encode `base`. */
-  def fit(train: DataFrame, base: DataFrame, sampleSize: Int = 20000): SqModel = {
-    val sample = train.select("embedding").limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty train set")
-    val d = sample(0).length
-    val mins = Array.fill(d)(Float.MaxValue)
-    val maxs = Array.fill(d)(Float.MinValue)
-    sample.foreach { v =>
-      var i = 0
-      while (i < d) {
-        if (v(i) < mins(i)) mins(i) = v(i)
-        if (v(i) > maxs(i)) maxs(i) = v(i)
-        i += 1
-      }
-    }
+  /** Train per-dim ranges over the FULL train set with one distributed
+    * min/max aggregation — order-independent and partition-independent,
+    * so the codec is deterministic at any scale (an unordered limit()
+    * sample would drift with partition order AND diverge from the
+    * knn_sq/recall_sq oracles, which aggregate the whole base). */
+  def fit(train: DataFrame, base: DataFrame): SqModel = {
+    val stats = train
+      .select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("pos"))
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+    require(stats.nonEmpty, "empty train set")
+    val d = stats.length
+    val mins = Array.tabulate(d)(i => stats(i).getFloat(1))
+    val maxs = Array.tabulate(d)(i => stats(i).getFloat(2))
     // codec parameters in DOUBLE with explicit floor(x+0.5) rounding in
     // encode(): float32 arithmetic + float round have engine-specific
     // behavior, double + floor reproduce bit-identically in any engine

@@ -71,9 +71,12 @@ object Curation {
     * pass verdict. Explode→aggregate keyed by doc id. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
       maxTopTokenBp: Long = 2000L, maxTopBigramBp: Long = 1800L): DataFrame = {
+    // materialized once: both the token and the bigram aggregate consume
+    // the tokenization (HOF pipelines re-evaluate per consumer otherwise)
     val base = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
+      .localCheckpoint()
     val topTok = base
       .select(col(idCol), col("__n"), explode(col("__toks")).as("tok"))
       .groupBy(col(idCol), col("__n"), col("tok")).agg(count(lit(1)).as("c"))
@@ -103,8 +106,12 @@ object Curation {
     * is a result, not a missing row. */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, n: Int = 8): DataFrame = {
+    // materialized once: consumed by the benchmark explode, the training
+    // explode, and the zero-fill output — three plan subtrees that would
+    // each re-run the shingle HOF over every document otherwise
     val sh = TextFunctions.withShingles(docs, textCol, n, "__sh")
       .select(col(idCol), col("__sh"), isBenchmark.as("__is_bench"))
+      .localCheckpoint()
     val bench = sh.filter(col("__is_bench"))
       .select(col(idCol).as("bench_id"), explode(col("__sh")).as("g"))
     val train = sh.filter(!col("__is_bench"))

@@ -39,11 +39,13 @@ object Dedup {
   val MinHashMod = 1000000007L
 
   /** Seed-s multiplier: well-mixed (small sequential multipliers correlate
-    * the per-seed argmins and gut banding recall), 20-bit, odd. */
-  def minHashCoeffA(s: Int): Long = (s.toLong * 2654435761L % 4294967296L >> 12) | 1L
+    * the per-seed argmins and gut banding recall), 20-bit, odd. Mixes
+    * s+1, not s — mixing 0 would collapse seed 0's multiplier to the
+    * degenerate identity 1. */
+  def minHashCoeffA(s: Int): Long = ((s + 1).toLong * 2654435761L % 4294967296L >> 12) | 1L
 
   /** Seed-s offset: mixed 20-bit. */
-  def minHashCoeffB(s: Int): Long = (s.toLong * 2654435761L + 1234567L) % 4294967296L >> 12
+  def minHashCoeffB(s: Int): Long = ((s + 1).toLong * 2654435761L + 1234567L) % 4294967296L >> 12
 
   /** MinHash signatures: for each of `numHashes` seeded portable hash
     * functions, the min hash over the doc's shingle set. Returns
@@ -138,10 +140,11 @@ object Dedup {
   }
 
   /** SimHash signatures: (id, simhash: long). Token hashing stays in
-    * Catalyst (xxhash64); the 64-bit-sum fold runs as a primitive
-    * partition-local loop — the nested-HOF formulation
-    * ([[TextFunctions.simhashFromHashes]], kept for the SQL surface) walks
-    * the hash array 64 times through lambda frames, this walks it once. */
+    * Catalyst (the portable 60-bit [[TextFunctions.tokenHashes]]); the
+    * bit-sum fold runs as a primitive partition-local loop — the
+    * nested-HOF formulation ([[TextFunctions.simhashFromHashes]], kept
+    * for the SQL surface) walks the hash array [[TextFunctions.SimHashBits]]
+    * times through lambda frames, this walks it once. */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val hashed = docs
