@@ -549,6 +549,47 @@ object SparkEntry {
     graft.streaming.StreamingMetrics.windowedAgg(
       Tables.events(spark, dir), "1 hour", "2 hours")
 
+  /** Skew-safe salted join, oracled against the plain join it must equal:
+    * lineitem (probe, salted by row id) ⋈ nation-sized dim (build,
+    * replicated saltFactor×). The salt spreads any hot key over 8
+    * reducers; results are identical by construction. */
+  private def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    graft.operators.Joins.salted(li, sup, "l_suppkey", saltFactor = 8, bigIdCol = "l_orderkey")
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+  }
+
+  /** Window-function breadth: per-user gap to the previous event (lag)
+    * and quartile bucket by value (ntile) — integer-exact outputs. */
+  private def eventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(
+        col("user_id"), col("event_id"),
+        coalesce(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(wLag), lit(-1L))
+          .as("gap_ms"),
+        ntile(4).over(wTile).as("value_quartile"))
+  }
+
+  /** Set-operation coverage: suppliers of returned items INTERSECT /
+    * EXCEPT suppliers of non-returned items, as counts. */
+  private def setOpsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val kept = li.filter(col("l_returnflag") =!= "R").select(col("l_suppkey"))
+    returned.intersect(kept).agg(count(lit(1)).as("n_both"))
+      .crossJoin(returned.except(kept).agg(count(lit(1)).as("n_only_returned")))
+  }
+
   /** Distinct aggregation coverage: distinct parts/suppliers per return
     * flag. */
   private def distinctParts(spark: SparkSession, dir: String): DataFrame =
@@ -653,6 +694,9 @@ object SparkEntry {
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "pivot_events" -> ((s, dir) => pivotEvents(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
+    "salted_join_agg" -> ((s, dir) => saltedJoinAgg(s, dir)),
+    "event_deltas" -> ((s, dir) => eventDeltas(s, dir)),
+    "set_ops_suppliers" -> ((s, dir) => setOpsSuppliers(s, dir)),
     "windowed_agg" -> ((s, dir) => windowedAgg(s, dir)),
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
     "table_profile" -> ((s, dir) => tableProfile(s, dir)),
@@ -1381,6 +1425,29 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "salted_join_agg" ->
+      """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    "event_deltas" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  coalesce(epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_ms,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY cents, event_id) AS INTEGER)
+        |    AS value_quartile
+        |FROM e""".stripMargin,
+    "set_ops_suppliers" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'R')) AS n_both,
+        |  (SELECT count(*) FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |    EXCEPT
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'R')) AS n_only_returned""".stripMargin,
     "semi_anti_orders" ->
       """SELECT
         |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
