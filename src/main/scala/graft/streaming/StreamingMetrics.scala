@@ -71,6 +71,58 @@ object StreamingMetrics {
       }
   }
 
+  final case class DocIn(doc_id: Long, text: String)
+  final case class NearDupHit(id_a: Long, id_b: Long, jaccard_bp: Long)
+  final case class BandState(docs: List[(Long, Array[String])])
+
+  /** Streaming MinHash near-dup: continuous ingestion where every new doc
+    * is checked against all previously seen docs that share a banded
+    * signature bucket — the streaming form of
+    * [[graft.text.Dedup.minHashNearDup]], with the band bucket as the
+    * state key (`flatMapGroupsWithState`): state per (band, hash) bucket
+    * is just the docs that landed there, so memory tracks bucket
+    * occupancy, not the corpus. Uses the SAME portable hash pipeline as
+    * the batch operator (PolyHash + mixed affine seeds + mod-P band
+    * fold), so batch and stream find identical pairs; a pair colliding in
+    * multiple bands may be emitted once per band (dedupe downstream if
+    * exact-once matters). Verification is exact Jaccard on the stored
+    * shingle sets, in integer basis points. */
+  def nearDupStream(docs: Dataset[DocIn], shingleSize: Int = 3, numHashes: Int = 16,
+      numBands: Int = 4, threshold: Double = 0.5): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.text.Dedup
+    val minBp = (threshold * 10000).toLong
+    docs
+      .flatMap { d =>
+        val sh = Dedup.shingleSet(d.text, shingleSize)
+        val sig = Dedup.minHashSigScala(sh, numHashes)
+        Dedup.bandHashesScala(sig, numBands).zipWithIndex.map {
+          case (h, b) => (b, h, d.doc_id, sh)
+        }
+      }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BandState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[String])],
+            state: GroupState[BandState]) =>
+          var known = state.getOption.getOrElse(BandState(Nil)).docs
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sh) =>
+            known.foreach { case (oid, osh) =>
+              if (oid != id) {
+                val inter = sh.intersect(osh).length
+                val jac = inter * 10000L / (sh.length + osh.length - inter)
+                if (jac >= minBp)
+                  out += NearDupHit(math.min(id, oid), math.max(id, oid), jac)
+              }
+            }
+            known = (id, sh) :: known
+          }
+          state.update(BandState(known))
+          out.iterator
+      }
+  }
+
   /** C1/C2: the background search loop as a streaming query. Each incoming
     * micro-batch of queries is answered with exact kNN against the snapshot
     * current at that micro-batch (atomic read — the reference's

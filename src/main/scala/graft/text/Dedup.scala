@@ -69,6 +69,43 @@ object Dedup {
           array_min(transform(col("__ph"), h =>
             (h * minHashCoeffA(s) + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
 
+  /** Plain-Scala replica of tokenize→shingle (split on whitespace of the
+    * trimmed text, word n-grams, distinct) — the streaming path computes
+    * signatures row-locally with these; parity with the Column pipeline
+    * is asserted in TextSpec. */
+  def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.trim.split("\\s+", -1)
+    if (n <= 1) toks.distinct
+    else {
+      val m = math.max(toks.length - (n - 1), 1)
+      Array.tabulate(m)(i => toks.slice(i, i + n).mkString(" ")).distinct
+    }
+  }
+
+  /** Plain-Scala replica of [[minHashSignatures]]' per-row signature. */
+  def minHashSigScala(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val phs = shingles.map(s => graft.functions.PolyHash.hash(s, 257L, MinHashMod))
+    Array.tabulate(numHashes) { s =>
+      val a = minHashCoeffA(s); val b = minHashCoeffB(s)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < phs.length) {
+        val h = (phs(i) * a + b) % MinHashMod
+        if (h < mn) mn = h
+        i += 1
+      }
+      mn
+    }
+  }
+
+  /** Plain-Scala replica of the banded signature fold in
+    * [[minHashNearDup]]. */
+  def bandHashesScala(sig: Array[Long], numBands: Int): Array[Long] = {
+    val r = sig.length / numBands
+    Array.tabulate(numBands)(b =>
+      (b * r until (b + 1) * r).foldLeft(0L)((acc, i) => (acc * 31 + sig(i)) % MinHashMod))
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signature (`numBands` bands
     * of numHashes/numBands rows), bucket-join on (band index, band hash),
     * then verify candidates with exact Jaccard over shingle sets.

@@ -59,6 +59,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == out)
   }
 
+  test("streaming minhash near-dup finds the batch pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog sits here"),
+      (2L, "the quick brown fox jumps over the lazy dog sits there"), // near-dup of 1
+      (3L, "completely different words about spark engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog sits here") // exact dup of 1
+    )
+    val input = MemoryStream[StreamingMetrics.DocIn]
+    val q = StreamingMetrics.nearDupStream(input.toDS(), shingleSize = 3,
+        numHashes = 16, numBands = 8, threshold = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    // state must carry across micro-batches: dup arrives 2 batches later
+    input.addData(docs.take(2).map(d => StreamingMetrics.DocIn(d._1, d._2)): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2).map(d => StreamingMetrics.DocIn(d._1, d._2)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batch = graft.text.Dedup.minHashNearDup(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, numBands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.contains((1L, 4L))) // cross-micro-batch exact dup
+  }
+
   test("stateful sessionization across micro-batches keeps state per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -43,6 +43,16 @@ class TextSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("scala minhash pipeline replicas match the Column pipeline exactly") {
+    val colSigs = Dedup.minHashSignatures(docs, "doc_id", "text", shingleSize = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.collect().foreach { r =>
+      val sh = Dedup.shingleSet(r.getString(1), 3)
+      val sig = Dedup.minHashSigScala(sh, 16).toSeq
+      assert(sig == colSigs(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash: identical docs have zero hamming distance, near-dups small") {
     val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
