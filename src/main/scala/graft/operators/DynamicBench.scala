@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object DynamicBench {
 
-  /** One timed batch search: returns (qps, latency_ms, recall). M2/M3/M1. */
-  def measuredSearch(queries: DataFrame, snapshot: DataFrame, gt: DataFrame, k: Int): (Double, Double, Double) = {
+  /** One timed batch search: returns (qps, latency_ms, recall). M2/M3/M1.
+    * `searchFn` defaults to exact; pass an index-backed search (e.g.
+    * IvfFlat with centroids trained pre-update) to measure the
+    * stale-index recall dynamics the reference's ANN backends show. */
+  def measuredSearch(queries: DataFrame, snapshot: DataFrame, gt: DataFrame, k: Int,
+      searchFn: (DataFrame, DataFrame, Int) => DataFrame = Knn.exact): (Double, Double, Double) = {
     val t0 = System.nanoTime()
-    val pred = Knn.exact(queries, snapshot, k)
+    val pred = searchFn(queries, snapshot, k)
     val recall = Recall.recallAtK(pred, gt, k).collect()(0).getDouble(0)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     val nQueries = queries.count().toDouble
@@ -45,7 +49,8 @@ object DynamicBench {
     * with event markers, exactly the stream the reference's log analytics
     * (S4/S5, M5/M6, M9) consume. */
   def dynamicUpdateRun(spark: SparkSession, queries: DataFrame, base: DataFrame,
-      cutoff: Long, k: Int, intervalsPerPhase: Int = 3): DataFrame = {
+      cutoff: Long, k: Int, intervalsPerPhase: Int = 3,
+      searchFn: (DataFrame, DataFrame, Int) => DataFrame = Knn.exact): DataFrame = {
     import spark.implicits._
     val gt = Knn.exact(queries, base, k).cache()
     gt.count()
@@ -53,7 +58,7 @@ object DynamicBench {
     val log = scala.collection.mutable.ArrayBuffer[MetricRow]()
     var interval = 0
     def searchPhase(n: Int, event: String): Unit = (1 to n).foreach { _ =>
-      val (qps, lat, rec) = measuredSearch(queries, snapshot.get(), gt, k)
+      val (qps, lat, rec) = measuredSearch(queries, snapshot.get(), gt, k, searchFn)
       interval += 1
       log += MetricRow(interval, qps, lat, rec, event)
     }

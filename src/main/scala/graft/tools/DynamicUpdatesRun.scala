@@ -23,9 +23,14 @@ object DynamicUpdatesRun {
     spark.sparkContext.setLogLevel("ERROR")
     val queries = Tables.embeddingQueries(spark, dir)
     val base = Tables.embeddingBase(spark, dir)
-    val cutoff = 250L * (dir.split("sf").last.toDouble / 0.001).round.max(1)
-    val log = DynamicBench.dynamicUpdateRun(spark, queries, base, cutoff, k = 10)
+    // 50% update fraction like the reference: cutoff at the id midpoint,
+    // derived from the data (a hardcoded row-count guess silently turns
+    // the delete phase into a no-op when the fixture size differs)
+    val cutoff = base.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("vec_id"))).collect()(0).getLong(0) / 2
     new java.io.File(out).mkdirs()
+    // exact search: availability/QPS profile, recall pinned at 1.0
+    val log = DynamicBench.dynamicUpdateRun(spark, queries, base, cutoff, k = 10)
     // searches only, reference line format (sentinel rows become events)
     val lines = MetricLogs.formatLines(
       log.filter(org.apache.spark.sql.functions.col("qps") > 0))
@@ -35,6 +40,24 @@ object DynamicUpdatesRun {
       ("--- 50% Update ---" +: lines).mkString("\n").getBytes)
     println(s"wrote ${lines.length} intervals to $path")
     log.show(50, false)
+    // IVF with centroids trained PRE-update and never refit: the
+    // stale-index recall dynamics the reference's ANN backends show
+    // (FAISS-HNSW -53% during rebuild; ours degrades recall instead of
+    // throughput because assignment recomputes against the quantizer)
+    val centroids = graft.index.IvfFlat.fit(base, nlist = 8)
+    val ivfSearch = (q: org.apache.spark.sql.DataFrame,
+        snap: org.apache.spark.sql.DataFrame, kk: Int) =>
+      graft.index.IvfFlat.search(centroids, q, snap, kk, nprobe = 6)
+    val ivfLog = DynamicBench.dynamicUpdateRun(spark, queries, base, cutoff,
+      k = 10, searchFn = ivfSearch)
+    val ivfLines = MetricLogs.formatLines(
+      ivfLog.filter(org.apache.spark.sql.functions.col("qps") > 0))
+      .collect().map(_.getString(0))
+    val ivfPath = java.nio.file.Paths.get(s"$out/dynamic_updates_spark_ivf.txt")
+    java.nio.file.Files.write(ivfPath,
+      ("--- 50% Update (stale IVF) ---" +: ivfLines).mkString("\n").getBytes)
+    println(s"wrote ${ivfLines.length} intervals to $ivfPath")
+    ivfLog.show(50, false)
     spark.stop()
   }
 }
