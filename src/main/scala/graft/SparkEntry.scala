@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{IvfIndex, LshIndex, PqIndex}
+import graft.index.LshIndex
 import graft.operators.{Joins, Knn, MetricsAnalytics, Recall, Snapshots}
 import graft.sources.{MetricLogs, Tables}
 import graft.text.{Dedup, TextFunctions}
@@ -23,24 +23,10 @@ object SparkEntry {
   // search loop); our per-operator query entries share the same fitted
   // model the same way. Deterministic (fixed seeds), so results are
   // unchanged — only the redundant re-fits go away.
-  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfModel]
   private val ivfFlatCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   private val pqFlatCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqFlat.Model]
-  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqModel]
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
   private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def ivfModel(spark: SparkSession, dir: String): graft.index.IvfModel =
-    ivfCache.getOrElseUpdate(dir, {
-      val base = Tables.embeddingBase(spark, dir)
-      IvfIndex.fit(base.coalesce(4), base, nlist = 8)
-    })
-
-  private def pqModel(spark: SparkSession, dir: String): graft.index.PqModel =
-    pqCache.getOrElseUpdate(dir, {
-      val base = Tables.embeddingBase(spark, dir)
-      PqIndex.fit(base, base, m = 16, ksub = 32)
-    })
 
   private def sqModel(spark: SparkSession, dir: String): graft.index.SqModel =
     sqCache.getOrElseUpdate(dir, {
@@ -106,8 +92,6 @@ object SparkEntry {
     * BASELINE ≥0.9 recall bar on the weakly-clustered synthetic embeddings
     * (autotuned via graft.tools.IvfSweep, the MRPT-autotune analog); on
     * naturally clustered corpora the same code runs nlist=√n, nprobe≈10%. */
-  private def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    IvfIndex.search(ivfModel(spark, dir), Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
 
   /** Deterministic integer-Lloyd IVF (graft.index.IvfFlat): the
     * oracle-checkable member of the IVF family — quantized grid, exact
@@ -164,15 +148,7 @@ object SparkEntry {
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
       KnnK, numHashTables = 8, bucketLength = 1.0, dim = 64)
 
-  /** PQ compressed-domain kNN with exact re-rank (SURVEY §2.2 I2, the PQ
-    * half of IndexIVFPQ): ADC shortlist 100 → exact top-10. */
-  private def knnPq(spark: SparkSession, dir: String): DataFrame =
-    PqIndex.searchRerank(pqModel(spark, dir), Tables.embeddingQueries(spark, dir),
-      Tables.embeddingBase(spark, dir), KnnK, shortlist = 100)
 
-  /** PQ+rerank recall vs exact ground truth (≥0.9, asserted in tests). */
-  private def recallPq(spark: SparkSession, dir: String): DataFrame =
-    Recall.recallAtK(knnPq(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** SQ8 scalar-quantized kNN with exact rerank (shortlist 50). */
   private def knnSq(spark: SparkSession, dir: String): DataFrame =
@@ -193,10 +169,6 @@ object SparkEntry {
     Recall.recallBasisPoints(Knn.exact(queries, degraded, KnnK), Knn.exact(queries, base, KnnK), KnnK)
   }
 
-  /** IVF recall vs exact ground truth (no SQL oracle — KMeans; threshold
-    * asserted in ScalaTest per BASELINE ladder: ≥ 0.9). */
-  private def recallIvf(spark: SparkSession, dir: String): DataFrame =
-    Recall.recallAtK(knnIvf(spark, dir), groundTruth(spark, dir), KnnK)
 
   /** LSH recall vs exact ground truth in basis points (threshold ≥ 0.7
     * per BASELINE ladder) — hash-sign projections are exact integer
@@ -643,20 +615,16 @@ object SparkEntry {
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
-    "knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
-    "knn_pq" -> ((s, dir) => knnPq(s, dir)),
-    "recall_pq" -> ((s, dir) => recallPq(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
     "knn_update_identity" -> ((s, dir) => knnUpdateIdentity(s, dir)),
     "recall_degraded" -> ((s, dir) => recallDegraded(s, dir)),
-    "recall_ivf" -> ((s, dir) => recallIvf(s, dir)),
     "recall_lsh" -> ((s, dir) => recallLsh(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "metrics_tail_summary" -> ((s, dir) => metricsTail(s, dir)),

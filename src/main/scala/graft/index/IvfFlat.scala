@@ -98,6 +98,18 @@ object IvfFlat {
     cs
   }
 
+  /** Model persistence: centroids as a tiny parquet (cid, cvec) — the
+    * engine's index-DDL artifact. Round-trips exactly (integer model). */
+  def save(centroids: Array[Array[Long]], path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cvec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Long]] =
+    spark.read.parquet(path).orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toArray)
+
   /** Persist the base partitioned by the deterministic cluster id —
     * the file-level inverted-list layout. Because assignment is exact
     * integer arithmetic, the layout is REPRODUCIBLE: any rewrite of the

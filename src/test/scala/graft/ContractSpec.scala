@@ -15,16 +15,15 @@ class ContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
-  test("rows-only queries are exactly the documented non-SQL-expressible set") {
+  test("every declared query is oracle-checked (no rows-only entries)") {
+    // The entire declared contract hash-matches DuckDB: portable
+    // PolyHash dedup family, double-codec SQ8, hash-sign LSH, and the
+    // integer-Lloyd IvfFlat/PqFlat (which replace the MLlib-KMeans
+    // variants in the contract — those stay in the library, spec-tested
+    // in KnnSpec, but float-summed iterative training cannot be
+    // replayed by a SQL oracle).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set(
-      // iteratively-trained (KMeans) models DuckDB cannot replicate;
-      // everything else — incl. MinHash/SimHash/winnow (portable
-      // PolyHash family), SQ8 (double codec), and hash-sign LSH — is
-      // fully oracle-checked.
-      "knn_ivf", "recall_ivf", "knn_pq", "recall_pq")
-    assert(rowsOnly == documented,
-      s"undocumented rows-only queries: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"rows-only queries crept in: $rowsOnly")
   }
 
   test("every registered query runs and returns rows at sf0.001") {

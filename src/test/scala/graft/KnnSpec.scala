@@ -65,6 +65,10 @@ class KnnSpec extends AnyFunSuite {
     // training is exact integer arithmetic — a refit is bit-identical
     val m2 = graft.index.IvfFlat.fit(base, nlist = 8)
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    // model persistence round-trips exactly (integer model)
+    graft.index.IvfFlat.save(m1, "target/ivf_flat_model_test", spark)
+    val loaded = graft.index.IvfFlat.load(spark, "target/ivf_flat_model_test")
+    assert(loaded.map(_.toSeq).toSeq == m1.map(_.toSeq).toSeq)
   }
 
   test("deterministic integer PQ clears 0.9 recall and refits identically") {
