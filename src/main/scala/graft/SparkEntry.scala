@@ -140,6 +140,25 @@ object SparkEntry {
   private def recallPqFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnPqFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfPq.Model]
+
+  /** IVF+PQ (graft.index.IvfPq) — the faithful FAISS IndexIVFPQ analog
+    * (SURVEY §2.2 I2: nlist/m=16/nprobe): coarse cells SHARED with
+    * knn_ivf_flat (as FAISS shares the coarse quantizer), residual PQ
+    * codebooks, per-(query, probed-cell) ADC, shortlist 250, exact
+    * rerank. Full training replayed by the oracle (⊕). */
+  private def ivfPqModel(spark: SparkSession, dir: String): graft.index.IvfPq.Model =
+    ivfPqCache.getOrElseUpdate(dir,
+      graft.index.IvfPq.fit(Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir)))
+
+  private def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.index.IvfPq.search(ivfPqModel(spark, dir),
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      KnnK, nprobe = 7, shortlist = 250)
+
+  private def recallIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnIvfPq(spark, dir), groundTruth(spark, dir), KnnK)
+
   /** LSH kNN (SURVEY §2.2 I4/I5): Spark-first RP-LSH bucket join, 8 hash
     * tables, bucket length 1.0 (recall 0.95-0.97 across fixtures; the
     * MLlib-wrapper variant LshIndex.search stays covered in KnnSpec). */
@@ -620,6 +639,8 @@ object SparkEntry {
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
+    "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
+    "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
@@ -871,8 +892,11 @@ object SparkEntry {
 
   /** Shared CTE prefix replaying IvfFlat end to end: quantize → hash-pick
     * init → 2 integer Lloyd steps (floor-div means, empty clusters keep
-    * their centroid) → assign/probe → exact rerank. */
-  private val ivfFlatCtes: String = {
+    * their centroid) → assign/probe → exact rerank. Split as (training
+    * prefix through base assignment `ab` + quantized queries `qq`,
+    * full flat-search pipeline) so the IVFPQ oracle reuses the coarse
+    * training verbatim. */
+  private val ivfCtePieces: (String, String) = {
     // integer squared L2 between two 64-d BIGINT lists
     def idist(a: String, b: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
@@ -889,7 +913,7 @@ object SparkEntry {
          |c$n AS (SELECT cid, array_agg(c ORDER BY pos) AS cvec FROM m$n GROUP BY cid
          |  UNION ALL SELECT cid, cvec FROM $prev WHERE cid NOT IN (SELECT cid FROM m$n))""".stripMargin
     val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
-    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    val train = s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
        |bq AS (SELECT vec_id, $quant AS qv FROM b),
        |mx AS (SELECT vec_id, qv,
@@ -902,16 +926,20 @@ object SparkEntry {
        |ab AS (SELECT vec_id, cid FROM (
        |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
        |  FROM bq CROSS JOIN c2 c) WHERE rn = 1),
-       |qq AS (SELECT query_id, $quant AS qv FROM q),
-       |probes AS (SELECT query_id, cid FROM (
-       |  SELECT qq.query_id, c.cid, row_number() OVER (PARTITION BY qq.query_id ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS rn
-       |  FROM qq CROSS JOIN c2 c) WHERE rn <= 6),
-       |ivf_scored AS (SELECT p.query_id, ab.vec_id AS neighbor_id,
-       |    CAST(row_number() OVER (PARTITION BY p.query_id
-       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), ab.vec_id) AS INTEGER) AS rank
-       |  FROM probes p JOIN ab ON ab.cid = p.cid
-       |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
+       |qq AS (SELECT query_id, $quant AS qv FROM q)""".stripMargin
+    val search =
+      s"""probes AS (SELECT query_id, cid FROM (
+         |  SELECT qq.query_id, c.cid, row_number() OVER (PARTITION BY qq.query_id ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS rn
+         |  FROM qq CROSS JOIN c2 c) WHERE rn <= 6),
+         |ivf_scored AS (SELECT p.query_id, ab.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), ab.vec_id) AS INTEGER) AS rank
+         |  FROM probes p JOIN ab ON ab.cid = p.cid
+         |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
+    (train, s"$train,\n$search")
   }
+  private def ivfTrainCtes: String = ivfCtePieces._1
+  private def ivfFlatCtes: String = ivfCtePieces._2
 
   /** Shared CTE prefix replaying PqFlat end to end: quantize → subvector
     * rows → joint init → 2 joint Lloyd steps over (sub_id, cid) → encode
@@ -995,6 +1023,85 @@ object SparkEntry {
        |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
        |  FROM q CROSS JOIN b) WHERE rank <= 10),
        |pr AS (SELECT query_id, neighbor_id FROM ivf_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** IVFPQ replay (graft.index.IvfPq): the coarse-IVF training prefix
+    * verbatim, then residuals (grid vector − assigned centroid), the
+    * joint residual-codebook Lloyd (2 steps, floor-div means), encoding,
+    * per-(query, probed-cell) ADC tables, shortlist 250, exact rerank. */
+  private val ivfPqCtes: String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    def d4(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 4), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    def stepSql(n: Int, prev: String): String =
+      s"""vps$n AS (SELECT vec_id, sub_id, sv, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT sr.vec_id, sr.sub_id, sr.sv, c.cid, ${d4("sr.sv", "c.cvec")} AS dist
+         |        FROM rsr sr JOIN $prev c ON c.sub_id = sr.sub_id)),
+         |vpa$n AS (SELECT vec_id, sub_id, sv, cid FROM vps$n WHERE rn = 1),
+         |vpg$n AS (SELECT sub_id, cid, pos, sum(e) AS s, count(*) AS cnt FROM
+         |  (SELECT sub_id, cid, CAST(generate_subscripts(sv, 1) AS INTEGER) AS pos, unnest(sv) AS e FROM vpa$n)
+         |  GROUP BY sub_id, cid, pos),
+         |vpm$n AS (SELECT sub_id, cid, pos,
+         |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM vpg$n),
+         |vpc$n AS (SELECT sub_id, cid, array_agg(c ORDER BY pos) AS cvec FROM vpm$n GROUP BY sub_id, cid
+         |  UNION ALL SELECT p.sub_id, p.cid, p.cvec FROM $prev p
+         |    LEFT JOIN (SELECT DISTINCT sub_id AS su, cid AS cu FROM vpg$n) u
+         |      ON u.su = p.sub_id AND u.cu = p.cid WHERE u.cu IS NULL)""".stripMargin
+    s"""$ivfTrainCtes,
+       |rres AS (SELECT bq.vec_id, list_transform(generate_series(1, 64), ii -> bq.qv[ii] - c.cvec[ii]) AS rv
+       |  FROM bq JOIN ab ON ab.vec_id = bq.vec_id JOIN c2 c ON c.cid = ab.cid),
+       |rsr0 AS (SELECT vec_id, rv, unnest(generate_series(0, 15)) AS sub_id FROM rres),
+       |rsr AS (SELECT vec_id, sub_id, rv[sub_id*4+1 : sub_id*4+4] AS sv FROM rsr0),
+       |vmx AS (SELECT vec_id,
+       |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM bq),
+       |vseeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT * FROM vmx ORDER BY mx, vec_id LIMIT 32)),
+       |vinit AS (SELECT rsr.sub_id, vseeds.cid, rsr.sv AS cvec FROM rsr JOIN vseeds ON vseeds.vec_id = rsr.vec_id),
+       |${stepSql(1, "vinit")},
+       |${stepSql(2, "vpc1")},
+       |venc AS (SELECT vec_id, sub_id, cid AS code FROM (
+       |  SELECT rsr.vec_id, rsr.sub_id, c.cid,
+       |    row_number() OVER (PARTITION BY rsr.vec_id, rsr.sub_id ORDER BY ${d4("rsr.sv", "c.cvec")}, c.cid) AS rn
+       |  FROM rsr JOIN vpc2 c ON c.sub_id = rsr.sub_id) WHERE rn = 1),
+       |vprobes AS (SELECT query_id, cid FROM (
+       |  SELECT qq.query_id, c.cid, row_number() OVER (PARTITION BY qq.query_id ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS rn
+       |  FROM qq CROSS JOIN c2 c) WHERE rn <= 7),
+       |vqres AS (SELECT p.query_id, p.cid AS icid,
+       |    list_transform(generate_series(1, 64), ii -> qq.qv[ii] - c.cvec[ii]) AS rv
+       |  FROM vprobes p JOIN qq ON qq.query_id = p.query_id JOIN c2 c ON c.cid = p.cid),
+       |vqsr0 AS (SELECT query_id, icid, rv, unnest(generate_series(0, 15)) AS sub_id FROM vqres),
+       |vqsr AS (SELECT query_id, icid, sub_id, rv[sub_id*4+1 : sub_id*4+4] AS sv FROM vqsr0),
+       |vqtab AS (SELECT query_id, icid, sr.sub_id, c.cid AS code, ${d4("sr.sv", "c.cvec")} AS qdist
+       |  FROM vqsr sr JOIN vpc2 c ON c.sub_id = sr.sub_id),
+       |vadc AS (SELECT t.query_id, e.vec_id, sum(t.qdist) AS adist
+       |  FROM venc e JOIN ab ON ab.vec_id = e.vec_id
+       |  JOIN vqtab t ON t.icid = ab.cid AND t.sub_id = e.sub_id AND t.code = e.code
+       |  GROUP BY 1, 2),
+       |vshort AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |  FROM vadc) WHERE rn <= 250),
+       |ivfpq_scored AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rank
+       |  FROM vshort s JOIN q ON q.query_id = s.query_id JOIN b ON b.vec_id = s.vec_id)""".stripMargin
+  }
+
+  private val ivfPqKnnOracle: String =
+    s"WITH $ivfPqCtes\nSELECT query_id, neighbor_id, rank FROM ivfpq_scored WHERE rank <= 10"
+
+  private val ivfPqRecallOracle: String =
+    s"""WITH $ivfPqCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM ivfpq_scored WHERE rank <= 10),
        |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
@@ -1094,6 +1201,8 @@ object SparkEntry {
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
+    "knn_ivfpq" -> ivfPqKnnOracle,
+    "recall_ivfpq" -> ivfPqRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_grouped" ->

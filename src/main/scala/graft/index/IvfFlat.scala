@@ -47,20 +47,20 @@ object IvfFlat {
       .collect()
       .map(_.getSeq[Long](0).toArray)
 
-  private def centroidLits(cs: Array[Array[Long]]): Column =
+  private[index] def centroidLits(cs: Array[Array[Long]]): Column =
     array(cs.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), typedlit(c.toSeq).as("cvec"))
     }: _*)
 
   /** (vec_id, qv, cid, dist) for each of the nlist centroids — integer
     * distances, exact in double (< 2^47). */
-  private def scored(bq: DataFrame, cs: Array[Array[Long]]): DataFrame =
+  private[index] def scored(bq: DataFrame, cs: Array[Array[Long]]): DataFrame =
     bq.select(col("vec_id"), col("qv"), explode(centroidLits(cs)).as("c"))
       .select(col("vec_id"), col("qv"), col("c.cid").as("cid"),
         l2sq(col("qv"), col("c.cvec")).as("dist"))
 
   /** Nearest-centroid assignment, ties by cid. */
-  private def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
+  private[index] def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     scored(bq, cs).withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -71,14 +71,21 @@ object PqFlat {
   /** Train all m codebooks: quantize → per-subspace init from the ksub
     * smallest Knuth-mixed ids → `iters` joint Lloyd steps → encode. */
   def fit(base: DataFrame, m: Int = 16, ksub: Int = 32, iters: Int = 2): Model = {
-    val spark = base.sparkSession
     val dim = base.select(size(col("embedding"))).first().getInt(0)
-    require(dim % m == 0,
-      s"embedding dim $dim is not divisible by m=$m subspaces — trailing dims would be silently dropped")
-    val dsub = dim / m
     val bq = base
       .select(col("vec_id"), IvfFlat.quantize(col("embedding")).as("qv"))
       .localCheckpoint()
+    fitQuantized(bq, dim, m, ksub, iters)
+  }
+
+  /** Train on already-integer vectors `(vec_id, qv: array<long>[dim])` —
+    * the entry point [[IvfPq]] uses to train codebooks on IVF residuals
+    * (which are integer by construction: grid point − grid centroid). */
+  private[index] def fitQuantized(bq: DataFrame, dim: Int,
+      m: Int, ksub: Int, iters: Int): Model = {
+    require(dim % m == 0,
+      s"dim $dim is not divisible by m=$m subspaces — trailing dims would be silently dropped")
+    val dsub = dim / m
     val rows = subRows(bq, m, dsub).localCheckpoint()
     // init: same ksub seed vectors for every subspace (id-hash pick)
     val seedIds = bq.select(col("vec_id"),

@@ -80,6 +80,21 @@ class KnnSpec extends AnyFunSuite {
     assert(c1.toSeq == c2.toSeq)
   }
 
+  test("IVFPQ (residual PQ in IVF cells) clears 0.9 recall, refits identically") {
+    val coarse = graft.index.IvfFlat.fit(base, nlist = 8)
+    val m1 = graft.index.IvfPq.fit(base, coarse)
+    assert(recallOf(graft.index.IvfPq.search(m1, queries, base, 10, nprobe = 7, shortlist = 250)) >= 0.9)
+    // residuals of grid points are grid points — refit is bit-identical
+    val m2 = graft.index.IvfPq.fit(base, coarse)
+    val c1 = m1.codebooks.orderBy("sub_id", "cid").collect().map(_.getSeq[Long](2).toList)
+    val c2 = m2.codebooks.orderBy("sub_id", "cid").collect().map(_.getSeq[Long](2).toList)
+    assert(c1.toSeq == c2.toSeq)
+    // recall improves with probes: coarse coverage bounds the shortlist
+    val rLow = recallOf(graft.index.IvfPq.search(m1, queries, base, 10, nprobe = 2, shortlist = 250))
+    val rHigh = recallOf(graft.index.IvfPq.search(m1, queries, base, 10, nprobe = 8, shortlist = 250))
+    assert(rLow <= rHigh)
+  }
+
   test("IVF recall is monotone in nprobe") {
     val model = IvfIndex.fit(base, base, nlist = 8)
     val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
