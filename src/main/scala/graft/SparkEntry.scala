@@ -159,6 +159,16 @@ object SparkEntry {
   private def recallIvfPq(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfPq(spark, dir), groundTruth(spark, dir), KnnK)
 
+  /** Two-stage prefix-dim kNN (Knn.prefixRerank — Matryoshka-style
+    * adaptive retrieval): 32-of-64-dim cheap pass, shortlist 200, exact
+    * rerank. The modern scale path for trained-prefix embeddings (⊕). */
+  private def knnPrefix(spark: SparkSession, dir: String): DataFrame =
+    Knn.prefixRerank(Tables.embeddingQueries(spark, dir),
+      Tables.embeddingBase(spark, dir), KnnK, prefixDim = 32, shortlistSize = 200)
+
+  private def recallPrefix(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnPrefix(spark, dir), groundTruth(spark, dir), KnnK)
+
   /** LSH kNN (SURVEY §2.2 I4/I5): Spark-first RP-LSH bucket join, 8 hash
     * tables, bucket length 1.0 (recall 0.95-0.97 across fixtures; the
     * MLlib-wrapper variant LshIndex.search stays covered in KnnSpec). */
@@ -230,6 +240,32 @@ object SparkEntry {
   private def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     MetricsAnalytics.sessionize(
       Tables.events(spark, dir), col("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000)
+
+  /** Range (band) join via bucketed co-location (Joins.bandPairs): for
+    * each click event, how many OTHER-user events land within ±5 min —
+    * the theta-join the reference never needs but a sessionized event
+    * store does constantly. The bucket join keeps it a hash join at any
+    * scale; left join + count preserves zero-match clicks. */
+  private def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+    val clicks = Tables.events(spark, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+    graft.operators.Joins.bandPairs(clicks, ev, "tms", 300000L)
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("r_user_id") =!= col("user_id"), 1L).otherwise(0L)).as("n_nearby"))
+  }
+
+  /** D1 existence-guarded upsert (Snapshots.insert dedupe=true — the
+    * Redis `HSET`-if-absent pattern, dynamic_script_redis.py:49-55):
+    * re-inserting an overlapping slice must not duplicate ids. */
+  private def upsertGuard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 =!= 0).select(col("vec_id"), col("label"))
+    val updates = Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+    graft.operators.Snapshots.insert(base, updates, "vec_id", dedupe = true)
+  }
 
   /** S4→S5 round-trip: synthesize the reference's interval-log lines from
     * events, then regex-parse them back to typed columns. */
@@ -641,6 +677,8 @@ object SparkEntry {
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
     "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
+    "knn_prefix" -> ((s, dir) => knnPrefix(s, dir)),
+    "recall_prefix" -> ((s, dir) => recallPrefix(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
@@ -653,6 +691,8 @@ object SparkEntry {
     "multi_tenant_agg" -> ((s, dir) => multiTenantAgg(s, dir)),
     "event_regions" -> ((s, dir) => eventRegions(s, dir)),
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
+    "range_join_events" -> ((s, dir) => rangeJoinEvents(s, dir)),
+    "upsert_guard" -> ((s, dir) => upsertGuard(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
     "asof_join" -> ((s, dir) => asofJoin(s, dir)),
@@ -1106,6 +1146,37 @@ object SparkEntry {
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
+  /** Prefix-rerank replay: 32-dim first pass (ordering by L2 on the
+    * sliced vectors, ties by vec_id), shortlist 200, exact full-dim
+    * rerank. */
+  private val prefixCtes: String =
+    """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      |pshortp AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.query_id, b.vec_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_distance(CAST(q.embedding[1:32] AS DOUBLE[]), CAST(b.embedding[1:32] AS DOUBLE[])), b.vec_id) AS rn
+      |  FROM q CROSS JOIN b) WHERE rn <= 200),
+      |prefix_scored AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rank
+      |  FROM pshortp s JOIN q ON q.query_id = s.query_id JOIN b ON b.vec_id = s.vec_id)""".stripMargin
+
+  private val prefixKnnOracle: String =
+    s"WITH $prefixCtes\nSELECT query_id, neighbor_id, rank FROM prefix_scored WHERE rank <= 10"
+
+  private val prefixRecallOracle: String =
+    s"""WITH $prefixCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM prefix_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   private val lshKnnOracle: String =
     s"WITH $lshKnnCtes\nSELECT query_id, neighbor_id, rank FROM lsh_scored WHERE rank <= 10"
 
@@ -1203,6 +1274,8 @@ object SparkEntry {
     "recall_pq_flat" -> pqFlatRecallOracle,
     "knn_ivfpq" -> ivfPqKnnOracle,
     "recall_ivfpq" -> ivfPqRecallOracle,
+    "knn_prefix" -> prefixKnnOracle,
+    "recall_prefix" -> prefixRecallOracle,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_grouped" ->
@@ -1255,6 +1328,18 @@ object SparkEntry {
         |    OVER (PARTITION BY key ORDER BY ms, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "range_join_events" ->
+      """SELECT c.event_id,
+        |  CAST(sum(CASE WHEN o.user_id <> c.user_id THEN 1 ELSE 0 END) AS BIGINT) AS n_nearby
+        |FROM events c JOIN events o
+        |  ON abs(epoch_ms(c.ts) - epoch_ms(o.ts)) <= 300000
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id""".stripMargin,
+    "upsert_guard" ->
+      // base (vec_id%20<>0) upserted with the overlapping %10=0 slice:
+      // the existence guard makes the result exactly the full table —
+      // a broken guard duplicates the %20=10 rows and fails the hash.
+      "SELECT vec_id, label FROM embeddings",
     "log_roundtrip" ->
       """WITH lines AS (SELECT printf(
         |  'Interval %d: QPS = %.2f queries/sec, Latency = %.2f ms, Recall = %.4f',

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   *    `saltFactor` replicas and salts the probe side's keys, so one hot
   *    key spreads over saltFactor reducers. Result-identical to the plain
   *    join (asserted in JoinsSpec).
+  *  - [[bandPairs]]: range (band) join — pairs within a time band. The
+  *    naive plan is a cross join with a theta predicate (quadratic, and
+  *    Catalyst can only BroadcastNestedLoop it); the scale plan buckets
+  *    both sides into band-width cells and equi-joins each left row's
+  *    {cell−1, cell, cell+1} against the right cell — a hash join with
+  *    3× fan-out whose per-cell cost is bounded by local density, then
+  *    the exact band predicate. Each qualifying pair matches exactly
+  *    once (the right row's single cell is in the left row's 3-cell
+  *    candidate list iff the band can overlap).
   */
 object Joins {
 
@@ -56,5 +65,27 @@ object Joins {
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((saltFactor - 1).toLong))))
     saltedBig.join(explodedSmall, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
+  /** Band join via bucketed co-location: all (left, right) pairs with
+    * `|left.msCol − right.msCol| <= widthMs`. Both inputs need a BIGINT
+    * millisecond column `msCol` (non-negative). Returns the left rows
+    * joined to matching right rows; right columns arrive prefixed with
+    * `rPrefix`. Pairs where the exact predicate fails are dropped; left
+    * rows with no match are dropped (wrap in a count-with-default for
+    * outer semantics). */
+  def bandPairs(left: DataFrame, right: DataFrame, msCol: String,
+      widthMs: Long, rPrefix: String = "r_"): DataFrame = {
+    require(widthMs > 0, "band width must be positive")
+    // integer div, not Column./ (floating-point): a double quotient at an
+    // exact cell boundary can truncate to cell−1 and silently drop pairs
+    val lCell = expr(s"$msCol div $widthMs")
+    val l = left.withColumn("__cell",
+      explode(array(lCell - 1, lCell, lCell + 1)))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rPrefix + c))
+      .withColumn("__cell", expr(s"$rPrefix$msCol div $widthMs"))
+    l.join(r, Seq("__cell"))
+      .filter(abs(col(msCol) - col(rPrefix + msCol)) <= widthMs)
+      .drop("__cell")
   }
 }

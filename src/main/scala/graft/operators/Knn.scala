@@ -82,6 +82,40 @@ object Knn {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Two-stage prefix-dimension kNN — Matryoshka-style adaptive
+    * retrieval: the first pass scores only the first `prefixDim`
+    * dimensions (prefixDim/dim of the bytes through the scan; with
+    * column pruning to a stored prefix column, that is a physically
+    * smaller read), keeps a per-query `shortlist` via the bounded-heap
+    * aggregate, then reranks the shortlist exactly on the full vector.
+    * At 100 TB the cheap pass is the only full scan; the rerank touches
+    * |queries|·shortlist rows. Recall depends on how much signal the
+    * leading dims carry (Matryoshka-trained embeddings concentrate it
+    * there by construction). */
+  def prefixRerank(queries: DataFrame, base: DataFrame, k: Int,
+      prefixDim: Int, shortlistSize: Int): DataFrame = {
+    val shortAgg = graft.functions.GraftFunctions.topKByDist(
+      col("vec_id"), col("pdist"), shortlistSize)
+    val short = base
+      .select(col("vec_id"), slice(col("embedding"), 1, prefixDim).as("pemb"))
+      .crossJoin(broadcast(queries.select(col("query_id"),
+        slice(col("q_embedding"), 1, prefixDim).as("q_pemb"))))
+      .select(col("query_id"), col("vec_id"), l2sq(col("q_pemb"), col("pemb")).as("pdist"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("vec_id"))
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
+    short
+      .join(base, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k by cosine similarity (descending) — the similarity-search
     * baseline for the embedding column (builder brief: ANN over embeddings). */
   def cosineTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {

@@ -61,4 +61,20 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](1).toList)
     assert(fps1.toSeq == fps2.toSeq)
   }
+
+  test("bucketed band join equals the naive theta join, incl. boundaries") {
+    // ms values sit exactly on and around cell boundaries of width 100
+    val l = Seq((1L, 0L), (2L, 100L), (3L, 199L), (4L, 200L), (5L, 1000L))
+      .toDF("lid", "tms")
+    val r = Seq((10L, 0L), (11L, 99L), (12L, 100L), (13L, 300L), (14L, 301L), (15L, 950L))
+      .toDF("rid", "tms")
+    val fast = Joins.bandPairs(l, r, "tms", 100L)
+      .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.as("l").crossJoin(r.withColumnRenamed("tms", "rtms").as("r"))
+      .filter(abs(col("tms") - col("rtms")) <= 100L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.contains((4L, 13L))) // |200-300| = width: inclusive edge
+    assert(!fast.contains((4L, 14L))) // |200-301| just outside
+  }
 }
