@@ -15,4 +15,9 @@ object GraftFunctions {
         bridge.expression(id.cast("long")),
         bridge.expression(dist.cast("double")),
         Literal(k)).toAggregateExpression())
+
+  /** Exact-int64 ADC table lookup — see [[PqAdcDistanceLong]]. */
+  def pqAdcLong(table: Column, codes: Column, ksub: Int): Column =
+    bridge.column(PqAdcDistanceLong(
+      bridge.expression(table), bridge.expression(codes), ksub))
 }

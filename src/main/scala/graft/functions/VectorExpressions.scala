@@ -194,6 +194,47 @@ case class PqAdcDistance(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Table-lookup ADC over an int64 distance table (entry `j*ksub + code`
+  * for subspace j) — the exact-integer sibling of [[PqAdcDistance]] used
+  * by the oracle-checkable PQ paths ([[graft.index.PqFlat]] /
+  * [[graft.index.IvfPq]]): every entry and the sum are exact int64, so
+  * the compressed-domain ordering replays bit-for-bit in a SQL engine
+  * while keeping the fused no-allocation lookup loop of the FAISS IVFADC
+  * scan (/root/reference/multi_tenant_script.py:94-103). */
+case class PqAdcDistanceLong(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_adc_dist_long"
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val table = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    var acc = 0L
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) { acc += table.getLong(j * ksub + codes.getInt(j)); j += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+         |int $m = $c.numElements();
+         |long ${ev.value}Acc = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  ${ev.value}Acc += $t.getLong($j * $ksub + $c.getInt($j));
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDistanceLong =
+    copy(left = l, right = r)
+}
+
 /** Σ a_i · b_i — dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecFold {
   override def prettyName: String = "dot_native"

@@ -87,20 +87,25 @@ object IvfPq {
         explode(sequence(lit(0), lit(model.m - 1))).as("sub_id"), col("rv"))
       .select(col("query_id"), col("icid"), col("sub_id"),
         expr(s"slice(rv, sub_id * ${model.dsub} + 1, ${model.dsub})").as("sv"))
-    // ADC table: distance from each query residual subvector to every code
+    // ADC table: distance from each query residual subvector to every
+    // code, flattened to one int64 array per (query, probed cell)
     val qtab = qsr.join(model.codebooks, Seq("sub_id"))
       .select(col("query_id"), col("icid"), col("sub_id"),
         col("cid").as("code"), l2sq(col("sv"), col("cvec")).as("qdist"))
-    // compressed-domain scan of the probed lists only (join key carries icid)
-    val encLists = model.encoded
+    val qarr = PqFlat.qdistTable(qtab, model.ksub, Seq("query_id", "icid"))
+    // compressed-domain scan of the probed lists only (join key carries
+    // icid): fused int64 lookup kernel + bounded-heap shortlist — same
+    // integer values as the relational formulation the oracle replays
+    val encLists = PqFlat.codesArray(model.encoded)
       .join(model.assignments.withColumnRenamed("cid", "icid"), Seq("vec_id"))
-    val wS = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val short = encLists.join(qtab, Seq("icid", "sub_id", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adist"))
-      .withColumn("__rn", row_number().over(wS))
-      .filter(col("__rn") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
+    val shortAgg = topKByDist(col("vec_id"), col("adist"), shortlist)
+    val short = encLists.join(broadcast(qarr), Seq("icid"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.pqAdcLong(col("qd"), col("codes"), model.ksub)
+          .cast("double").as("adist"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("vec_id"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     short
       .join(base, Seq("vec_id"))

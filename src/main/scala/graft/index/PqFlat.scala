@@ -108,10 +108,29 @@ object PqFlat {
     Model(m, ksub, dsub, centroids, encoded)
   }
 
+  /** Codes pivoted to one array per vector (index = sub_id) — the
+    * compact layout the ADC lookup kernel scans. */
+  private[index] def codesArray(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        p => p.getField("code").cast("int")).as("codes"))
+
+  /** Per-group flat int64 distance table (entry `sub_id*ksub + code`)
+    * from (…, sub_id, code, qdist) rows — complete by construction (the
+    * qtab join pairs every subvector with every centroid). */
+  private[index] def qdistTable(qtab: DataFrame, ksub: Int, keys: Seq[String]): DataFrame =
+    qtab.groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(
+          (col("sub_id") * ksub + col("code")).as("idx"), col("qdist")))),
+        p => p.getField("qdist").cast("long")).as("qd"))
+
   /** ADC search with exact rerank: per-query integer distance table
-    * (query subvector → every centroid), equi-joined against the encoded
-    * base on (sub_id, code), summed per (query, vec) — the compressed-
-    * domain shortlist — then exact float top-k on the shortlist. */
+    * (query subvector → every centroid) flattened to an array, scanned
+    * against the pivoted base codes with the fused int64 lookup kernel
+    * ([[graft.functions.PqAdcDistanceLong]]), bounded-heap shortlist —
+    * then exact float top-k on the shortlist. Same integer values as the
+    * relational equi-join formulation (which the DuckDB oracle replays),
+    * at 1/m the rows through the scan. */
   def searchRerank(model: Model, queries: DataFrame, base: DataFrame,
       k: Int, shortlist: Int): DataFrame = {
     val qq = queries.select(col("query_id").as("vec_id"),
@@ -120,14 +139,16 @@ object PqFlat {
       .join(model.centroids, Seq("sub_id"))
       .select(col("vec_id").as("query_id"), col("sub_id"), col("cid").as("code"),
         l2sq(col("sv"), col("cvec")).as("qdist"))
-    val wS = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val short = model.encodedBase
-      .join(qtab, Seq("sub_id", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adist"))
-      .withColumn("__rn", row_number().over(wS))
-      .filter(col("__rn") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
+    val qarr = qdistTable(qtab, model.ksub, Seq("query_id"))
+    val shortAgg = topKByDist(col("vec_id"), col("adist"), shortlist)
+    val short = codesArray(model.encodedBase)
+      .crossJoin(broadcast(qarr))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.pqAdcLong(col("qd"), col("codes"), model.ksub)
+          .cast("double").as("adist"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("vec_id"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     short
       .join(base, Seq("vec_id"))
