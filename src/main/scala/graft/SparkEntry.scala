@@ -159,6 +159,20 @@ object SparkEntry {
   private def recallIvfPq(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfPq(spark, dir), groundTruth(spark, dir), KnnK)
 
+  /** MIPS top-k (Knn.mipsTopK): inner-product metric — FAISS
+    * METRIC_INNER_PRODUCT, the retrieval-scorer metric (⊕). */
+  private def knnMips(spark: SparkSession, dir: String): DataFrame =
+    Knn.mipsTopK(Tables.embeddingQueries(spark, dir),
+      Tables.embeddingBase(spark, dir), KnnK)
+
+  /** Deterministic per-label stratified sample (Sampling.idBucket < 10
+    * of 100): the reproducible 10% split a 100 TB pipeline can re-derive
+    * on any engine — same Knuth-mix rule as train_test_split (⊕). */
+  private def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .filter(graft.operators.Sampling.idBucket(col("vec_id"), 100) < 10)
+      .select(col("vec_id"), col("label"))
+
   /** Two-stage prefix-dim kNN (Knn.prefixRerank — Matryoshka-style
     * adaptive retrieval): 32-of-64-dim cheap pass, shortlist 200, exact
     * rerank. The modern scale path for trained-prefix embeddings (⊕). */
@@ -679,6 +693,8 @@ object SparkEntry {
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
     "knn_prefix" -> ((s, dir) => knnPrefix(s, dir)),
     "recall_prefix" -> ((s, dir) => recallPrefix(s, dir)),
+    "knn_mips" -> ((s, dir) => knnMips(s, dir)),
+    "stratified_sample" -> ((s, dir) => stratifiedSample(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
@@ -1276,6 +1292,23 @@ object SparkEntry {
     "recall_ivfpq" -> ivfPqRecallOracle,
     "knn_prefix" -> prefixKnnOracle,
     "recall_prefix" -> prefixRecallOracle,
+    "knn_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.query_id
+        |           ORDER BY -list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id
+        |         ) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b)
+        |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin,
+    "stratified_sample" ->
+      """WITH h AS (SELECT vec_id, label, vec_id % 4294967296 AS a FROM embeddings),
+        |m AS (SELECT vec_id, label,
+        |  (((a >> 16) * 2654435761) % 65536 * 65536 + (a & 65535) * 2654435761)
+        |    % 4294967296 AS mixed FROM h)
+        |SELECT vec_id, label FROM m WHERE mixed % 100 < 10""".stripMargin,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
     "knn_grouped" ->

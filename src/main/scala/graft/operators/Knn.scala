@@ -131,6 +131,24 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Exact top-k by inner product (descending) — FAISS
+    * METRIC_INNER_PRODUCT, the MIPS metric of recommendation/retrieval
+    * scorers. Same plan shape as [[cosineTopK]]: negated score through
+    * the bounded-heap aggregate. */
+  def mipsTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.GraftFunctions.topKByDist(
+      col("vec_id"), -dot(col("q_embedding"), col("embedding")), k)
+    base
+      .crossJoin(broadcast(queries))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Ground-truth generator: exact top-k collected to one array per query,
     * the analog of `sift_groundtruth.ivecs` (SURVEY §1.1). */
   def groundTruth(queries: DataFrame, base: DataFrame, k: Int): DataFrame =

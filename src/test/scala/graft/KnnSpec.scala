@@ -95,6 +95,21 @@ class KnnSpec extends AnyFunSuite {
     assert(rLow <= rHigh)
   }
 
+  test("MIPS top-k equals the naive window formulation") {
+    val fast = Knn.mipsTopK(queries, base, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val naive = base.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot(col("q_embedding"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fast == naive)
+  }
+
   test("IVF recall is monotone in nprobe") {
     val model = IvfIndex.fit(base, base, nlist = 8)
     val r = Seq(1, 3, 6).map(p => recallOf(IvfIndex.search(model, queries, 10, p)))
