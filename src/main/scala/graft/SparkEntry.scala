@@ -437,6 +437,25 @@ object SparkEntry {
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** Rare-token familiarity: per doc, the share of token OCCURRENCES
+    * whose corpus document-frequency is < 5 — an integer-portable
+    * out-of-vocabulary/quality signal (the engine-checkable stand-in for
+    * float LM perplexity, whose libm logs don't replay bit-for-bit
+    * across engines). Two shuffles at any scale: one df aggregate keyed
+    * by token, one token-keyed join back + per-doc aggregate. */
+  private def rareTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    toks.join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") < 5, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        expr("n_rare * 10000 div n_tokens").as("rare_bp"))
+  }
+
   /** PII redaction pass (emails / long digit runs) with redacted-text
     * fingerprint — the scrubbing stage of a training-data pipeline. */
   private def piiRedact(spark: SparkSession, dir: String): DataFrame =
@@ -746,6 +765,7 @@ object SparkEntry {
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
     "table_profile" -> ((s, dir) => tableProfile(s, dir)),
     "metrics_quantiles" -> ((s, dir) => metricsQuantiles(s, dir)),
+    "rare_token_stats" -> ((s, dir) => rareTokenStats(s, dir)),
     "pii_redact" -> ((s, dir) => piiRedact(s, dir)),
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
@@ -1303,6 +1323,15 @@ object SparkEntry {
         |         ) AS INTEGER) AS rank
         |  FROM q CROSS JOIN b)
         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin,
+    "rare_token_stats" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN df.df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN df.df < 5 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // count(*) AS rare_bp
+        |FROM toks t JOIN df ON df.tok = t.tok
+        |GROUP BY t.doc_id""".stripMargin,
     "stratified_sample" ->
       """WITH h AS (SELECT vec_id, label, vec_id % 4294967296 AS a FROM embeddings),
         |m AS (SELECT vec_id, label,
