@@ -210,9 +210,9 @@ case class PqAdcDistanceLong(left: Expression, right: Expression, ksub: Int)
   override def nullSafeEval(t: Any, c: Any): Any = {
     val table = t.asInstanceOf[ArrayData]
     val codes = c.asInstanceOf[ArrayData]
+    val m = PqAdcDistanceLong.checkShape(table.numElements(), codes.numElements(), ksub)
     var acc = 0L
     var j = 0
-    val m = codes.numElements()
     while (j < m) { acc += table.getLong(j * ksub + codes.getInt(j)); j += 1 }
     acc
   }
@@ -222,7 +222,7 @@ case class PqAdcDistanceLong(left: Expression, right: Expression, ksub: Int)
       val j = ctx.freshName("j")
       val m = ctx.freshName("m")
       s"""
-         |int $m = $c.numElements();
+         |int $m = graft.functions.PqAdcDistanceLong.checkShape($t.numElements(), $c.numElements(), $ksub);
          |long ${ev.value}Acc = 0L;
          |for (int $j = 0; $j < $m; $j++) {
          |  ${ev.value}Acc += $t.getLong($j * $ksub + $c.getInt($j));
@@ -233,6 +233,18 @@ case class PqAdcDistanceLong(left: Expression, right: Expression, ksub: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDistanceLong =
     copy(left = l, right = r)
+}
+
+object PqAdcDistanceLong {
+  /** Shape guard shared by interpreted + generated paths: a distance
+    * table from a model with different m/ksub than the codes would index
+    * the wrong entries and return a plausible-but-wrong distance —
+    * exactly the silent-truncation class of bug. Fail loudly instead. */
+  def checkShape(tableLen: Int, m: Int, ksub: Int): Int = {
+    if (tableLen != m * ksub) throw new IllegalArgumentException(
+      s"ADC shape mismatch: table has $tableLen entries, codes need $m*$ksub")
+    m
+  }
 }
 
 /** Σ a_i · b_i — dot product. */

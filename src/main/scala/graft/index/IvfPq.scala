@@ -38,7 +38,7 @@ object IvfPq {
       centroids: Array[Array[Long]], // IVF coarse centroids, position = cid
       assignments: DataFrame, // (vec_id, cid) — inverted-list membership
       codebooks: DataFrame, // (sub_id, cid, cvec) — residual codebooks
-      encoded: DataFrame) // (vec_id, sub_id, code) — PQ codes of residuals
+      lists: DataFrame) // (vec_id, icid, codes: array<int>[m]) — the inverted lists in code form, built once at fit
 
   private def centroidArray(cs: Array[Array[Long]]): Column =
     array(cs.map(c => typedlit(c.toSeq)): _*)
@@ -62,8 +62,12 @@ object IvfPq {
     val resid = residuals(bq, centroids).localCheckpoint()
     val pq = PqFlat.fitQuantized(
       resid.select(col("vec_id"), col("rv").as("qv")), dim, m, ksub, iters)
+    val assignments = resid.select(col("vec_id"), col("cid"))
+    val lists = pq.codes
+      .join(assignments.withColumnRenamed("cid", "icid"), Seq("vec_id"))
+      .localCheckpoint()
     Model(centroids.length, m, ksub, dim / m, centroids,
-      resid.select(col("vec_id"), col("cid")), pq.centroids, pq.encodedBase)
+      assignments, pq.centroids, lists)
   }
 
   /** IVFPQ search: probe `nprobe` nearest coarse cells per query, build
@@ -96,10 +100,8 @@ object IvfPq {
     // compressed-domain scan of the probed lists only (join key carries
     // icid): fused int64 lookup kernel + bounded-heap shortlist — same
     // integer values as the relational formulation the oracle replays
-    val encLists = PqFlat.codesArray(model.encoded)
-      .join(model.assignments.withColumnRenamed("cid", "icid"), Seq("vec_id"))
     val shortAgg = topKByDist(col("vec_id"), col("adist"), shortlist)
-    val short = encLists.join(broadcast(qarr), Seq("icid"))
+    val short = model.lists.join(broadcast(qarr), Seq("icid"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.pqAdcLong(col("qd"), col("codes"), model.ksub)
           .cast("double").as("adist"))

@@ -28,7 +28,8 @@ object PqFlat {
 
   final case class Model(m: Int, ksub: Int, dsub: Int,
       centroids: DataFrame, // (sub_id, cid, cvec: array<long>[dsub])
-      encodedBase: DataFrame) // (vec_id, sub_id, code)
+      encodedBase: DataFrame, // (vec_id, sub_id, code)
+      codes: DataFrame) // (vec_id, codes: array<int>[m]) — pivoted once at fit
 
   /** Subvector rows (id, sub_id, sv) from quantized vectors. */
   private def subRows(qdf: DataFrame, m: Int, dsub: Int): DataFrame =
@@ -105,7 +106,7 @@ object PqFlat {
     val encoded = assign(rows, centroids)
       .select(col("vec_id"), col("sub_id"), col("cid").as("code"))
       .localCheckpoint()
-    Model(m, ksub, dsub, centroids, encoded)
+    Model(m, ksub, dsub, centroids, encoded, codesArray(encoded).localCheckpoint())
   }
 
   /** Codes pivoted to one array per vector (index = sub_id) — the
@@ -141,7 +142,7 @@ object PqFlat {
         l2sq(col("sv"), col("cvec")).as("qdist"))
     val qarr = qdistTable(qtab, model.ksub, Seq("query_id"))
     val shortAgg = topKByDist(col("vec_id"), col("adist"), shortlist)
-    val short = codesArray(model.encodedBase)
+    val short = model.codes
       .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.pqAdcLong(col("qd"), col("codes"), model.ksub)

@@ -56,4 +56,20 @@ class VectorExprSpec extends AnyFunSuite {
     val v = df.select(l2sq(col("a"), col("b")).as("d")).collect()(0).getDouble(0)
     assert(v == 5.0)
   }
+
+  test("int64 ADC lookup sums the right table entries and guards shape") {
+    import graft.functions.GraftFunctions.pqAdcLong
+    // m=2, ksub=3: table idx j*3+code
+    val df = Seq((Array(10L, 20L, 30L, 40L, 50L, 60L), Array(2, 0)))
+      .toDF("qd", "codes")
+    val v = df.select(pqAdcLong(col("qd"), col("codes"), 3).as("d"))
+      .collect()(0).getLong(0)
+    assert(v == 30L + 40L)
+    // mismatched shape must raise, not silently mis-index
+    val bad = Seq((Array(10L, 20L, 30L), Array(2, 0))).toDF("qd", "codes")
+    val e = intercept[Exception] {
+      bad.select(pqAdcLong(col("qd"), col("codes"), 3).as("d")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
