@@ -533,6 +533,17 @@ object SparkEntry {
           .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
         "doc_id", "text", "text/plain"))
 
+  /** Multimodal feature extraction (integer stub featurizer — the
+    * oracle-checkable pseudo-embedding; ASCII-sanitized payloads as in
+    * multimodal_frames so DuckDB's per-codepoint replay equals the
+    * byte-level pass). */
+  private def multimodalEmbed(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.extractIntFeatures(
+      graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(spark, dir)
+          .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
+        "doc_id", "text", "text/plain"))
+
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
     * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
@@ -751,6 +762,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
     "multimodal_meta" -> ((s, dir) => multimodalMeta(s, dir)),
     "multimodal_frames" -> ((s, dir) => multimodalFrames(s, dir)),
+    "multimodal_embed" -> ((s, dir) => multimodalEmbed(s, dir)),
     "q3_top_orders" -> ((s, dir) => q3TopOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
@@ -1603,6 +1615,17 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // ASCII-sanitized on both sides → per-byte pass == per-codepoint replay
+    "multimodal_embed" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+        |c AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d),
+        |v AS (SELECT doc_id, (i - 1) % 8 AS j, ascii(substring(text, i, 1)) AS b FROM c),
+        |g AS (SELECT doc_id, j, CAST(sum(b) AS BIGINT) AS s FROM v GROUP BY doc_id, j),
+        |scaffold AS (SELECT doc_id, unnest(generate_series(0, 7)) AS j FROM d),
+        |filled AS (SELECT sc.doc_id, sc.j, coalesce(g.s, 0) AS s
+        |  FROM scaffold sc LEFT JOIN g ON g.doc_id = sc.doc_id AND g.j = sc.j)
+        |SELECT doc_id AS media_id, array_agg(s ORDER BY j) AS features
+        |FROM filled GROUP BY doc_id""".stripMargin,
     // non-ASCII sanitized to '?' on both sides → byte windows == char windows
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),

@@ -70,6 +70,25 @@ object IvfPq {
       assignments, pq.centroids, lists)
   }
 
+  /** Model persistence — coarse centroids (tiny), residual codebooks,
+    * and the code-form inverted lists as parquet; integer model ⇒ exact
+    * round-trip. The lists parquet is the 100 TB-scale artifact: ~m
+    * bytes per vector, partitionable by icid for probed reads. */
+  def save(model: Model, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    IvfFlat.save(model.centroids, s"$path/coarse", spark)
+    model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    model.lists.write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int = 16, ksub: Int = 32): Model = {
+    val coarse = IvfFlat.load(spark, s"$path/coarse")
+    val codebooks = spark.read.parquet(s"$path/codebooks").localCheckpoint()
+    val lists = spark.read.parquet(s"$path/lists").localCheckpoint()
+    Model(coarse.length, m, ksub, coarse(0).length / m, coarse,
+      lists.select(col("vec_id"), col("icid").as("cid")), codebooks, lists)
+  }
+
   /** IVFPQ search: probe `nprobe` nearest coarse cells per query, build
     * the per-(query, cell) residual ADC table, scan the probed inverted
     * lists in compressed domain, shortlist, exact float rerank to top-k. */

@@ -109,6 +109,21 @@ object PqFlat {
     Model(m, ksub, dsub, centroids, encoded, codesArray(encoded).localCheckpoint())
   }
 
+  /** Model persistence — the index-DDL artifact: codebooks and encoded
+    * base as parquet. Integer model ⇒ round-trips exactly. */
+  def save(model: Model, path: String): Unit = {
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    model.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def load(spark: SparkSession, path: String, m: Int = 16, ksub: Int = 32, dim: Int = 64): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    val codes = spark.read.parquet(s"$path/codes").localCheckpoint()
+    val encoded = codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+    Model(m, ksub, dim / m, centroids, encoded, codes)
+  }
+
   /** Codes pivoted to one array per vector (index = sub_id) — the
     * compact layout the ADC lookup kernel scans. */
   private[index] def codesArray(encoded: DataFrame): DataFrame =

@@ -67,6 +67,30 @@ object Multimodal {
       }(enc)
   }
 
+  /** Integer feature extraction — the ORACLE-CHECKABLE variant of
+    * [[extractFeatures]]: feature j = exact int64 sum of byte values at
+    * payload positions ≡ j (mod dim). Same partition-local batch shape
+    * as the float stub; being integer, a SQL engine replays it exactly
+    * (over ASCII-sanitized payloads where byte == codepoint). Swap the
+    * byte-sum for a real codec + quantized featurizer and the plumbing
+    * — schema, batching, partitioning — is unchanged. */
+  def extractIntFeatures(media: DataFrame, dim: Int = FeatureDim): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val acc = new Array[Long](dim)
+          var i = 0
+          while (i < p.length) { acc(i % dim) += (p(i) & 0xFF).toLong; i += 1 }
+          Row(r.getLong(0), acc.toSeq)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: overlapping byte windows over the payload — the
     * video/audio frame-extraction shape (stub "decode" = identity byte
     * slicing; a real codec would decode then stride over frames, same

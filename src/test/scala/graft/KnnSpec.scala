@@ -95,6 +95,27 @@ class KnnSpec extends AnyFunSuite {
     assert(rLow <= rHigh)
   }
 
+  test("IVFPQ model persistence round-trips to identical search results") {
+    val coarse = graft.index.IvfFlat.fit(base, nlist = 8)
+    val m1 = graft.index.IvfPq.fit(base, coarse)
+    val before = graft.index.IvfPq.search(m1, queries, base, 10, 7, 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.index.IvfPq.save(m1, "target/ivfpq_model_test", spark)
+    val m2 = graft.index.IvfPq.load(spark, "target/ivfpq_model_test")
+    val after = graft.index.IvfPq.search(m2, queries, base, 10, 7, 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(before == after)
+    // PQ save/load round-trip too
+    val pq = graft.index.PqFlat.fit(base)
+    graft.index.PqFlat.save(pq, "target/pqflat_model_test")
+    val pq2 = graft.index.PqFlat.load(spark, "target/pqflat_model_test")
+    val a = graft.index.PqFlat.searchRerank(pq, queries, base, 10, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = graft.index.PqFlat.searchRerank(pq2, queries, base, 10, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("MIPS top-k equals the naive window formulation") {
     val fast = Knn.mipsTopK(queries, base, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
