@@ -48,7 +48,7 @@ object IvfFlat {
       .map(_.getSeq[Long](0).toArray)
 
   private[index] def centroidLits(cs: Array[Array[Long]]): Column =
-    array(cs.zipWithIndex.map { case (c, i) =>
+    array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(lit(i).as("cid"), typedlit(c.toSeq).as("cvec"))
     }: _*)
 

@@ -41,7 +41,7 @@ object IvfPq {
       lists: DataFrame) // (vec_id, icid, codes: array<int>[m]) — the inverted lists in code form, built once at fit
 
   private def centroidArray(cs: Array[Array[Long]]): Column =
-    array(cs.map(c => typedlit(c.toSeq)): _*)
+    array(cs.toIndexedSeq.map(c => typedlit(c.toSeq)): _*)
 
   /** Residual rows (vec_id, cid, rv): quantized vector minus its assigned
     * coarse centroid — exact element-wise int64 subtraction. */

@@ -93,11 +93,11 @@ object PqFlat {
         graft.operators.Sampling.idBucket(col("vec_id"), 1000000007).as("__mix"))
       .orderBy(col("__mix"), col("vec_id")).limit(ksub)
       .select(col("vec_id")).collect().map(_.getLong(0))
-    val rankByIdLit = map(seedIds.zipWithIndex.flatMap { case (id, r) =>
+    val rankByIdLit = map(seedIds.toIndexedSeq.zipWithIndex.flatMap { case (id, r) =>
       Seq(lit(id), lit(r))
     }: _*)
     var centroids = rows
-      .filter(col("vec_id").isin(seedIds: _*))
+      .filter(col("vec_id").isin(seedIds.toIndexedSeq: _*))
       .select(col("sub_id"), rankByIdLit(col("vec_id")).as("cid"), col("sv").as("cvec"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>

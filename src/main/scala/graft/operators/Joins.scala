@@ -35,7 +35,7 @@ object Joins {
     val l = left.withColumn("__side", lit(1))
     val r = right.select((keyCol +: tsCol +: payloadCols).map(col): _*)
       .withColumn("__side", lit(0))
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     // align schemas: left payload columns null on the right side rows
     val allCols = (leftCols ++ payloadCols.map("__p_" + _)).distinct
     val lAligned = payloadCols.foldLeft(l)((df, c) => df.withColumn("__p_" + c, lit(null)))
