@@ -159,6 +159,22 @@ object SparkEntry {
   private def recallIvfPq(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfPq(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val prefixLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Same prefix-rerank served from the stored-prefix parquet layout:
+    * the cheap pass reads only (vec_id, prefix) — column pruning makes
+    * the physically smaller scan. One logical answer, two physical
+    * plans, shared oracle (cf. knn_ivf_flat_part). */
+  private def knnPrefixPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = prefixLayoutCache.getOrElseUpdate(dir, {
+      val p = s"target/prefix_layout/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sources.Layout.writePrefixLayout(Tables.embeddingBase(spark, dir), 32, p)
+      p
+    })
+    Knn.prefixRerankStored(graft.sources.Layout.readPrefixLayout(spark, path),
+      Tables.embeddingQueries(spark, dir), KnnK, prefixDim = 32, shortlistSize = 200)
+  }
+
   /** MIPS top-k (Knn.mipsTopK): inner-product metric — FAISS
     * METRIC_INNER_PRODUCT, the retrieval-scorer metric (⊕). */
   private def knnMips(spark: SparkSession, dir: String): DataFrame =
@@ -254,6 +270,22 @@ object SparkEntry {
   private def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     MetricsAnalytics.sessionize(
       Tables.events(spark, dir), col("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000)
+
+  /** Built-in event-time session windows (session_window, 30-min gap),
+    * aggregated per session — the Spark-native sibling of the
+    * window-function sessionize. Timestamps are floored to MILLISECONDS
+    * before windowing so the gap comparison happens in the same ms
+    * domain the oracle replays (sub-ms fixture precision would otherwise
+    * split sessions at gaps the ms math calls equal). */
+  private def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), timestamp_millis(unix_millis(col("ts"))).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
 
   /** Range (band) join via bucketed co-location (Joins.bandPairs): for
     * each click event, how many OTHER-user events land within ±5 min —
@@ -722,6 +754,7 @@ object SparkEntry {
     "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
     "knn_prefix" -> ((s, dir) => knnPrefix(s, dir)),
+    "knn_prefix_part" -> ((s, dir) => knnPrefixPartitioned(s, dir)),
     "recall_prefix" -> ((s, dir) => recallPrefix(s, dir)),
     "knn_mips" -> ((s, dir) => knnMips(s, dir)),
     "stratified_sample" -> ((s, dir) => stratifiedSample(s, dir)),
@@ -737,6 +770,7 @@ object SparkEntry {
     "multi_tenant_agg" -> ((s, dir) => multiTenantAgg(s, dir)),
     "event_regions" -> ((s, dir) => eventRegions(s, dir)),
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
+    "session_windows" -> ((s, dir) => sessionWindows(s, dir)),
     "range_join_events" -> ((s, dir) => rangeJoinEvents(s, dir)),
     "upsert_guard" -> ((s, dir) => upsertGuard(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
@@ -1323,6 +1357,7 @@ object SparkEntry {
     "knn_ivfpq" -> ivfPqKnnOracle,
     "recall_ivfpq" -> ivfPqRecallOracle,
     "knn_prefix" -> prefixKnnOracle,
+    "knn_prefix_part" -> prefixKnnOracle, // same logical answer, column-pruned plan
     "recall_prefix" -> prefixRecallOracle,
     "knn_mips" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
@@ -1402,6 +1437,20 @@ object SparkEntry {
         |    OVER (PARTITION BY key ORDER BY ms, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "session_windows" ->
+      // session id via the running new-session sum, then per-session agg;
+      // end = last event + gap (Spark session_window semantics)
+      """WITH g AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms,
+        |  event_id FROM events),
+        |s AS (SELECT user_id, ms,
+        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "range_join_events" ->
       """SELECT c.event_id,
         |  CAST(sum(CASE WHEN o.user_id <> c.user_id THEN 1 ELSE 0 END) AS BIGINT) AS n_nearby

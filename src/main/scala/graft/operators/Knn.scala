@@ -131,6 +131,35 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[prefixRerank]] served from a stored-prefix layout
+    * ([[graft.sources.Layout.writePrefixLayout]]): the cheap pass scans
+    * only (vec_id, prefix) — Parquet column pruning turns the
+    * prefixDim/dim byte saving from an in-memory slice into a physically
+    * smaller read. Identical results to prefixRerank on the same data. */
+  def prefixRerankStored(layout: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, shortlistSize: Int): DataFrame = {
+    val shortAgg = graft.functions.GraftFunctions.topKByDist(
+      col("vec_id"), col("pdist"), shortlistSize)
+    val short = layout
+      .select(col("vec_id"), col("prefix"))
+      .crossJoin(broadcast(queries.select(col("query_id"),
+        slice(col("q_embedding"), 1, prefixDim).as("q_pemb"))))
+      .select(col("query_id"), col("vec_id"), l2sq(col("q_pemb"), col("prefix")).as("pdist"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("vec_id"))
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
+    short
+      .join(layout.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k by inner product (descending) — FAISS
     * METRIC_INNER_PRODUCT, the MIPS metric of recommendation/retrieval
     * scorers. Same plan shape as [[cosineTopK]]: negated score through

@@ -35,6 +35,21 @@ object Layout {
   def prunedClusters(spark: SparkSession, path: String, clusterIds: Seq[Int]): DataFrame =
     readIvfPartitioned(spark, path).filter(col("cluster_id").isin(clusterIds: _*))
 
+  /** Persist the base with a materialized prefix column next to the full
+    * vector — the storage layout for prefix-dim two-stage search
+    * ([[graft.operators.Knn.prefixRerank]]): the cheap pass selects only
+    * (vec_id, prefix) and Parquet column pruning makes it a physically
+    * smaller read (visible as ReadSchema in the plan); only the rerank
+    * touches the full embedding column. */
+  def writePrefixLayout(base: DataFrame, prefixDim: Int, path: String): Unit =
+    base.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDim).as("prefix"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(path)
+
+  def readPrefixLayout(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Persist a table bucketed by a join key (requires a saveAsTable
     * catalog; bucket count fixed at write time). Idempotent: drops the
     * catalog entry and any orphaned location first. */
