@@ -20,4 +20,9 @@ object GraftFunctions {
   def pqAdcLong(table: Column, codes: Column, ksub: Int): Column =
     bridge.column(PqAdcDistanceLong(
       bridge.expression(table), bridge.expression(codes), ksub))
+
+  /** Sorted-merge intersection count — see [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(
+      bridge.expression(a), bridge.expression(b)))
 }

@@ -247,6 +247,53 @@ object PqAdcDistanceLong {
   }
 }
 
+/** |A ∩ B| for two SORTED distinct int64 arrays — the two-pointer merge
+  * count. Replaces per-pair `array_intersect` (which builds a hash set
+  * per invocation) in the blocked-Jaccard hot loop: O(n+m) long
+  * comparisons, zero allocation, codegen'd. Callers sort once per ROW
+  * (array_sort on the doc's shingle hashes), then every pair the block
+  * join emits reuses the sorted form. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int ${ev.value}N = 0;
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { ${ev.value}N++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++; else $j++;
+         |}
+         |${ev.value} = ${ev.value}N;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Σ a_i · b_i — dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecFold {
   override def prettyName: String = "dot_native"

@@ -159,19 +159,32 @@ object Dedup {
   }
 
   /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
-    * key (e.g. same source+lang); exact Jaccard on distinct-token sets.
-    * The SQL-oracle-friendly variant — no hashing involved. */
+    * key (e.g. same source+lang); exact Jaccard on distinct-shingle sets.
+    *
+    * Hot-loop shape: each doc's distinct shingles are hashed to int64
+    * (xxhash64 — engine-internal, never leaves the plan; the oracle
+    * replays the string formulation, identical absent a 64-bit hash
+    * collision inside one block) and sorted ONCE per row; every pair the
+    * block join emits then costs one allocation-free sorted-merge count
+    * ([[graft.functions.SortedIntersectCount]]) over fixed-width longs
+    * instead of an `array_intersect` hash set over strings — both the
+    * shuffled bytes and the per-pair CPU shrink by the string/long
+    * ratio. */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int, threshold: Double): DataFrame = {
     val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
-      .select((col(idCol) +: blockCols.map(col)) :+ col("sh"): _*)
-    val a = sets.select(col(idCol).as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col): _*)
-    val b = sets.select(col(idCol).as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col): _*)
+      .select((col(idCol) +: blockCols.map(col)) :+
+        array_sort(transform(col("sh"), t => xxhash64(t))).as("ih") :+
+        size(col("sh")).as("n_sh"): _*)
+    val a = sets.select(col(idCol).as("id_a") +: col("ih").as("ih_a") +:
+      col("n_sh").as("na") +: blockCols.map(col): _*)
+    val b = sets.select(col(idCol).as("id_b") +: col("ih").as("ih_b") +:
+      col("n_sh").as("nb") +: blockCols.map(col): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard_bp", expr(
-        s"(n_int * 10000L) div (size(sh_a) + size(sh_b) - n_int)"))
+      .withColumn("n_int",
+        graft.functions.GraftFunctions.sortedIntersectCount(col("ih_a"), col("ih_b")))
+      .withColumn("jaccard_bp", expr("(n_int * 10000L) div (na + nb - n_int)"))
       .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_bp"))
   }

@@ -91,4 +91,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     assert(causes(e2).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
   }
+
+  test("band join: empty sides, zero matches, and width validation") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("lid", "tms")
+    val empty = Seq.empty[(Long, Long)].toDF("rid", "tms")
+    assert(graft.operators.Joins.bandPairs(l, empty, "tms", 50L).count() == 0)
+    assert(graft.operators.Joins.bandPairs(empty.toDF("lid", "tms"), l.toDF("rid", "tms"), "tms", 50L).count() == 0)
+    val far = Seq((9L, 10000L)).toDF("rid", "tms")
+    assert(graft.operators.Joins.bandPairs(l, far, "tms", 50L).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Joins.bandPairs(l, far, "tms", 0L)
+    }
+  }
+
+  test("prefix rerank with prefixDim >= dim degenerates to exact kNN") {
+    import spark.implicits._
+    val base = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f)), (3L, Array(2f, 2f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Array(0.1f, 0.1f))).toDF("query_id", "q_embedding")
+    // slice beyond length returns the whole array on both sides — the
+    // cheap pass becomes the exact pass, results stay correct
+    val out = graft.operators.Knn.prefixRerank(qs, base, 2, prefixDim = 99, shortlistSize = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(out == List(1L, 2L))
+    val exact = graft.operators.Knn.exact(qs, base, 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(out == exact)
+  }
+
+  test("upsert with empty updates and fully-overlapping updates is identity") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("vec_id", "v")
+    val none = Seq.empty[(Long, String)].toDF("vec_id", "v")
+    assert(graft.operators.Snapshots.insert(base, none, dedupe = true).count() == 2)
+    val dup = Seq((1L, "a2"), (2L, "b2")).toDF("vec_id", "v")
+    val r = graft.operators.Snapshots.insert(base, dup, dedupe = true)
+    assert(r.count() == 2) // guard drops every already-present id
+    assert(r.orderBy("vec_id").collect().map(_.getString(1)).toList == List("a", "b"))
+  }
 }

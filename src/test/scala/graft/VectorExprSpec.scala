@@ -57,6 +57,18 @@ class VectorExprSpec extends AnyFunSuite {
     assert(v == 5.0)
   }
 
+  test("sorted-merge intersect count equals array_intersect semantics") {
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(3L, 4L, 5L, 10L)), // overlap 2
+      (Array.empty[Long], Array(1L, 2L)), // empty side
+      (Array(7L), Array(7L)) // exact match
+    ).toDF("a", "b")
+    val out = df.select(sortedIntersectCount(col("a"), col("b")).as("n"))
+      .collect().map(_.getInt(0)).toList
+    assert(out == List(2, 0, 1))
+  }
+
   test("int64 ADC lookup sums the right table entries and guards shape") {
     import graft.functions.GraftFunctions.pqAdcLong
     // m=2, ksub=3: table idx j*3+code
