@@ -459,6 +459,22 @@ object SparkEntry {
     graft.text.TextRank.rrfFuse(Seq(byBm25, byTf))
   }
 
+  /** Hybrid search: lexical BM25 over documents fused (RRF) with a
+    * cosine vector ranking over embeddings on the shared id space — the
+    * headline query of the reference's server backends (Weaviate hybrid,
+    * Redis FT.SEARCH KNN+filter, Milvus). Query = 3 terms + the vec_id-0
+    * embedding. */
+  private def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byBm25 = graft.text.TextRank.bm25(docs, Seq("spark", "join", "query"))
+    val emb = Tables.table(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val byVec = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorFunctions.cosine(col("q_embedding"), col("embedding")).as("score"))
+    graft.text.TextRank.rrfFuse(Seq(byBm25, byVec))
+  }
+
   /** Connected components over the blocked near-dup pair graph — the
     * transitive-closure dedup-cluster operator; oracled against a DuckDB
     * recursive CTE (undirected reachability → min label per component). */
@@ -785,6 +801,7 @@ object SparkEntry {
     "corpus_curate" -> ((s, dir) => corpusCurate(s, dir)),
     "bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "rrf_fuse" -> ((s, dir) => rrfFuse(s, dir)),
+    "hybrid_search" -> ((s, dir) => hybridSearch(s, dir)),
     "train_test_split" -> ((s, dir) => trainTestSplit(s, dir)),
     "lang_id" -> ((s, dir) => langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
@@ -1542,6 +1559,29 @@ object SparkEntry {
         |        WHERE term IN ('spark','join','query') GROUP BY 1),
         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tfs),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+        |FROM u GROUP BY doc_id""".stripMargin,
+    "hybrid_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','join','query') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfq CROSS JOIN n),
+        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        |bm AS (SELECT tf.doc_id,
+        |    round(sum(idf.idf * (tf.tf * 2.2)
+        |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+        |  GROUP BY tf.doc_id),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings e CROSS JOIN qv q),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vec),
         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
         |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
         |FROM u GROUP BY doc_id""".stripMargin,
