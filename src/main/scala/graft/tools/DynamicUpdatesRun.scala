@@ -58,6 +58,27 @@ object DynamicUpdatesRun {
       ("--- 50% Update (stale IVF) ---" +: ivfLines).mkString("\n").getBytes)
     println(s"wrote ${ivfLines.length} intervals to $ivfPath")
     ivfLog.show(50, false)
+    // IVFPQ with the FULL model (coarse cells + residual codebooks +
+    // encoded inverted lists) trained pre-update and never refit — the
+    // exact regime of the reference's FAISS IndexIVFPQ, which cannot
+    // delete and must rebuild. Deleted ids survive in the stale encoded
+    // lists; the rerank join against the live snapshot drops them, so
+    // the failure mode is recall degradation (shortlist slots wasted on
+    // ghosts), not unavailability.
+    val ivfpqModel = graft.index.IvfPq.fit(base, centroids)
+    val pqSearch = (q: org.apache.spark.sql.DataFrame,
+        snap: org.apache.spark.sql.DataFrame, kk: Int) =>
+      graft.index.IvfPq.search(ivfpqModel, q, snap, kk, nprobe = 7, shortlist = 250)
+    val pqLog = DynamicBench.dynamicUpdateRun(spark, queries, base, cutoff,
+      k = 10, searchFn = pqSearch)
+    val pqLines = MetricLogs.formatLines(
+      pqLog.filter(org.apache.spark.sql.functions.col("qps") > 0))
+      .collect().map(_.getString(0))
+    val pqPath = java.nio.file.Paths.get(s"$out/dynamic_updates_spark_ivfpq.txt")
+    java.nio.file.Files.write(pqPath,
+      ("--- 50% Update (stale IVFPQ) ---" +: pqLines).mkString("\n").getBytes)
+    println(s"wrote ${pqLines.length} intervals to $pqPath")
+    pqLog.show(50, false)
     spark.stop()
   }
 }
