@@ -154,4 +154,35 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(results.size() == 2 * 5 * 10)
   }
+
+  test("session_window runs identically in batch and streaming (watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")), // same session (gap 10m)
+      (1L, ts("2024-01-01 01:00:00")), // new session (gap 50m)
+      (2L, ts("2024-01-01 00:05:00")))
+    def sessions(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_millis(col("sw.start")),
+          unix_millis(col("sw.end")), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = sessions(rows.toDF("user_id", "ts"))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts").withWatermark("ts", "2 hours")
+    val q = stream.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("s"),
+        unix_millis(col("sw.end")).as("e"), col("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(batch == streamed)
+    assert(batch.size == 3) // user 1: 2 sessions; user 2: 1
+  }
 }
