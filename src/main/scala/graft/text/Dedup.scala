@@ -139,21 +139,26 @@ object Dedup {
     verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
   }
 
-  /** Exact n-gram Jaccard over a candidate pair set. */
+  /** Exact n-gram Jaccard over a candidate pair set — same
+    * hashed-sorted-merge hot loop as [[ngramJaccardBlocked]] (xxhash64
+    * per distinct shingle once per doc, allocation-free
+    * [[graft.functions.SortedIntersectCount]] per pair; identical result
+    * absent a 64-bit collision between two shingles of one candidate
+    * pair). |A∪B| = |A|+|B|−|A∩B| for distinct sets; Jaccard in basis
+    * points via integer division — exact in any engine (a rounded double
+    * here is a half-tie landmine, see SCALING.md oracle notes). */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
     val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
-      .select(col(idCol), col("sh"))
+      .select(col(idCol),
+        array_sort(transform(col("sh"), t => xxhash64(t))).as("ih"),
+        size(col("sh")).as("n_sh"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))))
-      // |A∪B| = |A|+|B|−|A∩B| for distinct sets: skips the array_union
-      // pass. Jaccard in basis points via integer division — exact in any
-      // engine (a rounded double here is a half-tie landmine, see
-      // SCALING.md oracle notes).
-      .withColumn("jaccard_bp", expr(
-        s"(n_int * 10000L) div (size(sh_a) + size(sh_b) - n_int)"))
+      .join(sets.select(col(idCol).as("id_a"), col("ih").as("ih_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("ih").as("ih_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("n_int",
+        graft.functions.GraftFunctions.sortedIntersectCount(col("ih_a"), col("ih_b")))
+      .withColumn("jaccard_bp", expr("(n_int * 10000L) div (na + nb - n_int)"))
       .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_bp"))
   }
