@@ -159,6 +159,24 @@ object SparkEntry {
   private def recallIvfPq(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfPq(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val ivfPqLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Same IVFPQ search served from cell-partitioned parquet inverted
+    * lists: dynamic partition pruning reads only the probed cells, each
+    * holding m-byte codes — pruned AND compressed scan. One logical
+    * answer, two physical plans (shared oracle, cf. knn_ivf_flat_part). */
+  private def knnIvfPqPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfPqModel(spark, dir)
+    val path = ivfPqLayoutCache.getOrElseUpdate(dir, {
+      val p = s"target/ivfpq_lists_layout/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.index.IvfPq.writeListsLayout(model, p)
+      p
+    })
+    graft.index.IvfPq.searchPartitioned(model, path,
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      KnnK, nprobe = 7, shortlist = 250)
+  }
+
   private val prefixLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Same prefix-rerank served from the stored-prefix parquet layout:
@@ -768,6 +786,7 @@ object SparkEntry {
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
     "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
+    "knn_ivfpq_part" -> ((s, dir) => knnIvfPqPartitioned(s, dir)),
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
     "knn_prefix" -> ((s, dir) => knnPrefix(s, dir)),
     "knn_prefix_part" -> ((s, dir) => knnPrefixPartitioned(s, dir)),
@@ -1372,6 +1391,7 @@ object SparkEntry {
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
     "knn_ivfpq" -> ivfPqKnnOracle,
+    "knn_ivfpq_part" -> ivfPqKnnOracle, // same logical answer, file-pruned plan
     "recall_ivfpq" -> ivfPqRecallOracle,
     "knn_prefix" -> prefixKnnOracle,
     "knn_prefix_part" -> prefixKnnOracle, // same logical answer, column-pruned plan

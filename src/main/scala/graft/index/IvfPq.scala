@@ -89,6 +89,26 @@ object IvfPq {
       lists.select(col("vec_id"), col("icid").as("cid")), codebooks, lists)
   }
 
+  /** Persist the code-form inverted lists partitioned by cell id — the
+    * on-disk layout of FAISS's inverted lists as parquet directories. A
+    * probe that joins on the partition column reads only the nprobe
+    * probed directories (dynamic partition pruning), and each directory
+    * holds m-byte codes, not floats: the scan is pruned AND compressed. */
+  def writeListsLayout(model: Model, path: String): Unit =
+    model.lists
+      .withColumnRenamed("icid", "cluster_id")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** [[search]] served from a [[writeListsLayout]] directory — identical
+    * results (deterministic codes), file-pruned compressed-domain scan. */
+  def searchPartitioned(model: Model, listsPath: String, queries: DataFrame,
+      base: DataFrame, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val lists = queries.sparkSession.read.parquet(listsPath)
+      .withColumnRenamed("cluster_id", "icid")
+    search(model.copy(lists = lists), queries, base, k, nprobe, shortlist)
+  }
+
   /** IVFPQ search: probe `nprobe` nearest coarse cells per query, build
     * the per-(query, cell) residual ADC table, scan the probed inverted
     * lists in compressed domain, shortlist, exact float rerank to top-k. */
