@@ -140,6 +140,34 @@ object SparkEntry {
   private def recallPqFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnPqFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val fvecsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** S1/S2 source round-trip as a checked query: export the base to the
+    * reference's `.fvecs` binary format, read it back with the
+    * binaryRecords decoder, and emit a per-record integer digest (sum of
+    * 2²⁰-grid-quantized elements). Ids in fvecs are POSITIONAL
+    * (np.arange in the reference), so the oracle re-derives them as the
+    * vec_id rank. float32 survives the round trip exactly ⇒ the digests
+    * hash-match the parquet-side replay. Writer is driver-side (a
+    * fixtures-scale exporter; a 100 TB export would write
+    * per-partition shards of the same record format). */
+  private def fvecsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = fvecsCache.getOrElseUpdate(dir, {
+      val d = new java.io.File(s"target/fvecs_rt/${java.lang.Integer.toHexString(dir.hashCode)}")
+      d.mkdirs()
+      val p = s"${d.getPath}/base.fvecs"
+      val vecs = Tables.embeddingBase(spark, dir)
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      graft.sources.Fvecs.writeFvecs(p, vecs.toIndexedSeq)
+      p
+    })
+    graft.sources.Fvecs.readFvecs(spark, path)
+      .select(col("id"),
+        aggregate(graft.index.IvfFlat.quantize(col("vector")), lit(0L), (acc, e) => acc + e)
+          .as("qsum"))
+  }
+
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfPq.Model]
 
   /** IVF+PQ (graft.index.IvfPq) — the faithful FAISS IndexIVFPQ analog
@@ -793,6 +821,7 @@ object SparkEntry {
     "recall_prefix" -> ((s, dir) => recallPrefix(s, dir)),
     "knn_mips" -> ((s, dir) => knnMips(s, dir)),
     "stratified_sample" -> ((s, dir) => stratifiedSample(s, dir)),
+    "fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
@@ -1416,6 +1445,15 @@ object SparkEntry {
         |    // count(*) AS rare_bp
         |FROM toks t JOIN df ON df.tok = t.tok
         |GROUP BY t.doc_id""".stripMargin,
+    "fvecs_roundtrip" ->
+      // positional fvecs id = rank of vec_id in the exported base; the
+      // digest replays the 2^20 grid quantization on the parquet floats
+      """WITH b AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS id
+        |  FROM embeddings WHERE vec_id % 20 <> 0)
+        |SELECT id, CAST(list_sum(list_transform(embedding,
+        |  e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))) AS BIGINT) AS qsum
+        |FROM b""".stripMargin,
     "stratified_sample" ->
       """WITH h AS (SELECT vec_id, label, vec_id % 4294967296 AS a FROM embeddings),
         |m AS (SELECT vec_id, label,
