@@ -303,3 +303,84 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecFold 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
+
+/** The full ADC distance table in one fused loop: for an int64 vector
+  * `rv` (the quantized query, or its residual against a probed coarse
+  * centroid) and the PQ codebooks shipped as a flat literal
+  * (`cb[(sub·ksub + code)·dsub + j]`), emits the `m·ksub`-entry table
+  * whose entry `sub·ksub + code` is `Σ_j (rv[sub·dsub+j] − cb[…+j])²` —
+  * exact int64, identical to the relational explode ⋈ codebooks → pivot
+  * formulation the DuckDB oracle replays. One primitive triple loop per
+  * row, no per-entry allocation, stays inside whole-stage codegen: table
+  * construction is a map over the query stream (no shuffle), which is
+  * what a 10k-query batch on a 1000-executor cluster needs — the
+  * codebooks are model parameters (m·ksub·dsub ints), broadcast by
+  * value like FAISS replicates them per node. */
+case class AdcTableLong(child: Expression, cb: Array[Long],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "adc_table_long"
+
+  override def nullSafeEval(v: Any): Any = {
+    val rv = v.asInstanceOf[ArrayData]
+    AdcTableLong.checkDim(rv.numElements(), m, dsub)
+    val out = new Array[Long](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      var code = 0
+      while (code < ksub) {
+        val cbBase = (sub * ksub + code) * dsub
+        var acc = 0L
+        var j = 0
+        while (j < dsub) {
+          val d = rv.getLong(sub * dsub + j) - cb(cbBase + j)
+          acc += d * d
+          j += 1
+        }
+        out(sub * ksub + code) = acc
+        code += 1
+      }
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcCb", cb, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub"); val code = ctx.freshName("code")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val base = ctx.freshName("base")
+      s"""
+         |graft.functions.AdcTableLong.checkDim($v.numElements(), $m, $dsub);
+         |long[] $out = new long[${m * ksub}];
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  for (int $code = 0; $code < $ksub; $code++) {
+         |    int $base = ($sub * $ksub + $code) * $dsub;
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      long $d = $v.getLong($sub * $dsub + $j) - $cbRef[$base + $j];
+         |      $acc += $d * $d;
+         |    }
+         |    $out[$sub * $ksub + $code] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): AdcTableLong =
+    copy(child = c)
+}
+
+object AdcTableLong {
+  /** Dim guard (shared interpreted/generated): a vector whose length is
+    * not m·dsub would silently index the wrong subvectors. */
+  def checkDim(vecLen: Int, m: Int, dsub: Int): Unit =
+    if (vecLen != m * dsub) throw new IllegalArgumentException(
+      s"ADC table dim mismatch: vector has $vecLen elements, model expects ${m}·$dsub")
+}

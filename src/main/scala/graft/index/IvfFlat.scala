@@ -59,6 +59,22 @@ object IvfFlat {
       .select(col("vec_id"), col("qv"), col("c.cid").as("cid"),
         l2sq(col("qv"), col("c.cvec")).as("dist"))
 
+  /** `(query_id, qv, cid)` for the `nprobe` nearest centroids, computed
+    * in ONE projection: score every centroid literal inside a
+    * `transform`, `array_sort` the (dist, cid) structs, keep the prefix.
+    * Identical probe set and order to the window formulation (struct
+    * sort is lexicographic: dist, then cid for ties) with no shuffle —
+    * probing is a map over the query stream, which is what lets a
+    * 10k-query batch fan out without a per-query-group exchange. */
+  private[index] def probeCells(qq: DataFrame, cs: Array[Array[Long]],
+      nprobe: Int): DataFrame =
+    qq.select(col("vec_id").as("query_id"), col("qv"),
+        explode(slice(array_sort(transform(centroidLits(cs),
+            c => struct(l2sq(col("qv"), c.getField("cvec")).as("dist"),
+              c.getField("cid").as("cid")))),
+          1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+
   /** Nearest-centroid assignment, ties by cid. */
   private[index] def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
@@ -129,10 +145,8 @@ object IvfFlat {
     val spark = queries.sparkSession
     val qq = queries.select(col("query_id").as("vec_id"),
       quantize(col("q_embedding")).as("qv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val probes = scored(qq, centroids).withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cluster_id"))
+    val probes = probeCells(qq, centroids, nprobe)
+      .select(col("query_id"), col("cid").as("cluster_id"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     graft.sources.Layout.readIvfPartitioned(spark, layoutPath)
       .join(broadcast(probes), Seq("cluster_id"))
@@ -155,10 +169,8 @@ object IvfFlat {
       .select(col("vec_id"), col("cid"))
     val qq = queries.select(col("query_id").as("vec_id"),
       quantize(col("q_embedding")).as("qv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val probes = scored(qq, centroids).withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid"))
+    val probes = probeCells(qq, centroids, nprobe)
+      .select(col("query_id"), col("cid"))
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     probes
       .join(baseAssign, Seq("cid"))

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.topKByDist
@@ -38,7 +37,13 @@ object IvfPq {
       centroids: Array[Array[Long]], // IVF coarse centroids, position = cid
       assignments: DataFrame, // (vec_id, cid) — inverted-list membership
       codebooks: DataFrame, // (sub_id, cid, cvec) — residual codebooks
-      lists: DataFrame) // (vec_id, icid, codes: array<int>[m]) — the inverted lists in code form, built once at fit
+      lists: DataFrame) { // (vec_id, icid, codes: array<int>[m]) — the inverted lists in code form, built once at fit
+    /** Codebooks collected to the driver `[sub_id][code] → cvec` — like
+      * the coarse centroids they're model parameters (m·ksub·dsub ints),
+      * shipped to executors as a literal so ADC tables build in a map. */
+    lazy val codebookArray: Array[Array[Array[Long]]] =
+      PqFlat.collectCodebooks(codebooks, m, ksub)
+  }
 
   private def centroidArray(cs: Array[Array[Long]]): Column =
     array(cs.toIndexedSeq.map(c => typedlit(c.toSeq)): _*)
@@ -116,26 +121,19 @@ object IvfPq {
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val qq = queries.select(col("query_id").as("vec_id"),
       IvfFlat.quantize(col("q_embedding")).as("qv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val probes = IvfFlat.scored(qq, model.centroids)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("qv"), col("cid").as("icid"))
-    // per-(query, probed cell) residual, split into subvectors
-    val qsr = probes
+    val probes = IvfFlat.probeCells(qq, model.centroids, nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("icid"))
+    // per-(query, probed cell) residual → flat ADC table, all in one
+    // projection over codebook literals: entry sub_id·ksub+code is the
+    // integer distance from the residual subvector to that code — the
+    // same values as the relational (explode ⋈ codebooks → pivot)
+    // formulation the oracle replays, with no shuffle to build them
+    val qarr = probes
       .withColumn("cvec", element_at(centroidArray(model.centroids), col("icid") + 1))
       .select(col("query_id"), col("icid"),
         zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("rv"))
       .select(col("query_id"), col("icid"),
-        explode(sequence(lit(0), lit(model.m - 1))).as("sub_id"), col("rv"))
-      .select(col("query_id"), col("icid"), col("sub_id"),
-        expr(s"slice(rv, sub_id * ${model.dsub} + 1, ${model.dsub})").as("sv"))
-    // ADC table: distance from each query residual subvector to every
-    // code, flattened to one int64 array per (query, probed cell)
-    val qtab = qsr.join(model.codebooks, Seq("sub_id"))
-      .select(col("query_id"), col("icid"), col("sub_id"),
-        col("cid").as("code"), l2sq(col("sv"), col("cvec")).as("qdist"))
-    val qarr = PqFlat.qdistTable(qtab, model.ksub, Seq("query_id", "icid"))
+        PqFlat.adcTable(col("rv"), model.codebookArray, model.dsub).as("qd"))
     // compressed-domain scan of the probed lists only (join key carries
     // icid): fused int64 lookup kernel + bounded-heap shortlist — same
     // integer values as the relational formulation the oracle replays

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,7 +29,41 @@ object PqFlat {
   final case class Model(m: Int, ksub: Int, dsub: Int,
       centroids: DataFrame, // (sub_id, cid, cvec: array<long>[dsub])
       encodedBase: DataFrame, // (vec_id, sub_id, code)
-      codes: DataFrame) // (vec_id, codes: array<int>[m]) — pivoted once at fit
+      codes: DataFrame) { // (vec_id, codes: array<int>[m]) — pivoted once at fit
+    /** Codebooks on the driver `[sub_id][code] → cvec` (m·ksub·dsub ints
+      * — model parameters, literal-broadcast size). */
+    lazy val codebookArray: Array[Array[Array[Long]]] =
+      collectCodebooks(centroids, m, ksub)
+  }
+
+  /** Collect `(sub_id, cid, cvec)` codebook rows into `[sub_id][cid]`. */
+  private[index] def collectCodebooks(centroids: DataFrame,
+      m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    val arr = Array.ofDim[Array[Long]](m, ksub)
+    centroids.collect().foreach { r =>
+      arr(r.getAs[Number]("sub_id").intValue)(r.getAs[Number]("cid").intValue) =
+        r.getAs[scala.collection.Seq[Long]]("cvec").toArray
+    }
+    arr
+  }
+
+  /** Flat int64 ADC table (entry `sub_id·ksub + code`) computed by the
+    * fused [[graft.functions.AdcTableLong]] kernel from an integer
+    * vector column and the collected codebooks — the shuffle-free,
+    * codegen equivalent of an explode ⋈ codebooks → pivot chain (same
+    * values: exact int64 distances, same idx order — residuals and
+    * grid points are < 2²¹, so double and int64 accumulation agree
+    * exactly). Table construction becomes a map over the query stream,
+    * so a 10k-query batch never exchanges to build tables. */
+  private[index] def adcTable(qv: Column, cb: Array[Array[Array[Long]]],
+      dsub: Int): Column = {
+    val ksub = cb(0).length
+    val flat = cb.flatMap(_.flatMap(identity))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.AdcTableLong(
+        org.apache.spark.sql.graft.bridge.expression(qv),
+        flat, cb.length, ksub, dsub))
+  }
 
   /** Subvector rows (id, sub_id, sv) from quantized vectors. */
   private def subRows(qdf: DataFrame, m: Int, dsub: Int): DataFrame =
@@ -131,15 +165,6 @@ object PqFlat {
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
         p => p.getField("code").cast("int")).as("codes"))
 
-  /** Per-group flat int64 distance table (entry `sub_id*ksub + code`)
-    * from (…, sub_id, code, qdist) rows — complete by construction (the
-    * qtab join pairs every subvector with every centroid). */
-  private[index] def qdistTable(qtab: DataFrame, ksub: Int, keys: Seq[String]): DataFrame =
-    qtab.groupBy(keys.map(col): _*)
-      .agg(transform(array_sort(collect_list(struct(
-          (col("sub_id") * ksub + col("code")).as("idx"), col("qdist")))),
-        p => p.getField("qdist").cast("long")).as("qd"))
-
   /** ADC search with exact rerank: per-query integer distance table
     * (query subvector → every centroid) flattened to an array, scanned
     * against the pivoted base codes with the fused int64 lookup kernel
@@ -151,11 +176,8 @@ object PqFlat {
       k: Int, shortlist: Int): DataFrame = {
     val qq = queries.select(col("query_id").as("vec_id"),
       IvfFlat.quantize(col("q_embedding")).as("qv"))
-    val qtab = subRows(qq, model.m, model.dsub)
-      .join(model.centroids, Seq("sub_id"))
-      .select(col("vec_id").as("query_id"), col("sub_id"), col("cid").as("code"),
-        l2sq(col("sv"), col("cvec")).as("qdist"))
-    val qarr = qdistTable(qtab, model.ksub, Seq("query_id"))
+    val qarr = qq.select(col("vec_id").as("query_id"),
+      adcTable(col("qv"), model.codebookArray, model.dsub).as("qd"))
     val shortAgg = topKByDist(col("vec_id"), col("adist"), shortlist)
     val short = model.codes
       .crossJoin(broadcast(qarr))

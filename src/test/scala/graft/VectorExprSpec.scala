@@ -69,6 +69,26 @@ class VectorExprSpec extends AnyFunSuite {
     assert(out == List(2, 0, 1))
   }
 
+  test("fused ADC table kernel matches the per-entry l2sq formulation") {
+    // m=2, ksub=2, dsub=2 over an int64 vector; cb[(sub*ksub+code)*dsub+j]
+    val cb = Array(
+      Array(Array(1L, 2L), Array(3L, -4L)), // sub 0
+      Array(Array(0L, 0L), Array(-5L, 6L))) // sub 1
+    val df = Seq((0L, Seq(10L, 20L, 30L, 40L))).toDF("id", "rv")
+    val out = df.select(graft.index.PqTestAccess.adcTable(col("rv"), cb, 2).as("qd"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0)
+    def l2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(out.toList == List(
+      l2(Seq(10L, 20L), Seq(1L, 2L)), l2(Seq(10L, 20L), Seq(3L, -4L)),
+      l2(Seq(30L, 40L), Seq(0L, 0L)), l2(Seq(30L, 40L), Seq(-5L, 6L))))
+    // wrong-dimension vector must raise, not silently mis-slice
+    val bad = Seq((0L, Seq(10L, 20L, 30L))).toDF("id", "rv")
+    val e = intercept[Exception] {
+      bad.select(graft.index.PqTestAccess.adcTable(col("rv"), cb, 2).as("qd")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("int64 ADC lookup sums the right table entries and guards shape") {
     import graft.functions.GraftFunctions.pqAdcLong
     // m=2, ksub=3: table idx j*3+code
