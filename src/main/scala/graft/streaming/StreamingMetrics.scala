@@ -42,6 +42,28 @@ object StreamingMetrics {
   def streamingDedup(docs: DataFrame, fpCol: String, watermark: String): DataFrame =
     docs.withWatermark("ts", watermark).dropDuplicates(fpCol)
 
+  /** Watermarked stream-stream interval join: rows of `left` pair with
+    * `right` rows of the same `key` whose timestamp lies in
+    * `[leftTs + lowerMs, leftTs + upperMs]`. Both sides carry the same
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark can size the join state and evict rows past
+    * the horizon — the requirement for an append-mode stream-stream
+    * inner join (and for state not growing unboundedly at 100 TB/day
+    * ingest). The same plan runs on batch frames, where the condition
+    * degenerates to a plain range join — parity is tested in
+    * StreamingSpec. Output columns: key, leftTs, rightTs plus the two
+    * value columns, disambiguated by the given aliases. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String, lowerMs: Long, upperMs: Long): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL '$lowerMs' MILLISECOND") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$upperMs' MILLISECOND"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   final case class SessionState(sessionId: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, event_id: Long, session_id: Long)

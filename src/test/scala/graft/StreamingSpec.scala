@@ -155,6 +155,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.size() == 2 * 5 * 10)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks enriched with impressions of the same user within ±2 minutes
+    val imps = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L),
+      (1L, ts("2024-01-01 00:03:00"), 101L), // outside −2m..+2m of the click
+      (2L, ts("2024-01-01 00:01:00"), 200L),
+      (3L, ts("2024-01-01 00:00:30"), 300L)) // no click from user 3
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:00:45"), 900L),
+      (2L, ts("2024-01-01 00:02:30"), 901L))
+    def pairs(df: DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("l.user_id"), col("click_id"), col("imp_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(StreamingMetrics.intervalJoinStreams(
+      clicks.toDF("user_id", "ts", "click_id"), imps.toDF("user_id", "its", "imp_id"),
+      "user_id", "ts", "its", "10 minutes", -120000L, 120000L))
+    val ci = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ii = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamingMetrics.intervalJoinStreams(
+      ci.toDF().toDF("user_id", "ts", "click_id"),
+      ii.toDF().toDF("user_id", "its", "imp_id"),
+      "user_id", "ts", "its", "10 minutes", -120000L, 120000L)
+      .select(col("l.user_id"), col("click_id"), col("imp_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    ci.addData(clicks: _*)
+    ii.addData(imps: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(batch == streamed)
+    assert(batch == Set((1L, 900L, 100L), (2L, 901L, 200L)))
+  }
+
   test("session_window runs identically in batch and streaming (watermark)") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
