@@ -114,7 +114,21 @@ object Dedup {
       shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val r = numHashes / numBands
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    // ONE tokenize→shingle pass feeds both the signature hashes (PolyHash,
+    // the portable minhash domain) and the verify-stage intersect hashes
+    // (xxhash64 sorted) — previously the corpus was shingled twice.
+    val base = TextFunctions.withShingles(docs, textCol, shingleSize, "__sh")
+      .select(col(idCol),
+        transform(col("__sh"), x =>
+          graft.functions.PolyHash.column(x, 257L, MinHashMod)).as("__ph"),
+        array_sort(transform(col("__sh"), t => xxhash64(t))).as("ih"),
+        size(col("__sh")).as("n_sh"))
+      .localCheckpoint()
+    val sigs = base.select(
+      col(idCol),
+      array((0 until numHashes).map(s =>
+        array_min(transform(col("__ph"), h =>
+          (h * minHashCoeffA(s) + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
     // Materialized once (localCheckpoint): the band self-join would
     // otherwise recompute the row-local signature expression (numHashes
     // hashes per shingle) on both sides. Unlike cache(), the checkpoint
@@ -136,7 +150,8 @@ object Dedup {
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
+    verifyJaccardSets(base.select(col(idCol), col("ih"), col("n_sh")),
+      candidates, idCol, threshold)
   }
 
   /** Exact n-gram Jaccard over a candidate pair set — same
@@ -147,12 +162,8 @@ object Dedup {
     * pair). |A∪B| = |A|+|B|−|A∩B| for distinct sets; Jaccard in basis
     * points via integer division — exact in any engine (a rounded double
     * here is a half-tie landmine, see SCALING.md oracle notes). */
-  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
-      idCol: String, textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
-      .select(col(idCol),
-        array_sort(transform(col("sh"), t => xxhash64(t))).as("ih"),
-        size(col("sh")).as("n_sh"))
+  private def verifyJaccardSets(sets: DataFrame, candidates: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("ih").as("ih_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("ih").as("ih_b"), col("n_sh").as("nb")), Seq("id_b"))
@@ -161,7 +172,6 @@ object Dedup {
       .withColumn("jaccard_bp", expr("(n_int * 10000L) div (na + nb - n_int)"))
       .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_bp"))
-  }
 
   /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
     * key (e.g. same source+lang); exact Jaccard on distinct-shingle sets.
@@ -177,10 +187,14 @@ object Dedup {
     * ratio. */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int, threshold: Double): DataFrame = {
+    // Materialized once: the block self-join would otherwise tokenize,
+    // shingle, hash, and sort every document TWICE (self-joins get no
+    // automatic exchange reuse for expensive projections).
     val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
       .select((col(idCol) +: blockCols.map(col)) :+
         array_sort(transform(col("sh"), t => xxhash64(t))).as("ih") :+
         size(col("sh")).as("n_sh"): _*)
+      .localCheckpoint()
     val a = sets.select(col(idCol).as("id_a") +: col("ih").as("ih_a") +:
       col("n_sh").as("na") +: blockCols.map(col): _*)
     val b = sets.select(col(idCol).as("id_b") +: col("ih").as("ih_b") +:
