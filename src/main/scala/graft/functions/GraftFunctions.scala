@@ -21,6 +21,12 @@ object GraftFunctions {
     bridge.column(PqAdcDistanceLong(
       bridge.expression(table), bridge.expression(codes), ksub))
 
+  /** Fused banded-MinHash kernel — see [[MinHashBands]]. */
+  def minhashBands(ph: Column, coeffA: Array[Long], coeffB: Array[Long],
+      numBands: Int, mod: Long): Column =
+    bridge.column(MinHashBands(
+      bridge.expression(ph), coeffA, coeffB, numBands, mod))
+
   /** Sorted-merge intersection count — see [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(

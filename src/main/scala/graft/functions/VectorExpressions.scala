@@ -384,3 +384,90 @@ object AdcTableLong {
     if (vecLen != m * dsub) throw new IllegalArgumentException(
       s"ADC table dim mismatch: vector has $vecLen elements, model expects ${m}·$dsub")
 }
+
+/** Banded MinHash in one pass: from a row's shingle-hash array, compute
+  * all `numHashes` seeded min-hashes simultaneously (one sweep over the
+  * array, inner loop over seeds) and fold them into `numBands` band
+  * hashes — `(acc·31 + min_i) mod M` over each band's rows. Replaces
+  * numHashes interpreted HOF passes (transform + array_min per seed)
+  * plus numBands fold chains with a single codegen loop; identical
+  * integer arithmetic to the declarative formulation (and to
+  * `Dedup.minHashSigScala`/`bandHashesScala`, the streaming replicas).
+  * Empty input → null (the declarative form folds a null min into a
+  * null band hash; either way the band bucket join drops the row). */
+case class MinHashBands(child: Expression,
+    coeffA: Array[Long], coeffB: Array[Long], numBands: Int, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def numHashes: Int = coeffA.length
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(v: Any): Any = {
+    val ph = v.asInstanceOf[ArrayData]
+    val n = ph.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = ph.getLong(i)
+      var s = 0
+      while (s < numHashes) {
+        val x = (h * coeffA(s) + coeffB(s)) % mod
+        if (x < mins(s)) mins(s) = x
+        s += 1
+      }
+      i += 1
+    }
+    val r = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 0L
+      var j = b * r
+      while (j < (b + 1) * r) { acc = (acc * 31 + mins(j)) % mod; j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhCoeffA", coeffA, "long[]")
+    val bRef = ctx.addReferenceObj("mhCoeffB", coeffB, "long[]")
+    val r = numHashes / numBands
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x")
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $v.getLong($i);
+         |    for (int $s = 0; $s < $numHashes; $s++) {
+         |      long $x = ($h * $aRef[$s] + $bRef[$s]) % ${mod}L;
+         |      if ($x < $mins[$s]) $mins[$s] = $x;
+         |    }
+         |  }
+         |  long[] $out = new long[$numBands];
+         |  for (int $b = 0; $b < $numBands; $b++) {
+         |    long $acc = 0L;
+         |    for (int $j = $b * $r; $j < ($b + 1) * $r; $j++) {
+         |      $acc = ($acc * 31 + $mins[$j]) % ${mod}L;
+         |    }
+         |    $out[$b] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}

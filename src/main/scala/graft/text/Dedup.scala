@@ -113,7 +113,6 @@ object Dedup {
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val r = numHashes / numBands
     // ONE tokenize→shingle pass feeds both the signature hashes (PolyHash,
     // the portable minhash domain) and the verify-stage intersect hashes
     // (xxhash64 sorted) — previously the corpus was shingled twice.
@@ -124,25 +123,20 @@ object Dedup {
         array_sort(transform(col("__sh"), t => xxhash64(t))).as("ih"),
         size(col("__sh")).as("n_sh"))
       .localCheckpoint()
-    val sigs = base.select(
-      col(idCol),
-      array((0 until numHashes).map(s =>
-        array_min(transform(col("__ph"), h =>
-          (h * minHashCoeffA(s) + minHashCoeffB(s)) % MinHashMod))): _*).as("sig"))
+    val coeffA = Array.tabulate(numHashes)(minHashCoeffA)
+    val coeffB = Array.tabulate(numHashes)(minHashCoeffB)
     // Materialized once (localCheckpoint): the band self-join would
-    // otherwise recompute the row-local signature expression (numHashes
-    // hashes per shingle) on both sides. Unlike cache(), the checkpoint
-    // RDD is released by the ContextCleaner when the result is dropped —
-    // repeated invocations don't accumulate pinned copies.
-    // band hash = left fold (acc·31 + sig_i) mod P over the band's rows —
-    // same portable-arithmetic contract as the signature hashes
-    val bands = sigs.select(
+    // otherwise recompute the row-local band kernel on both sides.
+    // Unlike cache(), the checkpoint RDD is released by the
+    // ContextCleaner when the result is dropped — repeated invocations
+    // don't accumulate pinned copies. The fused MinHashBands kernel
+    // computes all seeded mins in one sweep over the shingle hashes and
+    // folds them into band hashes — same arithmetic as the declarative
+    // array_min(transform(...)) + fold formulation it replaces.
+    val bands = base.select(
       col(idCol),
-      posexplode(
-        array((0 until numBands).map(b =>
-          (b * r until (b + 1) * r).foldLeft(lit(0L)) { (acc, i) =>
-            (acc * 31L + col("sig")(i)) % MinHashMod
-          }): _*))
+      posexplode(graft.functions.GraftFunctions.minhashBands(
+        col("__ph"), coeffA, coeffB, numBands, MinHashMod))
         .as(Seq("band_idx", "band_hash")))
       .localCheckpoint()
     val candidates = bands.as("a")
@@ -275,7 +269,8 @@ object Dedup {
     * smallest label in its neighborhood; converges in O(diameter) rounds
     * (bounded by `maxIter`), each round one shuffle on node id. Returns
     * (id, component) where component = min doc id in the cluster. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 12,
+      driverSolveMaxEdges: Long = 5000000L): DataFrame = {
     // both edge directions in ONE pass over the pair source (a union of
     // two selects would evaluate the — typically expensive — pair-finding
     // join twice)
@@ -284,6 +279,16 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
+    // Measured-small graphs solve on the driver: near-dup thresholding
+    // usually leaves an edge set orders of magnitude below the corpus
+    // size, and a bounded edge list is a model-artifact-sized collect
+    // (the same regime as centroids). Union-find with min-id
+    // representatives returns EXACTLY the converged labeling of the
+    // distributed loop below, without its ~5 scheduler round-trips per
+    // iteration. The distributed pointer-jumping path stays for the
+    // billion-edge case a 100 TB crawl can produce.
+    val edgeCount = edges.count()
+    if (edgeCount < driverSolveMaxEdges) return unionFindLabels(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     // convergence tracked by Σ labels — strictly decreasing until fixed
@@ -327,6 +332,35 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Exact connected components on a collected edge list: union-find
+    * with path halving, then min node id per component as the label —
+    * identical output to the converged distributed labeling. */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      val rs = find(s); val rd = find(d)
+      // larger root attaches under smaller ⇒ every root stays the min
+      // id of its component, so find(id) IS the component label
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+    }
+    parent.keys.toArray.sorted.map(id => (id, find(id))).toSeq
+      .toDF("id", "component")
   }
 
   /** Winnowing fingerprints (Schleimer et al., MOSS): polynomial rolling

@@ -77,11 +77,16 @@ class TextSpec extends AnyFunSuite {
     assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
     assert(comps(5L) == 5L && comps(6L) == 5L)
     assert(!comps.contains(9L))
-    // long chain needs multiple propagation rounds
+    // long chain needs multiple propagation rounds; force the
+    // distributed pointer-jumping path (driverSolveMaxEdges = 0) so the
+    // at-scale loop stays covered, and check it equals the driver solve
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val c2 = Dedup.duplicateClusters(chain)
+    val c2 = Dedup.duplicateClusters(chain, driverSolveMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(c2(_) == 1L))
+    val c3 = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c3 == c2)
   }
 
   test("simhash fast path matches the SQL-surface HOF formulation") {

@@ -89,6 +89,27 @@ class VectorExprSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("fused minhash-bands kernel matches the Scala replica pipeline") {
+    import graft.text.Dedup
+    val texts = Seq("a b c d e f", "a b c", "x")
+    val numHashes = 16; val numBands = 4
+    val coeffA = Array.tabulate(numHashes)(Dedup.minHashCoeffA)
+    val coeffB = Array.tabulate(numHashes)(Dedup.minHashCoeffB)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val ph = graft.text.TextFunctions.withShingles(df, "text", 1, "sh")
+      .select(col("id"), transform(col("sh"), x =>
+        graft.functions.PolyHash.column(x, 257L, Dedup.MinHashMod)).as("ph"))
+    val kernel = ph.select(col("id"),
+      graft.functions.GraftFunctions.minhashBands(
+        col("ph"), coeffA, coeffB, numBands, Dedup.MinHashMod).as("bh"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expected = Dedup.bandHashesScala(
+        Dedup.minHashSigScala(Dedup.shingleSet(t, 1), numHashes), numBands).toList
+      assert(kernel(i.toLong) == expected, s"doc $i")
+    }
+  }
+
   test("int64 ADC lookup sums the right table entries and guards shape") {
     import graft.functions.GraftFunctions.pqAdcLong
     // m=2, ksub=3: table idx j*3+code
