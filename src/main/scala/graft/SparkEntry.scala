@@ -53,6 +53,34 @@ object SparkEntry {
       Tables.embeddingBase(spark, dir),
       KnnK)
 
+  /** Radius (range) search — FAISS `range_search`: every base vector
+    * within squared-L2 1.40 of the query. The 1.40 cut keeps ~1% of all
+    * pairs at fixture scale; the double fold is bit-identical to the
+    * oracle's sequential list_reduce replay, so the boundary compare
+    * agrees exactly. */
+  private def knnRadius(spark: SparkSession, dir: String): DataFrame =
+    Knn.radius(
+      Tables.embeddingQueries(spark, dir),
+      Tables.embeddingBase(spark, dir),
+      maxDistSq = 1.40)
+
+  /** IVF inverted-list introspection: per-cell population plus the FAISS
+    * imbalance factor (nlist·Σs²/n², basis points — an integer on both
+    * engines; nlist = non-empty cells). The list-size histogram is what
+    * operators watch to decide re-training/re-sharding at scale. */
+  private def ivfListStats(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = graft.index.IvfFlat
+      .assignments(Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(
+      sum(col("n_vecs")).as("n"),
+      sum(col("n_vecs") * col("n_vecs")).as("ss"),
+      count(lit(1)).as("nl"))
+    sizes.crossJoin(tot)
+      .select(col("cid"), col("n_vecs"),
+        expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
+  }
+
   /** Grouped kNN: neighbors restricted to the query's own label — the
     * per-domain retrieval shape (equi-join on the group key, no global
     * nested loop). */
@@ -804,6 +832,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
+    "knn_radius" -> ((s, dir) => knnRadius(s, dir)),
+    "ivf_list_stats" -> ((s, dir) => ivfListStats(s, dir)),
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
@@ -1462,6 +1492,29 @@ object SparkEntry {
         |SELECT vec_id, label FROM m WHERE mixed % 100 < 10""".stripMargin,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
+    "knn_radius" ->
+      // sequential double fold (list_reduce, prepend 0) = the codegen
+      // kernel's left-to-right loop, bit-identical ⇒ the 1.40 boundary
+      // compare agrees exactly
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |d AS (SELECT query_id, b.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(qe)),
+        |      i -> (qe[i] - be[i]) * (qe[i] - be[i]))),
+        |    (acc, x) -> acc + x) AS d2
+        |  FROM q CROSS JOIN b)
+        |SELECT query_id, neighbor_id FROM d WHERE d2 <= 1.40""".stripMargin,
+    "ivf_list_stats" -> (
+      s"""WITH $ivfTrainCtes,
+        |sizes AS (SELECT cid, count(*) AS n_vecs FROM ab GROUP BY cid),
+        |tot AS (SELECT sum(n_vecs) AS n, sum(n_vecs * n_vecs) AS ss,
+        |  count(*) AS nl FROM sizes)
+        |SELECT s.cid, s.n_vecs,
+        |  CAST((tot.nl * tot.ss * 10000) // (tot.n * tot.n) AS BIGINT) AS imbalance_bp
+        |FROM sizes s CROSS JOIN tot""".stripMargin),
     "knn_grouped" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
         |b AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),

@@ -75,6 +75,13 @@ object IvfFlat {
           1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
 
+  /** Public inverted-list membership (vec_id, cid) for a trained model —
+    * the introspection surface (list sizes, imbalance factor: FAISS
+    * exposes the same via its invlists). */
+  def assignments(base: DataFrame, cs: Array[Array[Long]]): DataFrame =
+    assign(base.select(col("vec_id"), quantize(col("embedding")).as("qv")), cs)
+      .select(col("vec_id"), col("cid"))
+
   /** Nearest-centroid assignment, ties by cid. */
   private[index] def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))

@@ -72,6 +72,19 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Radius (range) search — FAISS `range_search`
+    * (faiss Index API; the reference's index family exposes it alongside
+    * `search`): ALL neighbors within squared-L2 `maxDistSq`, not a fixed
+    * k. Same broadcast-queries scan shape as [[exact]], but the output is
+    * a pure filter of the scored stream — no per-query state at all, so
+    * it parallelizes even better than top-k (nothing to merge; result
+    * size is data-dependent, which is the caller's contract in FAISS
+    * too). */
+  def radius(queries: DataFrame, base: DataFrame, maxDistSq: Double): DataFrame =
+    scored(queries, base, l2sq)
+      .filter(col("dist") <= maxDistSq)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
   /** Exact kNN via window row_number — the naive physical plan, kept for
     * plan comparison and as oracle cross-check. */
   def exactWindow(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
