@@ -81,6 +81,21 @@ object SparkEntry {
         expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
   }
 
+  /** Binary (Hamming) kNN — FAISS IndexBinaryFlat over 60-bit simhash
+    * signatures: top-10 docs by popcount(xor) distance. Signatures are
+    * materialized once (they feed both the broadcast query side and the
+    * scan side of the self-derived cross join). */
+  private def knnHamming(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.text.Dedup.simHashSignatures(
+      Tables.documents(spark, dir), "doc_id", "text").localCheckpoint()
+    Knn.hammingTopK(
+      sigs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"), col("simhash").as("q_sig")),
+      sigs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("vec_id"), col("simhash").as("sig")),
+      KnnK)
+  }
+
   /** Grouped kNN: neighbors restricted to the query's own label — the
     * per-domain retrieval shape (equi-join on the group key, no global
     * nested loop). */
@@ -833,6 +848,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
     "knn_radius" -> ((s, dir) => knnRadius(s, dir)),
+    "knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
     "ivf_list_stats" -> ((s, dir) => ivfListStats(s, dir)),
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
@@ -1004,18 +1020,23 @@ object SparkEntry {
        |FROM v WHERE (n_int * 10000) // (na + nb - n_int) >= 5000""".stripMargin
   }
 
-  private val simhashOracle: String = {
+  /** Shared CTE prefix replaying simhash signatures (t → h → sg). */
+  private val simhashSigCtes: String = {
     val two30 = 1073741824L
     val bits = graft.text.TextFunctions.SimHashBits
     val kHi = graft.text.TextFunctions.SimHashMixHi
     val kLo = graft.text.TextFunctions.SimHashMixLo
-    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
        |h AS (SELECT doc_id, list_transform(toks, tk ->
        |  ((${duckPolyHash("tk", 313L, two30)} * $kHi % 4294967296) >> 2) * $two30 +
        |  ((${duckPolyHash("tk", 257L, two30)} * $kLo % 4294967296) >> 2)) AS hs FROM t),
        |sg AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), j ->
        |  CASE WHEN 2 * len(list_filter(hs, hh -> ((hh >> j) & 1) = 1)) - len(hs) > 0
-       |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h),
+       |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h)""".stripMargin
+  }
+
+  private val simhashOracle: String =
+    s"""WITH $simhashSigCtes,
        |ch AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_idx FROM sg),
        |ch2 AS (SELECT doc_id, simhash, chunk_idx,
        |  (simhash >> (chunk_idx * 15)) & 32767 AS chunk FROM ch),
@@ -1023,7 +1044,16 @@ object SparkEntry {
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |  FROM ch2 a JOIN ch2 b USING (chunk_idx, chunk) WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
-  }
+
+  private val hammingKnnOracle: String =
+    s"""WITH $simhashSigCtes,
+       |q AS (SELECT doc_id AS query_id, simhash AS qs FROM sg WHERE doc_id % 20 = 0),
+       |b AS (SELECT doc_id, simhash FROM sg WHERE doc_id % 20 <> 0),
+       |scored AS (SELECT query_id, b.doc_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bit_count(xor(qs, simhash)), b.doc_id) AS INTEGER) AS rank
+       |  FROM q CROSS JOIN b)
+       |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin
 
   private val winnowOracle: String = {
     val p = 4294967291L // must match Dedup.winnowFingerprints
@@ -1439,6 +1469,7 @@ object SparkEntry {
     "domain_mix" -> domainMixOracle,
     "minhash_neardup" -> minhashOracle,
     "simhash_neardup" -> simhashOracle,
+    "knn_hamming" -> hammingKnnOracle,
     "doc_winnow" -> winnowOracle,
     "knn_sq" -> sqKnnOracle,
     "recall_sq" -> sqRecallOracle,

@@ -72,6 +72,27 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hamming top-k over packed binary signatures — FAISS
+    * `IndexBinaryFlat` (the binary-vector member of the reference's
+    * index family): distance = popcount of the XOR of two int64
+    * signatures (e.g. [[graft.text.Dedup.simHashSignatures]]). Same
+    * broadcast-queries scan + bounded-heap shape as [[exact]]; the
+    * signature column is 8 bytes/row, so the scan side is as compressed
+    * as vector search gets. */
+  def hammingTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
+    base
+      .crossJoin(broadcast(queries))
+      .withColumn("dist", bit_count(col("q_sig").bitwiseXOR(col("sig"))).cast("double"))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Radius (range) search — FAISS `range_search`
     * (faiss Index API; the reference's index family exposes it alongside
     * `search`): ALL neighbors within squared-L2 `maxDistSq`, not a fixed
