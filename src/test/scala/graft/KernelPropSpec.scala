@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AdcTableLong, MinHashBands, PqAdcDistanceLong, SortedIntersectCount}
+
+/** Property tests for the custom kernels' interpreted eval against plain
+  * Scala references (the codegen path is exercised by the DataFrame
+  * specs; Spark guarantees eval/doGenCode agreement is our contract,
+  * checked for l2sq/dot in VectorExprSpec). */
+class KernelPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arrLit(xs: Array[Long]): Literal =
+    Literal.create(xs.toSeq, ArrayType(LongType, containsNull = false))
+
+  test("AdcTableLong equals the per-entry brute force for random shapes") {
+    val gen = for {
+      m <- Gen.choose(1, 6)
+      ksub <- Gen.choose(1, 8)
+      dsub <- Gen.choose(1, 5)
+      cb <- Gen.listOfN(m * ksub * dsub, Gen.choose(-2000000L, 2000000L))
+      rv <- Gen.listOfN(m * dsub, Gen.choose(-2000000L, 2000000L))
+    } yield (m, ksub, dsub, cb.toArray, rv.toArray)
+    check(Prop.forAll(gen) { case (m, ksub, dsub, cb, rv) =>
+      val out = AdcTableLong(arrLit(rv), cb, m, ksub, dsub)
+        .eval(null).asInstanceOf[ArrayData].toLongArray()
+      val expected = Array.tabulate(m * ksub) { idx =>
+        val sub = idx / ksub; val code = idx % ksub
+        (0 until dsub).map { j =>
+          val d = rv(sub * dsub + j) - cb(idx * dsub + j); d * d
+        }.sum
+      }
+      out.sameElements(expected)
+    })
+  }
+
+  test("AdcTableLong raises on wrong vector dimension") {
+    intercept[IllegalArgumentException] {
+      AdcTableLong(arrLit(Array(1L, 2L, 3L)), Array.fill(8)(0L), 2, 2, 2).eval(null)
+    }
+  }
+
+  test("MinHashBands equals the min-then-fold reference") {
+    val mod = 1000000007L
+    val gen = for {
+      nb <- Gen.oneOf(1, 2, 4)
+      r <- Gen.choose(1, 4)
+      nh = nb * r
+      ca <- Gen.listOfN(nh, Gen.choose(1L, 1L << 20))
+      cbv <- Gen.listOfN(nh, Gen.choose(0L, 1L << 20))
+      ph <- Gen.listOfN(Gen.choose(0, 40).sample.getOrElse(5), Gen.choose(0L, mod - 1))
+    } yield (nb, ca.toArray, cbv.toArray, ph.toArray)
+    check(Prop.forAll(gen) { case (nb, ca, cbv, ph) =>
+      val out = MinHashBands(arrLit(ph), ca, cbv, nb, mod).eval(null)
+      if (ph.isEmpty) out == null
+      else {
+        val nh = ca.length; val r = nh / nb
+        val mins = Array.tabulate(nh)(s => ph.map(h => (h * ca(s) + cbv(s)) % mod).min)
+        val expected = Array.tabulate(nb)(b =>
+          (b * r until (b + 1) * r).foldLeft(0L)((acc, i) => (acc * 31 + mins(i)) % mod))
+        out.asInstanceOf[ArrayData].toLongArray().sameElements(expected)
+      }
+    })
+  }
+
+  test("SortedIntersectCount equals set intersection on sorted distinct arrays") {
+    check(Prop.forAll { (a: Set[Long], b: Set[Long]) =>
+      val sa = a.toArray.sorted; val sb = b.toArray.sorted
+      val n = SortedIntersectCount(arrLit(sa), arrLit(sb)).eval(null)
+      n == a.intersect(b).size
+    })
+  }
+
+  test("PqAdcDistanceLong equals the direct table lookup sum") {
+    val gen = for {
+      m <- Gen.choose(1, 8)
+      ksub <- Gen.choose(1, 8)
+      table <- Gen.listOfN(m * ksub, Gen.choose(-1000000L, 1000000L))
+      codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1))
+    } yield (ksub, table.toArray, codes.toArray)
+    check(Prop.forAll(gen) { case (ksub, table, codes) =>
+      val codesLit = Literal.create(codes.toSeq, ArrayType(IntegerType, containsNull = false))
+      val v = PqAdcDistanceLong(arrLit(table), codesLit, ksub).eval(null)
+      v == codes.zipWithIndex.map { case (c, j) => table(j * ksub + c) }.sum
+    })
+  }
+}
