@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{DotProduct, L2SquaredDistance, TopKByDistance}
+import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MinHashBands, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `l2sq(a, b)`, `dot_product(a, b)` and `topk_by_dist(id, dist, k)` so
@@ -31,6 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by_dist"),
       new ExpressionInfo(classOf[TopKByDistance].getName, "topk_by_dist"),
       (children: Seq[Expression]) => GraftExtensions.topKFromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_dist_long"),
+      new ExpressionInfo(classOf[PqAdcDistanceLong].getName, "pq_adc_dist_long"),
+      (children: Seq[Expression]) => GraftExtensions.pqAdcFromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => GraftExtensions.minhashBandsFromSql(children)))
   }
 }
 
@@ -44,6 +60,29 @@ object GraftExtensions {
       Cast(children(0), LongType),
       Cast(children(1), DoubleType),
       children(2)).toAggregateExpression()
+
+  /** Constant scalar argument of a SQL call (ksub, numHashes, …) — must
+    * be foldable; anything else is a planning-time error, not a
+    * silently-wrong kernel shape. */
+  private def constInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    Cast(e, IntegerType).eval().asInstanceOf[Int]
+  }
+
+  private[graft] def pqAdcFromSql(children: Seq[Expression]): Expression =
+    PqAdcDistanceLong(children(0), children(1), constInt(children(2), "ksub"))
+
+  /** `minhash_bands(ph, numHashes, numBands)` with the engine's standard
+    * seeded-coefficient schedule ([[graft.text.Dedup.minHashCoeffA]]/`B`)
+    * and modulus — the SQL form of the banded-MinHash kernel. */
+  private[graft] def minhashBandsFromSql(children: Seq[Expression]): Expression = {
+    val numHashes = constInt(children(1), "numHashes")
+    val numBands = constInt(children(2), "numBands")
+    MinHashBands(children(0),
+      Array.tabulate(numHashes)(graft.text.Dedup.minHashCoeffA),
+      Array.tabulate(numHashes)(graft.text.Dedup.minHashCoeffB),
+      numBands, graft.text.Dedup.MinHashMod)
+  }
 }
 
 object GraftFunctions {
@@ -56,5 +95,13 @@ object GraftFunctions {
       "dot_product", es => DotProduct(es(0), es(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "topk_by_dist", es => GraftExtensions.topKFromSql(es), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pq_adc_dist_long", es => GraftExtensions.pqAdcFromSql(es), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_bands", es => GraftExtensions.minhashBandsFromSql(es), "built-in")
   }
 }

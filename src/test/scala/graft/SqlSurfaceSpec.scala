@@ -20,6 +20,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(topk.toList == List(2L, 4L, 3L).take(2))
   }
 
+  test("cosine_sim, sorted_intersect_count, pq_adc_dist_long, minhash_bands from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS n, " +
+        "pq_adc_dist_long(array(10L, 20L, 30L, 40L), array(1, 0), 2) AS d").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getInt(1) == 2 && r.getLong(2) == 20L + 30L)
+    // SQL minhash_bands = the Column-path kernel with the standard schedule
+    val ph = Array(7L, 99L, 12345L)
+    val viaSql = spark.sql(
+      s"SELECT minhash_bands(array(${ph.mkString("L,")}L), 16, 4) AS b")
+      .collect()(0).getSeq[Long](0).toList
+    val expected = graft.text.Dedup.bandHashesScala(
+      Array.tabulate(16) { s =>
+        val a = graft.text.Dedup.minHashCoeffA(s); val b = graft.text.Dedup.minHashCoeffB(s)
+        ph.map(h => (h * a + b) % graft.text.Dedup.MinHashMod).min
+      }, 4).toList
+    assert(viaSql == expected)
+    // non-literal shape argument is a planning-time error
+    intercept[Exception] {
+      spark.sql("SELECT pq_adc_dist_long(array(1L), array(0), CAST(rand()*2 AS INT))").collect()
+    }
+  }
+
   test("SQL kNN over the fixture matches the Column-API result") {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
