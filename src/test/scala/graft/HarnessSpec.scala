@@ -77,6 +77,23 @@ class HarnessSpec extends AnyFunSuite {
     assert(iv(7).getAs[scala.collection.Seq[Int]]("ids") .toSeq == ids(7).toSeq)
   }
 
+  test("sharded fvecs export reads back with the same positional ids") {
+    import org.apache.spark.sql.functions.col
+    val out = "target/tmp/sharded_fvecs"
+    new java.io.File(out).mkdirs()
+    val src = Tables.embeddingBase(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    Fvecs.writeFvecsSharded(src, out, numShards = 4)
+    val shards = new java.io.File(out).listFiles().filter(_.getName.endsWith(".fvecs"))
+    assert(shards.length > 1, s"expected multiple shards, got ${shards.length}")
+    val back = Fvecs.readFvecs(spark, out).orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vector").toList)
+    val expected = src.orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vector").toList)
+    assert(back.length == expected.length)
+    assert(back.toList == expected.toList)
+  }
+
   test("multimodal: stub features deterministic, meta digest matches payload") {
     val media = graft.multimodal.Multimodal.asMediaTable(
       Tables.documents(spark, dir), "doc_id", "text", "text/plain")
