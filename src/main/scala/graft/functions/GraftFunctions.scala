@@ -27,6 +27,10 @@ object GraftFunctions {
     bridge.column(MinHashBands(
       bridge.expression(ph), coeffA, coeffB, numBands, mod))
 
+  /** Streaming n-gram shingle hasher — see [[ShingleHashes]]. */
+  def shingleHashes(toks: Column, n: Int): Column =
+    bridge.column(ShingleHashes(bridge.expression(toks), n))
+
   /** Sorted-merge intersection count — see [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(

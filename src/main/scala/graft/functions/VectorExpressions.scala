@@ -471,3 +471,94 @@ case class MinHashBands(child: Expression,
   override protected def withNewChildInternal(c: Expression): MinHashBands =
     copy(child = c)
 }
+
+/** Hash every word n-gram shingle of a token array by STREAMING the
+  * token codepoints (with the joining space) through three polynomial
+  * accumulators — never materializing the shingle strings the
+  * `transform(sequence…, array_join(slice…))` formulation builds and
+  * immediately re-hashes. Returns `struct<ph, ih>`:
+  *
+  *   - `ph[i]` = PolyHash(shingle_i, 257, 1e9+7) — the portable MinHash
+  *     signature domain (identical values to hashing the joined string;
+  *     duplicates retained — a min over the multiset equals the min
+  *     over the distinct set, so signatures are unchanged),
+  *   - `ih[i]` = the mixed 60-bit pair hash ([[graft.text.TextFunctions
+  *     .tokenHashes]]'s construction lifted to shingles) — the
+  *     verify-stage intersect domain (distinct-by-hash ≡
+  *     distinct-by-string absent a 60-bit collision, the same caveat
+  *     class as the previous xxhash64-of-string form).
+  *
+  * Shingle rule matches `shinglesOfTokens`: m = max(len−n+1, 1)
+  * shingles, shingle_i = tokens[i..min(i+n,len)) joined by ' '. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = StructType(Seq(
+    StructField("ph", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ih", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($v, $n);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+object ShingleHashes {
+  private val ModP = 1000000007L
+  private val Two30 = 1073741824L
+  private val Two32 = 4294967296L
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(toks: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = toks.numElements()
+    val strs = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      strs(i) = toks.getUTF8String(i).toString
+      i += 1
+    }
+    val m = math.max(len - (n - 1), 1)
+    val ph = new Array[Long](m)
+    val ih = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var h1 = 0L // base 257 mod 1e9+7  (MinHash domain)
+      var h2 = 0L // base 313 mod 2^30   (mix-hi half)
+      var h3 = 0L // base 257 mod 2^30   (mix-lo half)
+      val end = math.min(s + n, len)
+      var j = s
+      while (j < end) {
+        if (j > s) { // the joining space, codepoint 32
+          h1 = (h1 * 257 + 32) % ModP
+          h2 = (h2 * 313 + 32) % Two30
+          h3 = (h3 * 257 + 32) % Two30
+        }
+        val t = strs(j)
+        var k = 0
+        val tl = t.length
+        while (k < tl) {
+          val cp = t.codePointAt(k)
+          h1 = (h1 * 257 + cp) % ModP
+          h2 = (h2 * 313 + cp) % Two30
+          h3 = (h3 * 257 + cp) % Two30
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      ph(s) = h1
+      ih(s) = (h2 * graft.text.TextFunctions.SimHashMixHi % Two32 >> 2) * Two30 +
+        (h3 * graft.text.TextFunctions.SimHashMixLo % Two32 >> 2)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ph),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ih)))
+  }
+}

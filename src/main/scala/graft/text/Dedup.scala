@@ -113,15 +113,17 @@ object Dedup {
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // ONE tokenize→shingle pass feeds both the signature hashes (PolyHash,
-    // the portable minhash domain) and the verify-stage intersect hashes
-    // (xxhash64 sorted) — previously the corpus was shingled twice.
-    val base = TextFunctions.withShingles(docs, textCol, shingleSize, "__sh")
-      .select(col(idCol),
-        transform(col("__sh"), x =>
-          graft.functions.PolyHash.column(x, 257L, MinHashMod)).as("__ph"),
-        array_sort(transform(col("__sh"), t => xxhash64(t))).as("ih"),
-        size(col("__sh")).as("n_sh"))
+    // ONE streaming pass over the token codepoints ([[graft.functions
+    // .ShingleHashes]]) feeds both the signature hashes (PolyHash — the
+    // portable minhash domain; duplicates retained, min unchanged) and
+    // the verify-stage intersect hashes (mixed 60-bit, sorted distinct)
+    // — no shingle strings are ever materialized.
+    val base = docs
+      .select(col(idCol), graft.functions.GraftFunctions.shingleHashes(
+        TextFunctions.tokens(col(textCol)), shingleSize).as("__sh2"))
+      .select(col(idCol), col("__sh2.ph").as("__ph"),
+        array_sort(array_distinct(col("__sh2.ih"))).as("ih"))
+      .withColumn("n_sh", size(col("ih")))
       .localCheckpoint()
     val coeffA = Array.tabulate(numHashes)(minHashCoeffA)
     val coeffB = Array.tabulate(numHashes)(minHashCoeffB)
@@ -181,13 +183,19 @@ object Dedup {
     * ratio. */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int, threshold: Double): DataFrame = {
-    // Materialized once: the block self-join would otherwise tokenize,
-    // shingle, hash, and sort every document TWICE (self-joins get no
-    // automatic exchange reuse for expensive projections).
-    val sets = TextFunctions.withShingles(docs, textCol, shingleSize, "sh")
+    // Materialized once: the block self-join would otherwise tokenize
+    // and hash every document TWICE (self-joins get no automatic
+    // exchange reuse for expensive projections). The streaming
+    // [[graft.functions.ShingleHashes]] kernel hashes shingles without
+    // materializing the strings; distinct-by-hash ≡ distinct-by-string
+    // absent a 60-bit collision inside one block.
+    val sets = docs
       .select((col(idCol) +: blockCols.map(col)) :+
-        array_sort(transform(col("sh"), t => xxhash64(t))).as("ih") :+
-        size(col("sh")).as("n_sh"): _*)
+        graft.functions.GraftFunctions.shingleHashes(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("__sh2"): _*)
+      .select((col(idCol) +: blockCols.map(col)) :+
+        array_sort(array_distinct(col("__sh2.ih"))).as("ih"): _*)
+      .withColumn("n_sh", size(col("ih")))
       .localCheckpoint()
     val a = sets.select(col(idCol).as("id_a") +: col("ih").as("ih_a") +:
       col("n_sh").as("na") +: blockCols.map(col): _*)
