@@ -79,6 +79,9 @@ object DynamicBench {
     interval += 1
     log += MetricRow(interval, 0, (System.nanoTime() - t1) / 1e6, 0, "insert_end")
     searchPhase(intervalsPerPhase, "recovered")
+    // The metric log is driver-local; release every snapshot cache so
+    // repeated runs (bench warmup + best-of-two) don't accumulate copies.
+    Seq(gt, base, deleted, reinserted).foreach(_.unpersist(blocking = false))
     log.toSeq.toDF()
   }
 
@@ -110,6 +113,8 @@ object DynamicBench {
       }
       Await.result(Future.sequence(futures), Duration.Inf)
     }
+    gt.unpersist(blocking = false)
+    snapshot.unpersist(blocking = false)
     // M7: mean latency, mean qps, SUM qps (aggregate throughput), mean recall
     results.toDF().groupBy(col("num_clients"))
       .agg(

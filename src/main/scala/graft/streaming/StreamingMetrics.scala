@@ -145,6 +145,35 @@ object StreamingMetrics {
       }
   }
 
+  /** D1 as a streaming sink: every micro-batch of rows is
+    * existence-guarded upserted ([[graft.operators.Snapshots.insert]]
+    * `dedupe=true` — the Redis HSET-if-absent pattern,
+    * `/root/reference/dynamic_script_redis.py:49-55`) into the shared
+    * snapshot, and the new snapshot published atomically for concurrent
+    * readers ([[knnSearchLoop]] reads the same [[AtomicReference]]).
+    * Together the two queries reproduce the reference's
+    * search-during-update experiment as continuous ingestion.
+    *
+    * Each published snapshot is `localCheckpoint`ed: without it, batch
+    * N's plan chains N unions + N anti-joins and planning cost grows
+    * linearly with stream lifetime. Superseded checkpoint blocks are
+    * released by the ContextCleaner once the old snapshot DataFrame is
+    * unreachable, so steady-state memory is one snapshot + one in-flight
+    * batch. Returns the started query. */
+  def upsertSink(rows: DataFrame, snapshot: AtomicReference[DataFrame],
+      idCol: String = "vec_id") = {
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val updated = graft.operators.Snapshots
+          .insert(snapshot.get(), batch, idCol, dedupe = true)
+          .localCheckpoint()
+        snapshot.set(updated)
+        (): Unit
+      }
+      .start()
+  }
+
   /** C1/C2: the background search loop as a streaming query. Each incoming
     * micro-batch of queries is answered with exact kNN against the snapshot
     * current at that micro-batch (atomic read — the reference's

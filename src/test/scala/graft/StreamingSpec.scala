@@ -221,4 +221,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
     assert(batch.size == 3) // user 1: 2 sessions; user 2: 1
   }
+
+  test("streaming upsert sink folds micro-batches into the snapshot (D1 as a stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val rows = input.toDF().toDF("vec_id", "payload")
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("vec_id", "payload")
+    val snapshot = new AtomicReference[DataFrame](base)
+    val q = StreamingMetrics.upsertSink(rows, snapshot)
+    input.addData((2L, 99.0), (3L, 30.0)) // 2 guarded (existing id kept), 3 inserted
+    q.processAllAvailable()
+    val afterFirst = snapshot.get()
+    input.addData((3L, 77.0), (4L, 40.0)) // 3 now guarded, 4 inserted
+    q.processAllAvailable()
+    q.stop()
+    val got = snapshot.get().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // existence guard: first write of an id wins, re-sends are dropped
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    // old snapshots stay consistent for readers that captured them (C2)
+    assert(afterFirst.count() == 3)
+  }
 }
