@@ -24,6 +24,7 @@ object SparkEntry {
   // model the same way. Deterministic (fixed seeds), so results are
   // unchanged — only the redundant re-fits go away.
   private val ivfFlatCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+  private val ivfUpsertCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   private val pqFlatCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqFlat.Model]
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
   private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -119,6 +120,31 @@ object SparkEntry {
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.15).as("within_15pct"))
 
+  /** Approximate quantile (percentile_approx / KLL-style sketch) with a
+    * deterministic RANK-bound check against the data: the sketch
+    * guarantees rank error ≤ n/accuracy, so the returned value's exact
+    * rank interval [n_lt, n_le] must intersect [0.5n − n/acc, 0.5n +
+    * n/acc]. The sketch is deterministic for fixed input, so the boolean
+    * is stable — same shape as [[approxDistinctParts]]'s HLL bound. At
+    * scale this is THE distributed-quantile pattern: a mergeable sketch
+    * per partition (one pass, fixed memory) instead of a global sort. */
+  private def approxQuantileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 100 // rank error ≤ 1% of n — a real sketch, not exact
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val ap = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(cents, 0.5, $acc)").as("__ap50"))
+    val ranks = ev.join(ap.select(col("event_type"), col("__ap50")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("cents") < col("__ap50"), 1L).otherwise(0L)).as("__n_lt"),
+        sum(when(col("cents") <= col("__ap50"), 1L).otherwise(0L)).as("__n_le"))
+    ap.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        (col("__n_lt") <= col("n") * 0.5 + col("n") / acc &&
+          col("__n_le") >= col("n") * 0.5 - col("n") / acc).as("rank_ok"))
+  }
+
   private def knnExactWindow(spark: SparkSession, dir: String): DataFrame =
     Knn.exactWindow(
       Tables.embeddingQueries(spark, dir),
@@ -150,6 +176,23 @@ object SparkEntry {
   /** Integer-IVF recall vs exact ground truth in basis points (⊕). */
   private def recallIvfFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfFlat(spark, dir), groundTruth(spark, dir), KnnK)
+
+  /** Index survives D1 upsert without retrain (the FAISS `add_with_ids`
+    * semantics): the coarse quantizer is fit on the 80% pre-insert
+    * snapshot; the upserted 20% is assigned to the EXISTING cells at
+    * search time ([[graft.index.IvfFlat.search]] re-assigns whatever base
+    * it is handed). At scale this is how an IVF index absorbs continuous
+    * ingestion — retraining only when list imbalance (`ivf_list_stats`)
+    * degrades. */
+  private def knnIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val pre = base.filter(col("vec_id") % 5 =!= 4)
+    val model = ivfUpsertCache.getOrElseUpdate(dir,
+      graft.index.IvfFlat.fit(pre, nlist = 8))
+    val snapshot = graft.operators.Snapshots.insert(pre, base.filter(col("vec_id") % 5 === 4))
+    graft.index.IvfFlat.search(model, Tables.embeddingQueries(spark, dir),
+      snapshot, KnnK, nprobe = 6)
+  }
 
   private val ivfLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -853,9 +896,11 @@ object SparkEntry {
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
+    "approx_quantile_events" -> ((s, dir) => approxQuantileEvents(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
+    "knn_ivf_upsert" -> ((s, dir) => knnIvfUpsert(s, dir)),
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
@@ -1143,14 +1188,20 @@ object SparkEntry {
     * prefix through base assignment `ab` + quantized queries `qq`,
     * full flat-search pipeline) so the IVFPQ oracle reuses the coarse
     * training verbatim. */
-  private val ivfCtePieces: (String, String) = {
+  /** IVF oracle CTE builder. `trainPred` filters which base rows TRAIN
+    * the centroids (`bt`); assignment `ab` and the search always run over
+    * the FULL base — with `trainPred = "true"` this is the plain
+    * train-on-everything pipeline, with a narrower predicate it replays
+    * the index-survives-upsert scenario (fit on the pre-insert snapshot,
+    * assign/search the post-insert one). */
+  private def ivfCtesFor(trainPred: String): (String, String) = {
     // integer squared L2 between two 64-d BIGINT lists
     def idist(a: String, b: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
     // one Lloyd step: centroids `prev` -> assignment a_<n> -> centroids c_<n>
     def stepSql(n: Int, prev: String): String =
       s"""s$n AS (SELECT vec_id, qv, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM (SELECT bq.vec_id, bq.qv, c.cid, ${idist("bq.qv", "c.cvec")} AS dist FROM bq CROSS JOIN $prev c)),
+         |  FROM (SELECT bt.vec_id, bt.qv, c.cid, ${idist("bt.qv", "c.cvec")} AS dist FROM bt CROSS JOIN $prev c)),
          |a$n AS (SELECT vec_id, qv, cid FROM s$n WHERE rn = 1),
          |g$n AS (SELECT cid, pos, sum(e) AS s, count(*) AS cnt FROM
          |  (SELECT cid, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM a$n)
@@ -1163,9 +1214,10 @@ object SparkEntry {
     val train = s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
        |bq AS (SELECT vec_id, $quant AS qv FROM b),
+       |bt AS (SELECT vec_id, qv FROM bq WHERE $trainPred),
        |mx AS (SELECT vec_id, qv,
        |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
-       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM bq),
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM bt),
        |init AS (SELECT CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid, qv AS cvec
        |  FROM (SELECT * FROM mx ORDER BY mx, vec_id LIMIT 8)),
        |${stepSql(1, "init")},
@@ -1185,8 +1237,15 @@ object SparkEntry {
          |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
     (train, s"$train,\n$search")
   }
+  private val ivfCtePieces: (String, String) = ivfCtesFor("true")
   private def ivfTrainCtes: String = ivfCtePieces._1
   private def ivfFlatCtes: String = ivfCtePieces._2
+
+  /** Index-survives-upsert oracle: centroids trained on the 80% pre-insert
+    * snapshot, assignment + probe + rerank over the full post-insert one. */
+  private val ivfUpsertKnnOracle: String =
+    s"WITH ${ivfCtesFor("vec_id % 5 <> 4")._2}\n" +
+      "SELECT query_id, neighbor_id, rank FROM ivf_scored WHERE rank <= 10"
 
   /** Shared CTE prefix replaying PqFlat end to end: quantize → subvector
     * rows → joint init → 2 joint Lloyd steps over (sub_id, cid) → encode
@@ -1477,6 +1536,7 @@ object SparkEntry {
     "recall_lsh" -> lshRecallOracle,
     "knn_ivf_flat" -> ivfFlatKnnOracle,
     "knn_ivf_flat_part" -> ivfFlatKnnOracle, // same logical answer, file-pruned plan
+    "knn_ivf_upsert" -> ivfUpsertKnnOracle,
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
@@ -1557,6 +1617,9 @@ object SparkEntry {
     "approx_distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS within_15pct
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "approx_quantile_events" ->
+      """SELECT event_type, count(*) AS n, true AS rank_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "knn_cosine" -> knnCosineOracle,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,
