@@ -211,6 +211,31 @@ object SparkEntry {
       Tables.embeddingQueries(spark, dir), KnnK, nprobe = 6)
   }
 
+  private val zorderLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** 2-D range scan over the Z-ordered events layout
+    * ([[graft.sources.Layout.writeZOrdered]]): each file covers a small
+    * (user, time) rectangle, so the footer min/max stats on BOTH columns
+    * are tight and the pushed range predicates skip most row groups —
+    * the Delta/Iceberg Z-ORDER data-skipping pattern. The answer is
+    * layout-independent (the oracle filters the plain table). */
+  private def zorderRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val path = zorderLayoutCache.getOrElseUpdate(dir, {
+      val p = s"target/zorder_layout/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sources.Layout.writeZOrdered(ev, "user_id", "ts", p)
+      p
+    })
+    val maxUser = ev.agg(max(col("user_id")).cast("long")).head().getLong(0)
+    spark.read.parquet(path)
+      .filter(col("user_id") <= lit(maxUser / 10) &&
+        col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-10").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+  }
+
   /** Deterministic integer PQ (graft.index.PqFlat): all 16 codebooks
     * trained in one relational Lloyd chain; ADC shortlist 150 → exact
     * rerank — the oracle-checkable PQ. */
@@ -901,6 +926,7 @@ object SparkEntry {
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "knn_ivf_upsert" -> ((s, dir) => knnIvfUpsert(s, dir)),
+    "zorder_range_scan" -> ((s, dir) => zorderRangeScan(s, dir)),
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
@@ -1537,6 +1563,13 @@ object SparkEntry {
     "knn_ivf_flat" -> ivfFlatKnnOracle,
     "knn_ivf_flat_part" -> ivfFlatKnnOracle, // same logical answer, file-pruned plan
     "knn_ivf_upsert" -> ivfUpsertKnnOracle,
+    "zorder_range_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |FROM events
+        |WHERE user_id <= (SELECT max(user_id) // 10 FROM events)
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
+        |GROUP BY 1""".stripMargin,
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
