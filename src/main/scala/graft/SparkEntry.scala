@@ -145,6 +145,34 @@ object SparkEntry {
           col("__n_le") >= col("n") * 0.5 - col("n") / acc).as("rank_ok"))
   }
 
+  /** Count-Min-Sketch heavy hitters with a deterministic bound check —
+    * the third mergeable sketch next to HLL ([[approxDistinctParts]]) and
+    * the quantile sketch ([[approxQuantileEvents]]). The CMS is built in
+    * one distributed pass (`count_min_sketch`, fixed seed ⇒
+    * deterministic); the driver then reads the sketch ARTIFACT (a few KB
+    * — model-sized, not data-sized) and checks the classic guarantee for
+    * the exact top users: exact ≤ estimate ≤ exact + ε·N. At 100 TB this
+    * is how per-key frequencies are monitored without a keyed shuffle:
+    * sketches merge associatively across partitions. */
+  private def cmsHeavyUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.005
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10).collect()
+    val row = ev.agg(
+      expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("s"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("s")))
+    val slack = (eps * row.getAs[Long]("n")).toLong
+    exact.toSeq.map { r =>
+      val (uid, n) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(uid)
+      (uid, n, est >= n && est <= n + slack)
+    }.toDF("user_id", "n_exact", "within_bound")
+  }
+
   private def knnExactWindow(spark: SparkSession, dir: String): DataFrame =
     Knn.exactWindow(
       Tables.embeddingQueries(spark, dir),
@@ -922,6 +950,7 @@ object SparkEntry {
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
     "approx_quantile_events" -> ((s, dir) => approxQuantileEvents(s, dir)),
+    "cms_heavy_users" -> ((s, dir) => cmsHeavyUsers(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
@@ -1653,6 +1682,10 @@ object SparkEntry {
     "approx_quantile_events" ->
       """SELECT event_type, count(*) AS n, true AS rank_ok
         |FROM events GROUP BY 1""".stripMargin,
+    "cms_heavy_users" ->
+      """SELECT user_id, n_exact, true AS within_bound FROM (
+        |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+        |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,
     "knn_cosine" -> knnCosineOracle,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,
