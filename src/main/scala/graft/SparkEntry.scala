@@ -173,6 +173,46 @@ object SparkEntry {
     }.toDF("user_id", "n_exact", "within_bound")
   }
 
+  /** Incremental stats refresh ([[graft.operators.IncrementalAgg]]): the
+    * standing summary of the first 24 days absorbs one merge per daily
+    * ingest batch — O(|summary| + |batch|) per refresh, never a rescan
+    * of the base — and the folded result must equal the full-table
+    * aggregation (the oracle). avg derives exactly from the merged sums
+    * (integer floor-div). */
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val base = IncrementalAgg.summarize(ev.filter(col("ts") < cut), "event_type", col("cents"))
+    val merged = (25 to 31).foldLeft(base) { (acc, day) =>
+      val batch = ev.filter(col("ts") >= lit(f"2024-01-$day%02d").cast("timestamp") &&
+        col("ts") < lit(if (day == 31) "2024-02-01" else f"2024-01-${day + 1}%02d").cast("timestamp"))
+      IncrementalAgg.merge(acc, IncrementalAgg.summarize(batch, "event_type", col("cents")), "event_type")
+    }
+    merged.select(col("event_type"), col("n"), col("sum_v").as("sum_cents"),
+      col("min_v").as("min_cents"), col("max_v").as("max_cents"),
+      expr("sum_v div n").as("avg_cents"))
+  }
+
+  /** Three-stage funnel (view → click → purchase, strictly increasing
+    * event time per user): the classic product-analytics query — one
+    * shuffle per stage on user_id, the natural key. */
+  private def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_after_view"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   private def knnExactWindow(spark: SparkSession, dir: String): DataFrame =
     Knn.exactWindow(
       Tables.embeddingQueries(spark, dir),
@@ -951,6 +991,8 @@ object SparkEntry {
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
     "approx_quantile_events" -> ((s, dir) => approxQuantileEvents(s, dir)),
     "cms_heavy_users" -> ((s, dir) => cmsHeavyUsers(s, dir)),
+    "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
+    "funnel_conversion" -> ((s, dir) => funnelConversion(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
@@ -1686,6 +1728,21 @@ object SparkEntry {
       """SELECT user_id, n_exact, true AS within_bound FROM (
         |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
         |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,
+    "incremental_agg" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, count(*) AS n, sum(cents) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  sum(cents) // count(*) AS avg_cents
+        |FROM c GROUP BY 1""".stripMargin,
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin,
     "knn_cosine" -> knnCosineOracle,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,

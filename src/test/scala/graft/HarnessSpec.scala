@@ -107,4 +107,19 @@ class HarnessSpec extends AnyFunSuite {
     assert(meta.getAs[String]("digest").length == 32)
     assert(meta.getAs[Long]("n_bytes") > 0)
   }
+
+  test("incremental summaries: any batch grouping merges to the full-table aggregate") {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val full = canon(IncrementalAgg.summarize(ev, "event_type", col("cents")))
+    // 3-way split by an arbitrary hash, folded in two different orders
+    val parts = (0 until 3).map(i => IncrementalAgg.summarize(
+      ev.filter(pmod(hash(col("cents")), lit(3)) === i), "event_type", col("cents")))
+    val fwd = canon(parts.reduce(IncrementalAgg.merge(_, _, "event_type")))
+    val rev = canon(parts.reverse.reduce(IncrementalAgg.merge(_, _, "event_type")))
+    assert(fwd == full && rev == full)
+  }
 }
