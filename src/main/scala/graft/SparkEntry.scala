@@ -970,6 +970,67 @@ object SparkEntry {
         floor(expr("percentile(cents, 0.5)") * 100 + 0.5).cast("long").as("p50_q"),
         floor(expr("percentile(cents, 0.95)") * 100 + 0.5).cast("long").as("p95_q"))
 
+  /** GROUPING SETS coverage (the general form behind rollup/cube): the
+    * (flag, status) / (flag) / () sets in ONE pass — Spark expands the
+    * sets into a single Expand + hash aggregate, so adding a grouping set
+    * costs map-side rows, never an extra scan of the fact table. The
+    * per-column `grouping()` bits disambiguate set-null from data-null. */
+  private def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gset"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Second-moment statistics per event type: Pearson correlation between
+    * the event value and its JSON payload key, plus population covariance
+    * and sample stddev — one partial-aggregable pass (co-moment sketches
+    * merge associatively, same scale shape as avg/sum). */
+  private def metricsCorrelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("cents"), col("k")), 4).as("corr_vk"),
+        round(covar_pop(col("cents"), col("k")), 2).as("covar_vk"),
+        round(stddev_samp(col("cents")), 2).as("stddev_cents"))
+
+  /** Equi-width histogram of the event value (20 integer-cent bins between
+    * the observed min/max): the global extent is a 1-row broadcast, the
+    * binning a map-side integer expression, the histogram one hash
+    * aggregate — the standard profile/visualization query at any scale. */
+  private def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+    val ext = cents.agg(
+      min(col("cents")).as("lo"),
+      // integer ceil((max-min+1)/20) — exact int64 arithmetic, no
+      // float-division rounding rule to match across engines
+      expr("(max(cents) - min(cents) + 20) div 20").as("width"))
+    cents.crossJoin(broadcast(ext))
+      .groupBy(expr("(cents - lo) div width").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cents")).as("bin_min"),
+        max(col("cents")).as("bin_max"))
+  }
+
+  /** Minutely resample of the event stream with LOCF gap filling — see
+    * [[MetricsAnalytics.gapFillLocf]]. Sum kept in integer cents. */
+  private def metricsGapfill(spark: SparkSession, dir: String): DataFrame =
+    MetricsAnalytics.gapFillLocf(
+      Tables.events(spark, dir)
+        .select(col("ts"), round(col("value") * 100).cast("long").as("cents")),
+      col("ts"), col("cents"), stepMs = 60000L)
+
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1055,6 +1116,10 @@ object SparkEntry {
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
+    "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
+    "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
+    "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
+    "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
     "pivot_events" -> ((s, dir) => pivotEvents(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
     "salted_join_agg" -> ((s, dir) => saltedJoinAgg(s, dir)),
@@ -2081,6 +2146,41 @@ object SparkEntry {
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gset,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "metrics_correlation" ->
+      """WITH g AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(corr(cents, k), 4) AS corr_vk,
+        |  round(covar_pop(cents, k), 2) AS covar_vk,
+        |  round(stddev_samp(cents), 2) AS stddev_cents
+        |FROM g GROUP BY event_type""".stripMargin,
+    "events_histogram" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ext AS (SELECT min(cents) AS lo,
+        |  (max(cents) - min(cents) + 20) // 20 AS width FROM c)
+        |SELECT (cents - lo) // width AS bin, count(*) AS n,
+        |  min(cents) AS bin_min, max(cents) AS bin_max
+        |FROM c, ext GROUP BY 1""".stripMargin,
+    "metrics_gapfill" ->
+      """WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
+        |    count(*) AS n_events,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS bucket_sum
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT unnest(range((SELECT min(bucket_ms) FROM b),
+        |    (SELECT max(bucket_ms) FROM b) + 1, 60000)) AS bucket_ms)
+        |SELECT g.bucket_ms,
+        |  coalesce(b.n_events, 0) AS n_events,
+        |  last_value(b.bucket_sum IGNORE NULLS) OVER (
+        |    ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_sum
+        |FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms""".stripMargin,
     "pivot_events" ->
       """SELECT user_id % 10 AS cohort,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -79,4 +79,32 @@ object MetricsAnalytics {
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(key.as("key"), eventId.as("event_id"), col("session_id"))
   }
+
+  /** Time-series resample with gap filling: bucket events into fixed
+    * `stepMs` intervals, generate the COMPLETE interval grid between the
+    * observed min and max (one `sequence` + explode — no driver loop),
+    * and carry the last observed aggregate forward across empty buckets
+    * (LOCF). The grid is a single row exploded into the timeline, so the
+    * only shuffle is the per-bucket aggregation itself; the forward fill
+    * is one window pass over the (small) bucket table, not the raw
+    * stream. The empty-bucket rows are what monitoring queries miss when
+    * they `GROUP BY` the raw stream — a gap renders as "no row", not as
+    * a measured zero. */
+  def gapFillLocf(df: DataFrame, ts: Column, value: Column, stepMs: Long): DataFrame = {
+    // floor-to-bucket in exact int64 (Column `/` would be double division)
+    val bucket = unix_millis(ts) - pmod(unix_millis(ts), lit(stepMs))
+    val perBucket = df
+      .groupBy(bucket.as("bucket_ms"))
+      .agg(count(lit(1)).as("n_events"), sum(value).as("bucket_sum"))
+    val grid = perBucket
+      .agg(min(col("bucket_ms")).as("lo"), max(col("bucket_ms")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(stepMs))).as("bucket_ms"))
+    val wFill = Window.orderBy(col("bucket_ms"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(perBucket, Seq("bucket_ms"), "left")
+      .select(
+        col("bucket_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("bucket_sum"), ignoreNulls = true).over(wFill).as("filled_sum"))
+  }
 }
