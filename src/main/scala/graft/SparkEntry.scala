@@ -970,6 +970,66 @@ object SparkEntry {
         floor(expr("percentile(cents, 0.5)") * 100 + 0.5).cast("long").as("p50_q"),
         floor(expr("percentile(cents, 0.95)") * 100 + 0.5).cast("long").as("p95_q"))
 
+  /** Weighted deterministic sampling: keep probability proportional to
+    * document length (capped at 1.0) — the up/down-weighting step of a
+    * data-mixing recipe, as a map-side hash filter (see
+    * [[graft.operators.Sampling.weightedSample]]). */
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      Tables.documents(spark, dir)
+        .withColumn("w_bps", least(col("n_chars") * 20, lit(10000)).cast("long")),
+      "doc_id", col("w_bps"))
+      .select(col("doc_id"), col("w_bps"))
+
+  /** Snapshot diff over two derived versions of `orders`: drops keys
+    * ≡3 (mod 97) from the old side, ≡7 (mod 89) from the new side, and
+    * bumps the price 10% on keys ≡11 (mod 83) — so every change class
+    * appears and the classification is fully deterministic. Prices are
+    * integer cents (exact in both engines — no float rounding rule) and
+    * an absent side projects as −1 instead of null so the compare is over
+    * non-null integers. */
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 3)
+    val newSnap = orders.filter(col("o_orderkey") % 89 =!= 7)
+      .withColumn("cents",
+        when(col("o_orderkey") % 83 === 11, col("cents") + expr("cents div 10"))
+          .otherwise(col("cents")))
+    Snapshots.diff(oldSnap, newSnap, "o_orderkey", Seq("cents"))
+      .select(col("o_orderkey"), col("change_type"),
+        coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+        coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+  }
+
+  /** 3σ anomaly scan over the minutely value series. The flag compares
+    * (n·x − T)²·(n−1) against 9·n·(n·Σx² − T²) — the z-score test with
+    * every aggregate an exact int64 and the final comparison a fixed
+    * sequence of IEEE-double ops on those exact inputs, so the boundary
+    * decision is bit-reproducible in any engine (no mean/stddev
+    * fold-order drift). */
+  private def metricsAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val perMin = Tables.events(spark, dir)
+      .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("bucket_ms"))
+      .agg(sum(col("cents")).as("x"))
+    val glob = perMin.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("x") * col("x")).as("sx2"))
+    val lhs = pow((col("n") * col("x") - col("t")).cast("double"), 2) *
+      (col("n") - 1).cast("double")
+    val rhs = lit(9.0) * col("n").cast("double") *
+      (col("n").cast("double") * col("sx2").cast("double") -
+        col("t").cast("double") * col("t").cast("double"))
+    perMin.crossJoin(broadcast(glob))
+      .filter(lhs > rhs)
+      .select(col("bucket_ms"), col("x").as("cents_sum"),
+        when(col("x") * col("n") > col("t"), lit("high")).otherwise(lit("low"))
+          .as("direction"))
+  }
+
   /** GROUPING SETS coverage (the general form behind rollup/cube): the
     * (flag, status) / (flag) / () sets in ONE pass — Spark expands the
     * sets into a single Expand + hash aggregate, so adding a grouping set
@@ -1117,6 +1177,9 @@ object SparkEntry {
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
+    "weighted_sample" -> ((s, dir) => weightedSample(s, dir)),
+    "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
+    "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
     "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
     "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
@@ -2152,6 +2215,39 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "weighted_sample" ->
+      """WITH w AS (SELECT doc_id, least(n_chars * 20, 10000) AS w_bps,
+        |  doc_id % 4294967296 AS a FROM documents),
+        |m AS (SELECT doc_id, w_bps,
+        |  (((a >> 16) * 2654435761) % 65536 * 65536 + (a & 65535) * 2654435761)
+        |    % 4294967296 AS mixed FROM w)
+        |SELECT doc_id, w_bps FROM m WHERE mixed % 10000 < w_bps""".stripMargin,
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 3),
+        |new AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 83 = 11 THEN cents + cents // 10 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 89 <> 7)
+        |SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |  coalesce(old.cents, -1) AS old_cents, coalesce(new.cents, -1) AS new_cents,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |       WHEN new.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type
+        |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+        |   OR old.cents IS DISTINCT FROM new.cents""".stripMargin,
+    "metrics_anomalies" ->
+      """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
+        |SELECT bucket_ms, x AS cents_sum,
+        |  CASE WHEN x * n > t THEN 'high' ELSE 'low' END AS direction
+        |FROM pm, g
+        |WHERE CAST(n * x - t AS DOUBLE) ^ 2 * CAST(n - 1 AS DOUBLE)
+        |    > 9.0 * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))""".stripMargin,
     "metrics_correlation" ->
       """WITH g AS (SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) AS cents,

@@ -38,6 +38,15 @@ object Sampling {
     df.withColumn("split",
       when(idBucket(col(idCol), 100) < trainPct, lit("train")).otherwise(lit("test")))
 
+  /** Deterministic weighted Bernoulli sampling: keep a row with
+    * probability `weightBps`/10000, decided by the row's id hash — the
+    * data-mixing primitive (up/down-weight sources by quality or length)
+    * as a pure map-side filter: no shuffle, no RNG state, identical
+    * keep-set on every run, engine, and retry. The weight column may be
+    * any deterministic expression of the row. */
+  def weightedSample(df: DataFrame, idCol: String, weightBps: Column): DataFrame =
+    df.filter(idBucket(col(idCol), 10000) < weightBps)
+
   /** Stratified cap: at most n rows per stratum, deterministic order. */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

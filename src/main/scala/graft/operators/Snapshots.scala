@@ -38,6 +38,33 @@ object Snapshots {
   /** The reference's observed invariant (SURVEY §5): delete∘insert =
     * identity. Returns the post-cycle snapshot: delete the suffix then
     * re-insert the same rows. kNN results on it must equal the baseline. */
+  /** Snapshot reconciliation: classify every key as insert / delete /
+    * update between two table versions — the diff that drives incremental
+    * publication, CDC backfills, and data-quality audits. One full-outer
+    * hash join on the key (the minimal shuffle for the semantics; with
+    * both sides bucketed on the key it runs shuffle-free), payload
+    * comparison is null-safe per column, and `unchanged` rows — the
+    * overwhelming majority at 100 TB — are dropped before anything else
+    * touches them. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      col(keyCol) +: payloadCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newDf.select(
+      col(keyCol) +: payloadCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val changed = payloadCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("__in_old", "__in_new")
+  }
+
   def deleteInsertCycle(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =
     insert(deleteSuffix(base, cutoff, idCol), suffix(base, cutoff, idCol), idCol)
 }

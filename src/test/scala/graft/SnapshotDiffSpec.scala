@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MetricsAnalytics, Sampling, Snapshots}
+
+/** Snapshot reconciliation, weighted sampling, and gap-filled resampling. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("diff classifies insert/delete/update and drops unchanged rows") {
+    val oldDf = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val newDf = Seq((2L, "b", 20L), (3L, "c", 31L), (4L, "d", 40L)).toDF("k", "s", "v")
+    val got = Snapshots.diff(oldDf, newDf, "k", Seq("s", "v"))
+      .select(col("k"), col("change_type")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
+  test("diff is null-safe: null payload vs value is update, null vs null unchanged") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val newDf = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
+    val got = Snapshots.diff(oldDf, newDf, "k", Seq("s"))
+      .select(col("k"), col("change_type")).as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update")) // key 1: null <=> null → unchanged
+  }
+
+  test("weighted sample: 0 bps keeps nothing, 10000 bps keeps everything, monotone in weight") {
+    val df = (0L until 2000L).toDF("id")
+    assert(Sampling.weightedSample(df, "id", lit(0L)).count() == 0)
+    assert(Sampling.weightedSample(df, "id", lit(10000L)).count() == 2000)
+    val low = Sampling.weightedSample(df, "id", lit(2000L))
+      .as[Long].collect().toSet
+    val high = Sampling.weightedSample(df, "id", lit(6000L))
+      .as[Long].collect().toSet
+    assert(low.subsetOf(high)) // raising the weight only adds rows
+    // keep rate tracks the probability (hash is uniform-ish)
+    assert(math.abs(low.size / 2000.0 - 0.2) < 0.05)
+    assert(math.abs(high.size / 2000.0 - 0.6) < 0.05)
+  }
+
+  test("gap-fill: missing buckets appear with n_events=0 and carry the last sum forward") {
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 5L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:40"), 7L),
+      // minute 00:01 empty
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:05"), 3L))
+      .toDF("ts", "cents")
+    val got = MetricsAnalytics.gapFillLocf(rows, col("ts"), col("cents"), 60000L)
+      .orderBy("bucket_ms")
+      .select(col("n_events"), col("filled_sum")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 12L), (0L, 12L), (1L, 3L)))
+  }
+}
