@@ -64,4 +64,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("bucketed_join_agg: join runs on bucket co-location, only the groupBy shuffles") {
+    val p = planOf("bucketed_join_agg")
+    assert(p.contains("SortMergeJoin"), p)
+    // one exchange total — the final aggregate's; the join reads both
+    // bucketed scans in place
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("SelectedBucketsCount") || p.toLowerCase.contains("bucket"), p)
+  }
 }
