@@ -1005,6 +1005,42 @@ object SparkEntry {
         floor(expr("percentile(cents, 0.5)") * 100 + 0.5).cast("long").as("p50_q"),
         floor(expr("percentile(cents, 0.95)") * 100 + 0.5).cast("long").as("p95_q"))
 
+  /** BPE tokenizer training (graft.text.Bpe): 6 merge rounds over the
+    * corpus' word-frequency table. The corpus-sized work is one tokenize
+    * + groupBy; every round then runs over the vocabulary-sized distinct-
+    * word table only. */
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "text", rounds = 6)
+
+  /** DuckDB replay of the full BPE training chain: per round, pair
+    * counting via list_transform over the split symbol string, arg-max
+    * with the same (cnt DESC, pair ASC) tie-break, and the same two-pass
+    * literal merge rewrite. */
+  private def bpeOracle(rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous ~4x — inlined, the 6-round chain
+    // re-evaluates 4^6 times and never finishes
+    val head =
+      """WITH wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT freq, array_to_string(string_split(word, ''), ' ') AS seq FROM wf)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq
+         |  FROM (SELECT string_split(seq, ' ') AS l, freq FROM s${r - 1})),
+         |c$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT freq, trim(replace(replace(' ' || seq || ' ',
+         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r)),
+         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
+         |  FROM s${r - 1})""".stripMargin
+    }
+    val finals = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    (head +: steps).mkString(",\n") + "\n" + finals
+  }
+
   /** Weighted deterministic sampling: keep probability proportional to
     * document length (capped at 1.0) — the up/down-weighting step of a
     * data-mixing recipe, as a map-side hash filter (see
@@ -1214,6 +1250,7 @@ object SparkEntry {
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
     "weighted_sample" -> ((s, dir) => weightedSample(s, dir)),
+    "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2258,6 +2295,7 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "bpe_merges" -> bpeOracle(6),
     "weighted_sample" ->
       """WITH w AS (SELECT doc_id, least(n_chars * 20, 10000) AS w_bps,
         |  doc_id % 4294967296 AS a FROM documents),
