@@ -301,10 +301,10 @@ object SparkEntry {
       graft.sources.Layout.writeBucketed(
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        li, "l_orderkey", numBuckets = 8)
+        li, "l_orderkey", numBuckets = 32)
       graft.sources.Layout.writeBucketed(
         Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-        ord, "o_orderkey", numBuckets = 8)
+        ord, "o_orderkey", numBuckets = 32)
       (li, ord)
     })
     spark.table(liTab)
@@ -928,6 +928,14 @@ object SparkEntry {
     graft.streaming.StreamingMetrics.windowedAgg(
       Tables.events(spark, dir), "1 hour", "2 hours")
 
+  /** The same windowed aggregation executed by the streaming ENGINE
+    * (micro-batches, state store, AvailableNow backlog replay) — shares
+    * windowed_agg's oracle: one logical answer, batch and streaming
+    * physical execution. */
+  private def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingMetrics.availableNowWindowedAgg(
+      spark, dir, "1 hour", "2 hours")
+
   /** Skew-safe salted join, oracled against the plain join it must equal:
     * lineitem (probe, salted by row id) ⋈ nation-sized dim (build,
     * replicated saltFactor×). The salt spreads any hot key over 8
@@ -1262,6 +1270,7 @@ object SparkEntry {
     "event_deltas" -> ((s, dir) => eventDeltas(s, dir)),
     "set_ops_suppliers" -> ((s, dir) => setOpsSuppliers(s, dir)),
     "windowed_agg" -> ((s, dir) => windowedAgg(s, dir)),
+    "stream_windowed_agg" -> ((s, dir) => streamWindowedAgg(s, dir)),
     "distinct_parts" -> ((s, dir) => distinctParts(s, dir)),
     "table_profile" -> ((s, dir) => tableProfile(s, dir)),
     "metrics_quantiles" -> ((s, dir) => metricsQuantiles(s, dir)),
@@ -2394,6 +2403,10 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
     "windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_windowed_agg" -> // one logical answer, streaming-engine plan
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -36,6 +36,35 @@ object StreamingMetrics {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Drive [[windowedAgg]] through the actual streaming engine over the
+    * events parquet — `Trigger.AvailableNow` processes the backlog as a
+    * bounded stream (micro-batched, stateful aggregation, then
+    * self-terminates), the pattern for replaying history through the
+    * exact pipeline that then keeps running on live data. Complete-mode
+    * memory sink: the final state IS the batch answer, which is what the
+    * DuckDB oracle checks. */
+  def availableNowWindowedAgg(spark: SparkSession, dir: String,
+      windowDur: String, watermark: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // glob, not the bare file path: for a non-glob path FileStreamSource
+    // force-sets basePath to that path, which must then be a directory —
+    // a glob keeps basePath auto-derived from the matched files' parent
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val sink = "stream_wagg_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = windowedAgg(events, windowDur, watermark)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates on a fingerprint
     * column — the streaming form of [[graft.text.Dedup.exact]] for
     * continuous ingestion (state bounded by the watermark horizon). */
