@@ -1013,6 +1013,38 @@ object SparkEntry {
         floor(expr("percentile(cents, 0.5)") * 100 + 0.5).cast("long").as("p50_q"),
         floor(expr("percentile(cents, 0.95)") * 100 + 0.5).cast("long").as("p95_q"))
 
+  /** Diversified retrieval: cosine shortlist 20 → greedy MMR selection of
+    * 5 with λ = 0.7 — see [[graft.operators.Knn.mmrTopK]]. */
+  private def knnMmr(spark: SparkSession, dir: String): DataFrame =
+    Knn.mmrTopK(
+      Tables.embeddingQueries(spark, dir),
+      Tables.embeddingBase(spark, dir),
+      k = 5, shortlist = 20, lambdaNum = 7)
+
+  /** Graph centrality for curation: documents are linked when they share
+    * a RARE word-8-gram (2 ≤ df ≤ 5 — the contamination-scan blocking
+    * key), then 3 rounds of exact-int64 PageRank rank the most
+    * re-quoted documents. Blocking on rare grams bounds the self-join
+    * fan-out at ≤ df·(df−1)/2 pairs per gram — the quadratic never
+    * materializes at scale. */
+  private def pagerankSharedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val byGram = TextFunctions.withShingles(
+        Tables.documents(spark, dir), "text", 8, "__sh")
+      .select(col("doc_id"), explode(col("__sh")).as("g"))
+    val rare = byGram.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5))
+      .select(col("g"))
+    val rareSh = byGram.join(rare, Seq("g"))
+    val edges = rareSh.as("a")
+      .join(rareSh.as("b"), Seq("g"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRankInt(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("deg"), col("score"))
+  }
+
   /** BPE tokenizer training (graft.text.Bpe): 6 merge rounds over the
     * corpus' word-frequency table. The corpus-sized work is one tokenize
     * + groupBy; every round then runs over the vocabulary-sized distinct-
@@ -1047,6 +1079,53 @@ object SparkEntry {
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM b$r")
       .mkString("\nUNION ALL ")
     (head +: steps).mkString(",\n") + "\n" + finals
+  }
+
+  /** DuckDB replay of the MMR greedy trajectory. The cosine is the
+    * bit-exact fold replay (three sequential list_reduce sums = the fused
+    * kernel's three accumulators, then dot / (√na·√nb)), so the integer
+    * basis-point quantization agrees and every argmax decision is
+    * reproduced. */
+  private def mmrOracle(k: Int, shortlist: Int, lambdaNum: Int): String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(x.e)), i -> $body)), (a, v) -> a + v)"
+    def cos = s"(${fold("x.e[i] * y.e[i]")} / (sqrt(${fold("x.e[i] * x.e[i]")}) * sqrt(${fold("y.e[i] * y.e[i]")})))"
+    val head =
+      s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 20 <> 0),
+         |sc AS MATERIALIZED (SELECT x.query_id, y.vec_id, $cos AS cos
+         |  FROM q x CROSS JOIN b y),
+         |cands AS MATERIALIZED (SELECT query_id, vec_id,
+         |    CAST(floor(cos * 10000) AS BIGINT) AS rel_bps
+         |  FROM (SELECT query_id, vec_id, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sc)
+         |  WHERE rn <= $shortlist),
+         |ce AS MATERIALIZED (SELECT c.query_id, c.vec_id, b.e
+         |  FROM cands c JOIN b ON b.vec_id = c.vec_id),
+         |sims AS MATERIALIZED (SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+         |    CAST(floor($cos * 10000) AS BIGINT) AS sim_bps
+         |  FROM ce x JOIN ce y ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+         |g1 AS MATERIALIZED (SELECT query_id, vec_id, 1 AS pick
+         |  FROM (SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel_bps DESC, vec_id) AS rn FROM cands)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT s.query_id, s.a AS vec_id, max(s.sim_bps) AS ms
+         |  FROM sims s JOIN g${r - 1} g ON g.query_id = s.query_id AND g.vec_id = s.b
+         |  GROUP BY 1, 2),
+         |p$r AS MATERIALIZED (SELECT query_id, vec_id, $r AS pick FROM (
+         |  SELECT m.query_id, m.vec_id, row_number() OVER (PARTITION BY m.query_id
+         |      ORDER BY $lambdaNum * c.rel_bps - ${10 - lambdaNum} * m.ms DESC, m.vec_id) AS rn
+         |  FROM m$r m JOIN cands c ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} x
+         |    WHERE x.query_id = m.query_id AND x.vec_id = m.vec_id))
+         |  WHERE rn = 1),
+         |g$r AS MATERIALIZED (SELECT * FROM g${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT query_id, vec_id AS neighbor_id, CAST(pick AS INTEGER) AS pick FROM g$k"
   }
 
   /** Weighted deterministic sampling: keep probability proportional to
@@ -1259,6 +1338,8 @@ object SparkEntry {
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
     "weighted_sample" -> ((s, dir) => weightedSample(s, dir)),
     "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
+    "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
+    "knn_mmr" -> ((s, dir) => knnMmr(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2305,6 +2386,33 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
     "bpe_merges" -> bpeOracle(6),
+    "knn_mmr" -> mmrOracle(5, 20, 7),
+    "pagerank_sharedgrams" ->
+      // full replay: 8-gram shingles → rare-gram blocking (2 ≤ df ≤ 5) →
+      // symmetric adjacency → 3 unrolled integer PageRank rounds
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |    for i in generate_series(1, greatest(len(toks) - 7, 1))])) AS g FROM t),
+        |rare AS MATERIALIZED (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+        |rs AS MATERIALIZED (SELECT doc_id, g FROM dg WHERE g IN (SELECT g FROM rare)),
+        |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM rs a JOIN rs b USING (g) WHERE a.doc_id < b.doc_id),
+        |adj AS MATERIALIZED (SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p),
+        |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM adj GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT id, deg, CAST(1000000 AS BIGINT) AS score FROM deg),
+        |s1 AS MATERIALIZED (SELECT d.id, d.deg,
+        |  CAST(150000 + (85 * coalesce(c.sumc, 0)) // 100 AS BIGINT) AS score
+        |  FROM deg d LEFT JOIN (SELECT a.dst AS id, sum(s.score // s.deg) AS sumc
+        |    FROM adj a JOIN s0 s ON s.id = a.src GROUP BY 1) c ON c.id = d.id),
+        |s2 AS MATERIALIZED (SELECT d.id, d.deg,
+        |  CAST(150000 + (85 * coalesce(c.sumc, 0)) // 100 AS BIGINT) AS score
+        |  FROM deg d LEFT JOIN (SELECT a.dst AS id, sum(s.score // s.deg) AS sumc
+        |    FROM adj a JOIN s1 s ON s.id = a.src GROUP BY 1) c ON c.id = d.id),
+        |s3 AS MATERIALIZED (SELECT d.id, d.deg,
+        |  CAST(150000 + (85 * coalesce(c.sumc, 0)) // 100 AS BIGINT) AS score
+        |  FROM deg d LEFT JOIN (SELECT a.dst AS id, sum(s.score // s.deg) AS sumc
+        |    FROM adj a JOIN s2 s ON s.id = a.src GROUP BY 1) c ON c.id = d.id)
+        |SELECT id AS doc_id, deg, score FROM s3""".stripMargin,
     "weighted_sample" ->
       """WITH w AS (SELECT doc_id, least(n_chars * 20, 10000) AS w_bps,
         |  doc_id % 4294967296 AS a FROM documents),

@@ -212,6 +212,68 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Maximal-marginal-relevance diversified retrieval: per query, take a
+    * `shortlist`-sized cosine shortlist, then greedily select `k` items
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected —
+    * the de-redundancy reranker of RAG/retrieval stacks (Carbonell &
+    * Goldstein 1998).
+    *
+    * Determinism across engines: relevance and pairwise similarity are
+    * quantized to integer basis points (the cosine fold itself is the
+    * bit-exact codegen kernel, so the floor agrees), λ is a rational
+    * (numerator/10), and every argmax tie-breaks on vec_id — the greedy
+    * trajectory is therefore exactly replayable in SQL.
+    *
+    * Scale shape: the shortlist pass is the standard broadcast-queries
+    * scan; everything after runs on shortlist²-sized tables per query
+    * (20² here), distributed BY QUERY — no driver loop, k fixed rounds
+    * of join + window. */
+  def mmrTopK(queries: DataFrame, base: DataFrame, k: Int, shortlist: Int = 20,
+      lambdaNum: Int = 7): DataFrame = {
+    require(lambdaNum >= 0 && lambdaNum <= 10, "lambdaNum is tenths in [0, 10]")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val cands = base
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_embedding"), col("embedding")).as("cos"), col("embedding"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cos") * 10000).cast("long").as("rel_bps"), col("embedding"))
+      .localCheckpoint() // shortlist-sized; reused by sims + every round
+    val sims = cands.as("x")
+      .join(cands.as("y"), Seq("query_id"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("query_id"), col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        floor(cosine(col("x.embedding"), col("y.embedding")) * 10000).cast("long")
+          .as("sim_bps"))
+      .localCheckpoint()
+    val slim = cands.drop("embedding")
+    val wFirst = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_bps").desc, col("vec_id"))
+    var selected = slim
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("pick"))
+    for (r <- 2 to k) {
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy((lit(lambdaNum) * col("rel_bps") - lit(10 - lambdaNum) * col("ms")).desc,
+          col("vec_id"))
+      val pick = sims
+        .join(selected.select(col("query_id"), col("vec_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("vec_id"))
+        .agg(max(col("sim_bps")).as("ms"))
+        .join(slim, Seq("query_id", "vec_id"))
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(r).as("pick"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("vec_id").as("neighbor_id"), col("pick"))
+  }
+
   /** Ground-truth generator: exact top-k collected to one array per query,
     * the analog of `sift_groundtruth.ivecs` (SURVEY §1.1). */
   def groundTruth(queries: DataFrame, base: DataFrame, k: Int): DataFrame =

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("regular graphs are a fixed point: every score stays at init") {
+    // 4-cycle: every node has degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 5)
+      .select("id", "score").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
+
+  test("star graph: hub outranks leaves, scores match the hand computation") {
+    // hub 0 — leaves 1..4
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 1)
+      .select("id", "score").as[(Long, Long)].collect().toMap
+    // hub: 150000 + 85*(4 * (1000000 div 1)) div 100 = 150000 + 3400000
+    assert(got(0L) == 3550000L)
+    // leaf: 150000 + 85*(1000000 div 4) div 100 = 150000 + 212500
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 362500L))
+  }
+
+  test("orientation and duplicate edges normalize away") {
+    val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val b = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ra = Graph.pageRankInt(a, 3).select("id", "score").as[(Long, Long)].collect().toMap
+    val rb = Graph.pageRankInt(b, 3).select("id", "score").as[(Long, Long)].collect().toMap
+    assert(ra == rb)
+    assert(ra(2L) > ra(1L)) // middle node of the path dominates
+  }
+}
