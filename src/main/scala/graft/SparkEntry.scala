@@ -1026,16 +1026,28 @@ object SparkEntry {
     * key), then 3 rounds of exact-int64 PageRank rank the most
     * re-quoted documents. Blocking on rare grams bounds the self-join
     * fan-out at ≤ df·(df−1)/2 pairs per gram — the quadratic never
-    * materializes at scale. */
+    * materializes at scale.
+    *
+    * Gram identity is its PolyHash, computed by the streaming
+    * [[graft.functions.ShingleHashes]] kernel: no 50-char gram strings
+    * are ever built (the HOF string path is interpreted and was 30× the
+    * query's cost) and every downstream join/groupBy keys on int64. */
   private def pagerankSharedGrams(spark: SparkSession, dir: String): DataFrame = {
-    val byGram = TextFunctions.withShingles(
-        Tables.documents(spark, dir), "text", 8, "__sh")
-      .select(col("doc_id"), explode(col("__sh")).as("g"))
+    // Shingle-hashing is the corpus-sized CPU work: repartition first so
+    // it runs on every core (the raw scan is one small file = one task),
+    // and materialize it once — otherwise it re-runs for the df count
+    // AND for each side of the edge self-join (4 full passes).
+    val cores = spark.sparkContext.defaultParallelism
+    val byGram = Tables.documents(spark, dir).repartition(cores)
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingleHashes(
+        TextFunctions.tokens(col("text")), 8)("ph").as("phs"))
+      .select(col("doc_id"), explode(array_distinct(col("phs"))).as("g"))
+      .localCheckpoint()
     val rare = byGram.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 5))
       .select(col("g"))
-    val rareSh = byGram.join(rare, Seq("g"))
+    val rareSh = byGram.join(rare, Seq("g")).localCheckpoint()
     val edges = rareSh.as("a")
       .join(rareSh.as("b"), Seq("g"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -2388,11 +2400,14 @@ object SparkEntry {
     "bpe_merges" -> bpeOracle(6),
     "knn_mmr" -> mmrOracle(5, 20, 7),
     "pagerank_sharedgrams" ->
-      // full replay: 8-gram shingles → rare-gram blocking (2 ≤ df ≤ 5) →
-      // symmetric adjacency → 3 unrolled integer PageRank rounds
-      """WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-        |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-        |    for i in generate_series(1, greatest(len(toks) - 7, 1))])) AS g FROM t),
+      // full replay: 8-gram shingles → PolyHash gram ids (the ShingleHashes
+      // kernel's ph domain; distinct AFTER hashing, matching Spark) →
+      // rare-gram blocking (2 ≤ df ≤ 5) → symmetric adjacency →
+      // 3 unrolled integer PageRank rounds
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, greatest(len(toks) - 7, 1))],
+        |    x -> ${duckPolyHash("x", 257L, 1000000007L)}))) AS g FROM t),
         |rare AS MATERIALIZED (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
         |rs AS MATERIALIZED (SELECT doc_id, g FROM dg WHERE g IN (SELECT g FROM rare)),
         |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst

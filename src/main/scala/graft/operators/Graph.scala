@@ -28,9 +28,13 @@ object Graph {
     * the score table. Iteration count is fixed (power iteration
     * converges geometrically; rank ordering stabilizes in a handful of
     * rounds), which also keeps the computation replayable.
-    */
+    *
+    * `ckptEvery`: materialize the score table every N iterations. The
+    * lineage between checkpoints is a simple chain (each score table is
+    * consumed exactly once), so short runs plan as ONE job; long runs
+    * still truncate lineage before the plan tree gets deep. */
   def pageRankInt(edges: DataFrame, iters: Int, init: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L, ckptEvery: Int = 5): DataFrame = {
     val adj = edges.select(explode(array(
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -41,7 +45,7 @@ object Graph {
       .localCheckpoint()
     val base = init - init * dampNum / dampDen
     var scores = deg.withColumn("score", lit(init))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = adj
         .join(scores.select(col("id").as("src"), expr("score div deg").as("c")),
           Seq("src"))
@@ -51,7 +55,7 @@ object Graph {
         .select(col("id"), col("deg"),
           (lit(base) + expr(s"($dampNum * coalesce(sumc, 0L)) div $dampDen"))
             .as("score"))
-        .localCheckpoint()
+      if (i % ckptEvery == 0 && i < iters) scores = scores.localCheckpoint()
     }
     scores
   }
