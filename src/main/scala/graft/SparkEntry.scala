@@ -1271,6 +1271,113 @@ object SparkEntry {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** SCD Type-2 dimension build from the event stream — per user, the
+    * history of event_type state changes as [from, to) validity
+    * intervals. See [[Snapshots.scd2]]: one shuffle at any scale. */
+  private def scd2UserState(spark: SparkSession, dir: String): DataFrame =
+    Snapshots.scd2(Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
+
+  /** Sequence packing for training batches (concat-and-chunk, 256-token
+    * bins, sharded by lang) — see [[graft.text.Curation.packSequences]]. */
+  private def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text", "lang", capacity = 256)
+
+  /** Bloom-filter join pruning (the runtime-filter / dynamic-filtering
+    * pattern): BUILDING-segment customer keys → a 2048-word portable
+    * Bloom filter → map-side prune of orders BEFORE any join. Reports
+    * the pruned cardinality against the exact semi-join: no false
+    * negatives by construction, false positives deterministic (fixed
+    * hash family). At 100 TB the 16 KB filter rides the broadcast and
+    * the fact table never shuffles non-members. */
+  private def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val orders = Tables.orders(spark, dir)
+    val words = Joins.bloomFilterWords(cust, "c_custkey", numWords = 2048)
+    val nPass = Joins.bloomProbe(orders, "o_custkey", words)
+      .agg(count(lit(1)).as("n_bloom_pass"))
+    val nTrue = orders
+      .join(cust.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_true_match"))
+    nPass.crossJoin(nTrue)
+      .withColumn("n_false_pos", col("n_bloom_pass") - col("n_true_match"))
+  }
+
+  /** TPC-H Q4-shaped: order counts by priority where some line item
+    * shipped after the order date — a correlated EXISTS, planned as a
+    * hash LEFT SEMI join (equi key + residual range predicate), which
+    * stops probing an order on its first late item. */
+  private def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q10-shaped: top 20 customers by revenue lost to returns. */
+  private def q10Returned(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** UNPIVOT (melt): the wide per-returnflag profile turned long —
+    * `stack` keeps it one generator projection, no shuffle beyond the
+    * aggregate that built the wide table. */
+  private def unpivotProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        // per-row integer cents BEFORE the sum: int64 sums are
+        // fold-order-free, so the value is identical in any engine
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), expr(
+        """stack(3,
+          |  'sum_qty_cents', sum_qty_cents,
+          |  'sum_price_cents', sum_price_cents,
+          |  'n_rows', n_rows) AS (metric, value)""".stripMargin))
+
+  /** Edit-distance near-duplicate pairs: block on (lang, source) plus a
+    * length-band CELL join — the bandPairs 3-cell trick on n_chars div
+    * 32, so near-length pairs are never split by a band boundary and
+    * the blocked equi-join (never a nested loop) bounds each candidate
+    * set. Survivors get exact Levenshtein over the 40-char prefixes. */
+  private def fuzzyDedupLev(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      substring(col("text"), 1, 40).as("prefix"))
+    val band = expr("n_chars div 32")
+    val a = d.withColumn("__cell", explode(array(band - 1, band, band + 1)))
+    val b = d.withColumn("__cell", band)
+    a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.__cell") === col("b.__cell") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(abs(col("a.n_chars") - col("b.n_chars")) <= 32)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("lev"))
+      .filter(col("lev") <= 8)
+  }
+
+  /** Hopping-window aggregation (2 h windows, 1 h slide): each event
+    * lands in 2 windows — see [[graft.streaming.StreamingMetrics
+    * .hoppingWindowAgg]]; the same plan runs under the streaming engine. */
+  private def hoppingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingMetrics.hoppingWindowAgg(
+      Tables.events(spark, dir), "2 hours", "1 hour", "2 hours")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1352,6 +1459,14 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
     "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
     "knn_mmr" -> ((s, dir) => knnMmr(s, dir)),
+    "scd2_user_state" -> ((s, dir) => scd2UserState(s, dir)),
+    "sequence_pack" -> ((s, dir) => sequencePack(s, dir)),
+    "bloom_join_prune" -> ((s, dir) => bloomJoinPrune(s, dir)),
+    "q4_order_priority" -> ((s, dir) => q4OrderPriority(s, dir)),
+    "q10_returned" -> ((s, dir) => q10Returned(s, dir)),
+    "unpivot_profile" -> ((s, dir) => unpivotProfile(s, dir)),
+    "fuzzy_dedup_lev" -> ((s, dir) => fuzzyDedupLev(s, dir)),
+    "hopping_window_agg" -> ((s, dir) => hoppingWindowAgg(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2399,6 +2514,89 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
     "bpe_merges" -> bpeOracle(6),
     "knn_mmr" -> mmrOracle(5, 20, 7),
+    "scd2_user_state" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |c AS (SELECT user_id, event_type, ms, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_type, ms, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  ms AS valid_from_ms,
+        |  coalesce(lead(ms) OVER w, -1) AS valid_to_ms,
+        |  lead(ms) OVER w IS NULL AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    "sequence_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM d)
+        |SELECT lang, doc_id, n_tokens,
+        |  tok_before // 256 AS bin_id,
+        |  tok_before % 256 AS bin_offset,
+        |  (tok_before % 256) + n_tokens > 256 AS spans_bins
+        |FROM c""".stripMargin,
+    "bloom_join_prune" -> {
+      def pos3(k: String) = Seq(
+        (1103515245L, 12345L), (1299709L, 7919L), (15485863L, 104729L)).map {
+        case (a, b) => s"((($k % 2147483648) * $a + $b) % 1000000007) % 61440"
+      }.mkString("[", ",\n   ", "]")
+      s"""WITH keys AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |kp AS (SELECT unnest(${pos3("k")}) AS p FROM keys),
+        |words AS (SELECT p // 30 AS widx,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(p % 30 AS INTEGER)) AS word FROM kp GROUP BY 1),
+        |op AS (SELECT o_orderkey, unnest(${pos3("o_custkey")}) AS p FROM orders),
+        |hits AS (SELECT o_orderkey FROM op JOIN words ON words.widx = op.p // 30
+        |  WHERE ((word >> CAST(p % 30 AS INTEGER)) & 1) = 1
+        |  GROUP BY o_orderkey HAVING count(*) = 3),
+        |np AS (SELECT count(*) AS n_bloom_pass FROM hits),
+        |nt AS (SELECT count(*) AS n_true_match FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM keys))
+        |SELECT np.n_bloom_pass, nt.n_true_match,
+        |  np.n_bloom_pass - nt.n_true_match AS n_false_pos FROM np, nt""".stripMargin
+    },
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    "unpivot_profile" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  count(*) AS n_rows FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty_cents' AS metric, sum_qty_cents AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w""".stripMargin,
+    "fuzzy_dedup_lev" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars,
+        |  substr(text, 1, 40) AS prefix FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS lev
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "hopping_window_agg" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS tb, event_type, value
+        |  FROM events),
+        |x AS (SELECT unnest([tb, tb - INTERVAL '1 hour']) AS window_start,
+        |  event_type, value FROM e)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "pagerank_sharedgrams" ->
       // full replay: 8-gram shingles → PolyHash gram ids (the ShingleHashes
       // kernel's ph domain; distinct AFTER hashing, matching Spark) →

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,58 @@ object Joins {
     l.join(r, Seq("__cell"))
       .filter(abs(col(msCol) - col(rPrefix + msCol)) <= widthMs)
       .drop("__cell")
+  }
+
+  // Portable Bloom filter: k=3 positions per key, 30 bits per int64 word
+  // (bit 63 is never touched, so shifts behave identically in every
+  // engine — DuckDB raises on 1<<63 where Java wraps). The multiply is
+  // wrap-free: key is first reduced mod 2^31, coefficients are < 2^31,
+  // so products stay under 2^62 — no ANSI overflow at any key range.
+  private val BloomA = Seq(1103515245L, 1299709L, 15485863L)
+  private val BloomB = Seq(12345L, 7919L, 104729L)
+  val BloomBitsPerWord = 30
+
+  /** The k bit positions for a key (shared by build and probe). */
+  private def bloomPositions(key: Column, numBits: Long): Seq[Column] =
+    BloomA.zip(BloomB).map { case (a, b) =>
+      pmod(pmod(pmod(key.cast("long"), lit(2147483648L)) * lit(a) + lit(b),
+        lit(1000000007L)), lit(numBits))
+    }
+
+  /** Build a Bloom filter over `keys` as `numWords` 30-bit words. The
+    * build is one aggregation over the (small) key side; the returned
+    * array is numWords·8 bytes — broadcast-as-literal to the probe, the
+    * runtime-filter pattern: the big side is pruned map-side BEFORE any
+    * shuffle or join, which is the entire point at 100 TB. */
+  def bloomFilterWords(keys: DataFrame, keyCol: String, numWords: Int): Array[Long] = {
+    val numBits = numWords.toLong * BloomBitsPerWord
+    val rows = keys
+      .select(explode(array(bloomPositions(col(keyCol), numBits): _*)).as("pos"))
+      .select(expr(s"pos div $BloomBitsPerWord").as("widx"),
+        pmod(col("pos"), lit(BloomBitsPerWord.toLong)).as("bit"))
+      .groupBy("widx")
+      .agg(expr("bit_or(shiftleft(1L, int(bit)))").as("word"))
+      .collect()
+    val words = new Array[Long](numWords)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Keep only `big` rows whose `keyCol` passes the Bloom filter — no
+    * false negatives, deterministic false-positive set (fixed hashes),
+    * zero shuffle: the test is a pure map-side expression over a literal
+    * word array. */
+  def bloomProbe(big: DataFrame, keyCol: String, words: Array[Long]): DataFrame = {
+    val numBits = words.length.toLong * BloomBitsPerWord
+    val withPos = bloomPositions(col(keyCol), numBits).zipWithIndex
+      .foldLeft(big.withColumn("__bloom_words", typedlit(words.toSeq))) {
+        case (df, (pos, i)) => df.withColumn(s"__pos$i", pos)
+      }
+    val test = (0 until BloomA.size).map { i =>
+      s"(shiftright(element_at(__bloom_words, int(__pos$i div $BloomBitsPerWord) + 1), " +
+        s"int(__pos$i % $BloomBitsPerWord)) & 1) = 1"
+    }.mkString(" AND ")
+    withPos.filter(expr(test))
+      .drop("__bloom_words" +: (0 until BloomA.size).map(i => s"__pos$i"): _*)
   }
 }

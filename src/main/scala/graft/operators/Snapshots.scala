@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot DML (SURVEY §2.4 D1-D4). The reference's five embedded backends
@@ -67,4 +68,37 @@ object Snapshots {
 
   def deleteInsertCycle(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =
     insert(deleteSuffix(base, cutoff, idCol), suffix(base, cutoff, idCol), idCol)
+
+  /** SCD Type-2 history build from a change event stream: per key, each
+    * run of consecutive identical states collapses to one versioned row
+    * with a [valid_from, valid_to) interval; the open row carries
+    * valid_to = −1 and is_current = true.
+    *
+    * The run-collapse is the lag≠current filter, validity is lead() over
+    * the surviving rows, and version is row_number — three window passes
+    * over ONE partitioning (key, ordered by time), so the whole build is
+    * a single shuffle at any scale. Times are integer epoch-ms so the
+    * interval arithmetic replays exactly in any engine.
+    *
+    * `tsCol` must be a timestamp; `tieCol` breaks equal-timestamp ties
+    * deterministically. */
+  def scd2(events: DataFrame, keyCol: String, stateCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    // both windows order by the SAME (ms, tie) key — ordering by the raw
+    // timestamp in one and its ms truncation in the other could disagree
+    // for sub-millisecond neighbors
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ms"), col(tieCol))
+    val changes = events
+      .select(col(keyCol), col(stateCol), unix_millis(col(tsCol)).as("__ms"), col(tieCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      // null-safe: the first row per key (prev = null) always survives
+      .filter(!(col(stateCol) <=> col("__prev")))
+    changes.select(
+      col(keyCol),
+      col(stateCol),
+      row_number().over(w).as("version"),
+      col("__ms").as("valid_from_ms"),
+      coalesce(lead(col("__ms"), 1).over(w), lit(-1L)).as("valid_to_ms"),
+      lead(col("__ms"), 1).over(w).isNull.as("is_current"))
+  }
 }

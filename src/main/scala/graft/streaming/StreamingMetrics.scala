@@ -36,6 +36,23 @@ object StreamingMetrics {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Hopping (sliding) windows: every event contributes to
+    * windowDur / slideDur overlapping windows. Spark expands the row
+    * per window BEFORE the keyed shuffle (the `window` generator), so
+    * state stays per-(window, key) — the standard trend-smoothing /
+    * rate-over-trailing-interval shape, batch and streaming alike. */
+  def hoppingWindowAgg(events: DataFrame, windowDur: String, slideDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value") * 100)).cast("long").as("sum_cents"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+
   /** Drive [[windowedAgg]] through the actual streaming engine over the
     * events parquet — `Trigger.AvailableNow` processes the backlog as a
     * bounded stream (micro-batched, stateful aggregation, then

@@ -141,4 +141,29 @@ object Curation {
         sum(when(col("__rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__rn") <= cap, col(idCol)).otherwise(lit(0L))).as("kept_id_sum"))
   }
+
+  /** Sequence packing (training-batch assembly): concatenate each shard's
+    * documents in id order and cut every `capacity` tokens — the
+    * GPT-style "concat and chunk" packing. Emits, per document, the bin
+    * holding its first token and the offset within that bin; a document
+    * crossing the cut spans into the next bin (`spans_bins`).
+    *
+    * The running token total is ONE window sum per shard — packing 100 TB
+    * is a single shuffle keyed by shard, and shards (e.g. lang, or a
+    * hash bucket) bound each partition's window to what one task can
+    * stream. Everything is int64, so bin ids replay exactly anywhere. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol), col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(shardCol), col(idCol), col("n_tokens"),
+        expr(s"tok_before div $capacity").as("bin_id"),
+        (col("tok_before") % capacity).as("bin_offset"),
+        ((col("tok_before") % capacity) + col("n_tokens") > capacity).as("spans_bins"))
+  }
 }
