@@ -1378,6 +1378,17 @@ object SparkEntry {
     graft.streaming.StreamingMetrics.hoppingWindowAgg(
       Tables.events(spark, dir), "2 hours", "1 hour", "2 hours")
 
+  /** Late-interaction (ColBERT MaxSim) retrieval: every 50th document's
+    * first 4 tokens act as the multi-vector query; top 5 documents by
+    * Σ per-query-token best dot product. Exact int64 throughout — see
+    * [[graft.text.LateInteraction]]. */
+  private def lateInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.text.LateInteraction.maxSimTopK(
+      docs.filter(pmod(col("doc_id"), lit(50L)) === 0), docs,
+      "doc_id", "text", qLen = 4, k = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1467,6 +1478,7 @@ object SparkEntry {
     "unpivot_profile" -> ((s, dir) => unpivotProfile(s, dir)),
     "fuzzy_dedup_lev" -> ((s, dir) => fuzzyDedupLev(s, dir)),
     "hopping_window_agg" -> ((s, dir) => hoppingWindowAgg(s, dir)),
+    "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2589,6 +2601,32 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "late_interaction" -> {
+      import graft.text.LateInteraction.{DimA, DimB}
+      val ph = duckPolyHash("tk", 257L, 1000000007L)
+      def dims(prefix: String) = (0 until 4).map(j =>
+        s"(((ph * ${DimA(j)} + ${DimB(j)}) % 1000000007) % 2001) - 1000 AS $prefix$j")
+        .mkString(",\n  ")
+      val dot = (0 until 4).map(j => s"q.q$j * d.v$j").mkString(" + ")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dt AS MATERIALIZED (SELECT doc_id,
+        |  unnest(list_distinct(list_transform(toks, tk -> $ph))) AS ph FROM t),
+        |dtv AS MATERIALIZED (SELECT doc_id, ${dims("v")} FROM dt),
+        |qp AS MATERIALIZED (SELECT doc_id AS query_id,
+        |  unnest(generate_series(1, least(len(toks), 4))) AS qpos, toks
+        |  FROM t WHERE doc_id % 50 = 0),
+        |qh AS MATERIALIZED (SELECT query_id, qpos,
+        |  list_transform([toks[qpos]], tk -> $ph)[1] AS ph FROM qp),
+        |qtv AS MATERIALIZED (SELECT query_id, qpos, ${dims("q")} FROM qh),
+        |mx AS MATERIALIZED (SELECT q.query_id, q.qpos, d.doc_id, max($dot) AS best
+        |  FROM qtv q CROSS JOIN dtv d GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+        |  FROM mx WHERE query_id <> doc_id GROUP BY 1, 2)
+        |SELECT query_id, doc_id AS neighbor_id, score, CAST(rnk AS INTEGER) AS "rank"
+        |FROM (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |WHERE rnk <= 5""".stripMargin
+    },
     "hopping_window_agg" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS tb, event_type, value
         |  FROM events),

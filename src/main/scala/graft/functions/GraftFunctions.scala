@@ -35,4 +35,9 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(
       bridge.expression(a), bridge.expression(b)))
+
+  /** Late-interaction MaxSim over token-vector bags — see [[MaxSimScore]]. */
+  def maxSimScore(queryVecs: Column, docVecs: Column): Column =
+    bridge.column(MaxSimScore(
+      bridge.expression(queryVecs), bridge.expression(docVecs)))
 }

@@ -562,3 +562,56 @@ object ShingleHashes {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(ih)))
   }
 }
+
+/** Late-interaction MaxSim kernel: `Σ_{q ∈ left} max_{d ∈ right} ⟨q, d⟩`
+  * over two bags of int64 token vectors (`array<array<long>>`), the
+  * ColBERT scoring rule, fused into one loop nest per (query, doc) row.
+  * The naive dataflow materializes |Q tokens|·|doc tokens| rows through
+  * a two-level aggregate; this kernel keeps the whole interaction inside
+  * whole-stage codegen — same flops, none of the row traffic. Exact
+  * int64 (inputs are bounded re-mixed hashes), so results replay in SQL.
+  * An empty doc bag scores 0 for every query token. */
+case class MaxSimScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "maxsim_score"
+
+  override def nullSafeEval(q: Any, d: Any): Any =
+    MaxSimScore.compute(q.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, d) =>
+      s"${ev.value} = graft.functions.MaxSimScore.compute($q, $d);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSimScore =
+    copy(left = l, right = r)
+}
+
+object MaxSimScore {
+  /** Shared by interpreted eval and codegen. */
+  def compute(q: ArrayData, d: ArrayData): Long = {
+    val nq = q.numElements()
+    val nd = d.numElements()
+    var total = 0L
+    var i = 0
+    while (i < nq) {
+      val qa = q.getArray(i)
+      val dims = qa.numElements()
+      var best = Long.MinValue
+      var j = 0
+      while (j < nd) {
+        val da = d.getArray(j)
+        FloatVecFold.checkDims(dims, da.numElements())
+        var s = 0L
+        var k = 0
+        while (k < dims) { s += qa.getLong(k) * da.getLong(k); k += 1 }
+        if (s > best) best = s
+        j += 1
+      }
+      total += (if (best == Long.MinValue) 0L else best)
+      i += 1
+    }
+    total
+  }
+}
