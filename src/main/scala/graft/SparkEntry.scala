@@ -1389,6 +1389,38 @@ object SparkEntry {
       "doc_id", "text", qLen = 4, k = 5)
   }
 
+  /** CDC changelog apply (MERGE INTO semantics): the event stream is an
+    * op-coded changelog per user — `error` rows are deletes, everything
+    * else upserts its integer-cents payload. The materialized state is
+    * arg-max-by-time per key then a delete filter: ONE shuffle however
+    * long the history, the standard snapshot-from-changelog fold. */
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("cents"), col("ms").as("last_ms"))
+  }
+
+  /** RANGE-frame window (time-based, not row-based): each event's
+    * trailing-1-hour spend per user. rangeBetween on epoch-ms makes the
+    * frame a value interval — peers at the same timestamp are all
+    * included, unlike a ROWS frame. */
+  private def rangeFrameTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("trailing_hour_cents"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1479,6 +1511,8 @@ object SparkEntry {
     "fuzzy_dedup_lev" -> ((s, dir) => fuzzyDedupLev(s, dir)),
     "hopping_window_agg" -> ((s, dir) => hoppingWindowAgg(s, dir)),
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
+    "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
+    "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2601,6 +2635,20 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "cdc_apply" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, cents, ms AS last_ms FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "range_frame_total" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  sum(cents) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS trailing_hour_cents
+        |FROM e""".stripMargin,
     "late_interaction" -> {
       import graft.text.LateInteraction.{DimA, DimB}
       val ph = duckPolyHash("tk", 257L, 1000000007L)

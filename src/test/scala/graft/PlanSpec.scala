@@ -73,4 +73,34 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("SelectedBucketsCount") || p.toLowerCase.contains("bucket"), p)
   }
+
+  test("bloom probe is a map-side filter: no join, no exchange") {
+    val words = graft.operators.Joins.bloomFilterWords(
+      graft.sources.Tables.customer(spark, dir)
+        .select(org.apache.spark.sql.functions.col("c_custkey")), "c_custkey", 64)
+    val p = finalPlan(graft.operators.Joins.bloomProbe(
+      graft.sources.Tables.orders(spark, dir), "o_custkey", words))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("shiftright"), p)
+  }
+
+  test("q4_order_priority: EXISTS stays a left-semi hash join with the range residual") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("late_interaction: fused maxsim kernel over a broadcast query side") {
+    val p = planOf("late_interaction")
+    assert(p.contains("maxsim_score"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scd2 + cdc_apply + range_frame: exactly one shuffle each (the keyed window)") {
+    for (name <- Seq("scd2_user_state", "cdc_apply", "range_frame_total")) {
+      val p = planOf(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$name:\n$p")
+    }
+  }
 }

@@ -271,4 +271,27 @@ class StreamingSpec extends AnyFunSuite {
     // checkpointed source offsets — each row exactly once, none lost
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
+
+  test("stream-static join enriches micro-batches against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // static dimension (would be a broadcast at scale) joined to a stream:
+    // the canonical enrichment shape — no state store involved
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val joined = input.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("user_id"), col("value"),
+        coalesce(col("tier"), lit("none")).as("tier"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_out").start()
+    input.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    input.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_out")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "gold"), (2L, "silver"), (3L, "none")))
+  }
 }
