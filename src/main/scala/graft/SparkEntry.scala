@@ -1421,6 +1421,21 @@ object SparkEntry {
         sum(col("cents")).over(w).as("trailing_hour_cents"))
   }
 
+  /** Metadata-FILTERED vector search — the server backends' headline
+    * feature (Milvus boolean expressions, Redis FT.SEARCH hybrid
+    * predicates, Weaviate `where`): top-k restricted to base vectors
+    * whose label passes the predicate. The filter lands ON THE SCAN
+    * (pushed predicate), so selective filters shrink the candidate set
+    * before a single distance is computed — pre-filtering, not
+    * post-filtering, which k-limits can't recover from. */
+  private def knnFiltered(spark: SparkSession, dir: String): DataFrame =
+    Knn.exact(
+      Tables.embeddingQueries(spark, dir),
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 20 =!= 0 && col("label").isin(0, 1, 2))
+        .select(col("vec_id"), col("embedding")),
+      KnnK)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1513,6 +1528,7 @@ object SparkEntry {
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
     "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
+    "knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2158,6 +2174,18 @@ object SparkEntry {
         |SELECT vec_id, label FROM m WHERE mixed % 100 < 10""".stripMargin,
     "knn_exact" -> knnOracle,
     "knn_exact_window" -> knnOracle,
+    "knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 20 <> 0 AND label IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.query_id
+        |           ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id
+        |         ) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b)
+        |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin,
     "knn_radius" ->
       // sequential double fold (list_reduce, prepend 0) = the codegen
       // kernel's left-to-right loop, bit-identical ⇒ the 1.40 boundary

@@ -130,4 +130,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.count() == 2) // guard drops every already-present id
     assert(r.orderBy("vec_id").collect().map(_.getString(1)).toList == List("a", "b"))
   }
+
+  test("scd2 on empty input and single-event keys") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp, Long)]
+      .toDF("user_id", "state", "ts", "event_id")
+    assert(graft.operators.Snapshots.scd2(empty, "user_id", "state", "ts", "event_id")
+      .count() == 0)
+    val one = Seq((1L, "a", ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val row = graft.operators.Snapshots.scd2(one, "user_id", "state", "ts", "event_id")
+      .collect().head
+    assert(row.getInt(2) == 1 && row.getLong(4) == -1L && row.getBoolean(5))
+  }
+
+  test("empty bloom filter (no build keys) rejects every probe") {
+    import spark.implicits._
+    val none = Seq.empty[Long].toDF("k")
+    val words = graft.operators.Joins.bloomFilterWords(none, "k", numWords = 16)
+    assert(words.forall(_ == 0L))
+    val big = Seq(1L, 2L, 3L).toDF("k")
+    assert(graft.operators.Joins.bloomProbe(big, "k", words).count() == 0)
+  }
+
+  test("maxsim raises on mismatched token-vector dimensions") {
+    import spark.implicits._
+    val bad = Seq((Seq(Seq(1L, 2L)), Seq(Seq(1L, 2L, 3L)))).toDF("qv", "dv")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.GraftFunctions.maxSimScore(col("qv"), col("dv")))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("sequence packing: empty corpus and docs exactly at capacity") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(graft.text.Curation.packSequences(empty, "doc_id", "text", "lang", 4)
+      .count() == 0)
+    // exactly-at-capacity docs never span and each opens a fresh bin
+    val exact = Seq((1L, "a b c d", "en"), (2L, "e f g h", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.text.Curation.packSequences(exact, "doc_id", "text", "lang", 4)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(4)).toList == List(0L, 0L)) // offsets
+    assert(rows.map(_.getLong(3)).toList == List(0L, 1L)) // bins
+    assert(rows.forall(!_.getBoolean(5)))
+  }
 }
