@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MinHashBands, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
+import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MaxSimScore, MinHashBands, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `l2sq(a, b)`, `dot_product(a, b)` and `topk_by_dist(id, dist, k)` so
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       (children: Seq[Expression]) => GraftExtensions.minhashBandsFromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("maxsim_score"),
+      new ExpressionInfo(classOf[MaxSimScore].getName, "maxsim_score"),
+      (children: Seq[Expression]) => MaxSimScore(children(0), children(1))))
   }
 }
 
@@ -103,5 +107,7 @@ object GraftFunctions {
       "pq_adc_dist_long", es => GraftExtensions.pqAdcFromSql(es), "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_bands", es => GraftExtensions.minhashBandsFromSql(es), "built-in")
+    registry.createOrReplaceTempFunction(
+      "maxsim_score", es => MaxSimScore(es(0), es(1)), "built-in")
   }
 }

@@ -1436,6 +1436,38 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding")),
       KnnK)
 
+  /** Correlated scalar subquery, given to Spark AS SQL so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery) does the planning:
+    * orders beating 1.5× their customer's average land in one aggregate
+    * + one join after rewrite — the optimizer feature itself is what
+    * this query pins down. */
+  private def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o.o_orderpriority, count(*) AS n_big
+        |FROM graft_orders_v o
+        |WHERE o.o_totalprice > (
+        |  SELECT 1.5 * avg(o2.o_totalprice) FROM graft_orders_v o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** Scalar-function breadth (§2.7 families: date, string, math) in one
+    * integer-exact profile per order month. */
+  private def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(dayofweek(col("o_orderdate"))).as("n_weekdays"),
+        sum(length(col("o_orderpriority"))).as("prio_chars"),
+        sum(when(upper(substring(col("o_orderstatus"), 1, 1)) === "F", 1L)
+          .otherwise(0L)).as("n_f"),
+        max(abs(round(col("o_totalprice") * 100).cast("long"))).as("max_cents"),
+        min(pmod(col("o_orderkey"), lit(97L))).as("min_key_mod"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1529,6 +1561,8 @@ object SparkEntry {
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
     "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
     "knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
+    "correlated_subquery" -> ((s, dir) => correlatedSubquery(s, dir)),
+    "scalar_funcs" -> ((s, dir) => scalarFuncs(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2663,6 +2697,23 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "correlated_subquery" ->
+      """SELECT o.o_orderpriority, count(*) AS n_big
+        |FROM orders o
+        |WHERE o.o_totalprice > (
+        |  SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n,
+        |  count(DISTINCT dayofweek(o_orderdate)) AS n_weekdays,
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS prio_chars,
+        |  CAST(sum(CASE WHEN upper(substr(o_orderstatus, 1, 1)) = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  max(abs(CAST(round(o_totalprice * 100) AS BIGINT))) AS max_cents,
+        |  min(o_orderkey % 97) AS min_key_mod
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "cdc_apply" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

@@ -60,4 +60,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sqlResult == api)
   }
+
+  test("maxsim_score callable from SQL, agrees with the Column API") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT maxsim_score(
+        |  array(array(1L, 2L), array(-3L, 4L)),
+        |  array(array(10L, 0L), array(0L, 10L), array(-1L, -1L)))""".stripMargin)
+      .collect().head.getLong(0)
+    assert(got == 60L)
+  }
 }
