@@ -41,7 +41,9 @@ object Bench {
           Double.NaN
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: per-query timings land in the same position every
+    // round, so cross-round BENCH diffs compare like with like
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
       // localCheckpoint blocks are released by the ContextCleaner only
       // after their DataFrames are GC'd; across 100+ queries the dead
@@ -55,7 +57,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -93,4 +93,38 @@ class KernelPropSpec extends AnyFunSuite {
       v == codes.zipWithIndex.map { case (c, j) => table(j * ksub + c) }.sum
     })
   }
+
+  test("MaxSimScore equals the naive sum-of-best reference for random bags") {
+    def bagLit(b: List[List[Long]]) = Literal.create(b,
+      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false))
+    val gen = for {
+      dims <- Gen.choose(1, 6)
+      nq <- Gen.choose(1, 5)
+      nd <- Gen.choose(0, 7)
+      q <- Gen.listOfN(nq, Gen.listOfN(dims, Gen.choose(-1000L, 1000L)))
+      d <- Gen.listOfN(nd, Gen.listOfN(dims, Gen.choose(-1000L, 1000L)))
+    } yield (q, d)
+    check(Prop.forAll(gen) { case (q, d) =>
+      val got = graft.functions.MaxSimScore(bagLit(q), bagLit(d)).eval(null)
+      val want =
+        if (d.isEmpty) 0L
+        else q.map(qv => d.map(dv => qv.zip(dv).map { case (a, b) => a * b }.sum).max).sum
+      got == want
+    })
+  }
+
+  test("Bloom positions: membership never false-negative for random key sets") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    // each trial runs 2 Spark jobs — keep the trial count modest
+    val p = Prop.forAll(gen) { keys =>
+      val df = keys.toDF("k")
+      val words = graft.operators.Joins.bloomFilterWords(df, "k", numWords = 32)
+      graft.operators.Joins.bloomProbe(df, "k", words).count() == df.count()
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
 }
