@@ -1338,9 +1338,13 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(
         // per-row integer cents BEFORE the sum: int64 sums are
-        // fold-order-free, so the value is identical in any engine
-        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+        // fold-order-free, so the value is identical in any engine.
+        // floor(x+0.5), not round(): Spark's HALF_UP round on double
+        // allocates a BigDecimal per row — 4× this query's cost at 10×
+        // probe scale; floor is pure double math and identical for
+        // these positive inputs
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("sum_qty_cents"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_price_cents"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), expr(
         """stack(3,
@@ -2683,8 +2687,8 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "unpivot_profile" ->
       """WITH w AS (SELECT l_returnflag,
-        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
         |  count(*) AS n_rows FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'sum_qty_cents' AS metric, sum_qty_cents AS value FROM w
         |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Measured scaling probe: replicate the sf0.1 fixtures N× with
+  * key-space offsets (dimension tables stay constant — as at a real
+  * 100 TB deployment), then time the same `SparkEntry.queries` entries
+  * at 1× and N×. A linear-path operator should scale ≈ N×; anything
+  * super-linear is a plan bug this probe exposes BEFORE a cluster does.
+  *
+  * Replication preserves referential integrity: every key column of
+  * replica i is offset by i·(max_key+1) of its table family, so joins
+  * land on replica-local partners and per-key group sizes stay constant
+  * (only the number of groups grows — the 100 TB shape).
+  *
+  * Quadratic-by-construction queries (brute-force kNN with a scaled
+  * query side, all-pairs near-dup) are intentionally not probed; their
+  * scale paths are the indexed/blocked variants (see SCALING.md).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [N] [srcDir]"`.
+  */
+object ScaleProbe {
+
+  private val ProbeQueries = Seq(
+    "q1_agg", "q3_top_orders", "q5_region_revenue", "q4_order_priority",
+    "q10_returned", "window_running_total", "sessionize", "windowed_agg",
+    "cdc_apply", "scd2_user_state", "range_frame_total", "event_deltas",
+    "dedup_exact", "text_stats", "lang_id", "quality_filter",
+    "sequence_pack", "doc_fingerprint", "bloom_join_prune",
+    "unpivot_profile", "scalar_funcs", "hopping_window_agg")
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = "target/scaleprobe"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // key columns per table; every listed column is offset per replica by
+    // i * (table-family max + 1) so cross-table references stay aligned
+    val keyCols: Map[String, Seq[(String, String)]] = Map(
+      "orders" -> Seq("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+      "lineitem" -> Seq("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+        "l_suppkey" -> "suppkey"),
+      "customer" -> Seq("c_custkey" -> "custkey"),
+      "supplier" -> Seq("s_suppkey" -> "suppkey"),
+      "part" -> Seq("p_partkey" -> "partkey"),
+      "events" -> Seq("event_id" -> "eventid", "user_id" -> "userid"),
+      "documents" -> Seq("doc_id" -> "docid"),
+      "embeddings" -> Seq("vec_id" -> "vecid"))
+    val dims = Seq("region", "nation") // constant at any scale
+
+    // one offset per key FAMILY (orderkey family spans orders+lineitem)
+    val family = scala.collection.mutable.Map.empty[String, Long]
+    for ((t, cols) <- keyCols; (c, fam) <- cols) {
+      val m = spark.read.parquet(s"$srcDir/$t.parquet")
+        .agg(max(col(c))).head().getLong(0)
+      family(fam) = math.max(family.getOrElse(fam, 0L), m + 1)
+    }
+
+    new java.io.File(outDir).mkdirs()
+    for (t <- dims)
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    for ((t, cols) <- keyCols) {
+      val base = spark.read.parquet(s"$srcDir/$t.parquet")
+      val replicas = (0 until n).map { i =>
+        cols.foldLeft(base) { case (df, (c, fam)) =>
+          df.withColumn(c, col(c) + lit(i * family(fam))) }
+      }
+      replicas.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      System.err.println(s"[probe] wrote $t x$n")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both paths once so codegen/IO caches don't bias either side
+    ProbeQueries.foreach { q => time(q, srcDir); time(q, outDir) }
+    System.gc()
+    val rows = ProbeQueries.map { q =>
+      val t1 = math.min(time(q, srcDir), time(q, srcDir))
+      System.gc()
+      val tn = math.min(time(q, outDir), time(q, outDir))
+      System.gc()
+      val ratio = tn / t1
+      System.err.println(f"[probe] $q%-24s 1x=$t1%6.2fs ${n}x=$tn%6.2fs ratio=$ratio%5.2f")
+      s""""$q":{"t1":$t1,"tn":$tn,"ratio":$ratio}"""
+    }
+    println(s"""{"metric":"scaleprobe","n":$n,"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
