@@ -100,7 +100,45 @@ object ScaleProbe {
       System.err.println(f"[probe] $q%-24s 1x=$t1%6.2fs ${n}x=$tn%6.2fs ratio=$ratio%5.2f")
       s""""$q":{"t1":$t1,"tn":$tn,"ratio":$ratio}"""
     }
-    println(s"""{"metric":"scaleprobe","n":$n,"queries":{${rows.mkString(",")}}}""")
+
+    // vector probes: FIXED query set (vec_id < 800, the 1× id range —
+    // replicas only add higher ids), corpus scaled N×. Brute force must
+    // scale ≈ N; IVF search scales with per-cell size (probed fraction
+    // constant), its fit with the corpus.
+    def fixedQueries(dir: String) =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 20 === 0 && col("vec_id") < 800)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def baseOf(dir: String) =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+    def timeVec(label: String, f: String => DataFrame): String = {
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime(); f(dir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      once(srcDir); once(outDir) // warmup
+      val t1 = math.min(once(srcDir), once(srcDir))
+      System.gc()
+      val tn = math.min(once(outDir), once(outDir))
+      System.gc()
+      val ratio = tn / t1
+      System.err.println(f"[probe] $label%-24s 1x=$t1%6.2fs ${n}x=$tn%6.2fs ratio=$ratio%5.2f")
+      s""""$label":{"t1":$t1,"tn":$tn,"ratio":$ratio}"""
+    }
+    val vecRows = Seq(
+      timeVec("knn_brute_fixedq", dir =>
+        graft.operators.Knn.exact(fixedQueries(dir), baseOf(dir), 10)),
+      timeVec("knn_ivf_fixedq", { dir =>
+        val base = baseOf(dir)
+        val cs = graft.index.IvfFlat.fit(base, nlist = 64)
+        graft.index.IvfFlat.search(cs, fixedQueries(dir), base, k = 10, nprobe = 8)
+      }),
+      timeVec("knn_lsh_fixedq", dir =>
+        graft.index.LshIndex.searchFast(fixedQueries(dir), baseOf(dir),
+          k = 10, numHashTables = 8, bucketLength = 4.0, dim = 64)))
+
+    println(s"""{"metric":"scaleprobe","n":$n,"queries":{${(rows ++ vecRows).mkString(",")}}}""")
     spark.stop()
   }
 }
