@@ -1472,6 +1472,12 @@ object SparkEntry {
         max(abs(round(col("o_totalprice") * 100).cast("long"))).as("max_cents"),
         min(pmod(col("o_orderkey"), lit(97L))).as("min_key_mod"))
 
+  /** Boilerplate share per document (C4 repeated-line rule, df ≥ 3) —
+    * see [[graft.text.Curation.boilerplate]]. */
+  private def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.boilerplate(
+      Tables.documents(spark, dir), "doc_id", "text", minDf = 3)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1567,6 +1573,7 @@ object SparkEntry {
     "knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "correlated_subquery" -> ((s, dir) => correlatedSubquery(s, dir)),
     "scalar_funcs" -> ((s, dir) => scalarFuncs(s, dir)),
+    "boilerplate_stats" -> ((s, dir) => boilerplateStats(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2701,6 +2708,18 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "boilerplate_stats" -> {
+      val ph = duckPolyHash("trim(s)", 257L, 1000000007L)
+      s"""WITH s AS (SELECT DISTINCT doc_id, $ph AS sh
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+        |  WHERE length(trim(s)) > 0),
+        |f AS (SELECT sh, count(*) AS sdf FROM s GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_sents,
+        |  CAST(sum(CASE WHEN sdf >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN sdf >= 3 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // count(*) AS boiler_bp
+        |FROM s JOIN f USING (sh) GROUP BY doc_id""".stripMargin
+    },
     "correlated_subquery" ->
       """SELECT o.o_orderpriority, count(*) AS n_big
         |FROM orders o

@@ -142,6 +142,34 @@ object Curation {
         sum(when(col("__rn") <= cap, col(idCol)).otherwise(lit(0L))).as("kept_id_sum"))
   }
 
+  /** Boilerplate detection (the C4 repeated-line rule): a sentence that
+    * appears in `minDf`+ DISTINCT documents is boilerplate (headers,
+    * footers, cookie banners); each document reports its sentence count
+    * and boilerplate share in basis points.
+    *
+    * Sentences travel as PolyHash int64 ids from the split on — one
+    * corpus-sized explode, a distinct, and a document-frequency
+    * aggregate, all keyed on the hash: the string leaves the row it was
+    * born in, never a shuffle. Exact integer arithmetic end to end. */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    val sents = docs
+      .select(col(idCol),
+        explode(split(col(textCol), "\\. ")).as("sent"))
+      .filter(length(trim(col("sent"))) > 0)
+      .select(col(idCol),
+        graft.functions.PolyHash.column(trim(col("sent")), 257L, 1000000007L).as("sh"))
+      .distinct() // one vote per (doc, sentence)
+    val df = sents.groupBy(col("sh"))
+      .agg(count(lit(1)).as("sdf"))
+    sents.join(df, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("sdf") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_bp", expr("n_boiler * 10000 div n_sents"))
+  }
+
   /** Sequence packing (training-batch assembly): concatenate each shard's
     * documents in id order and cut every `capacity` tokens — the
     * GPT-style "concat and chunk" packing. Emits, per document, the bin

@@ -77,4 +77,26 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(4))).toMap
     assert(out.map(r => r._1 -> r._4).toMap == again)
   }
+
+  test("boilerplate: the shared footer is flagged, unique sentences are not") {
+    val docs = Seq(
+      (1L, "unique one. subscribe to our newsletter. more unique text"),
+      (2L, "different body. subscribe to our newsletter. tail two"),
+      (3L, "third body here. subscribe to our newsletter. tail three"),
+      (4L, "entirely fresh. nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplate(docs, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 1L))) // 3 sentences, 1 boilerplate
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((3L, 1L)))
+    assert(out(4L) == ((2L, 0L)))
+    // a repeated sentence WITHIN one doc is one vote, not boilerplate
+    val selfRep = Seq(
+      (1L, "same line. same line. same line"),
+      (2L, "other a. other b")).toDF("doc_id", "text")
+    val o2 = Curation.boilerplate(selfRep, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o2 == Map(1L -> 0L, 2L -> 0L))
+  }
 }
