@@ -1478,6 +1478,37 @@ object SparkEntry {
     graft.text.Curation.boilerplate(
       Tables.documents(spark, dir), "doc_id", "text", minDf = 3)
 
+  /** Time-weighted average (TWAP): each event's value holds until the
+    * user's next event; the mean weights by holding duration — the
+    * sensor/price aggregation where plain avg() over-counts bursts.
+    * lead() and the aggregate share one user partitioning: one shuffle.
+    * All integer (ms × cents), div-by-zero guarded out. */
+  private def twapUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dur", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("dur")).as("observed_ms"),
+        sum(col("cents") * col("dur")).as("weighted"))
+      .filter(col("observed_ms") > 0)
+      .select(col("user_id"), col("observed_ms"),
+        expr("weighted div observed_ms").as("twap_cents"))
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL — multiset set-operation semantics
+    * (duplicates preserved), completing §2.7's set-op family. */
+  private def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val kept = li.filter(col("l_returnflag") =!= "R").select(col("l_suppkey"))
+    returned.exceptAll(kept).agg(count(lit(1)).as("n_except_all"))
+      .crossJoin(returned.intersectAll(kept).agg(count(lit(1)).as("n_intersect_all")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1574,6 +1605,8 @@ object SparkEntry {
     "correlated_subquery" -> ((s, dir) => correlatedSubquery(s, dir)),
     "scalar_funcs" -> ((s, dir) => scalarFuncs(s, dir)),
     "boilerplate_stats" -> ((s, dir) => boilerplateStats(s, dir)),
+    "twap_user" -> ((s, dir) => twapUser(s, dir)),
+    "set_ops_all" -> ((s, dir) => setOpsAll(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
@@ -2708,6 +2741,24 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
         |  AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
+    "twap_user" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dur FROM e)
+        |SELECT user_id, CAST(sum(dur) AS BIGINT) AS observed_ms,
+        |  CAST(sum(cents * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT) AS twap_cents
+        |FROM d WHERE dur IS NOT NULL GROUP BY 1 HAVING sum(dur) > 0""".stripMargin,
+    "set_ops_all" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |    EXCEPT ALL
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'R')) AS n_except_all,
+        |  (SELECT count(*) FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT ALL
+        |    SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'R')) AS n_intersect_all""".stripMargin,
     "boilerplate_stats" -> {
       val ph = duckPolyHash("trim(s)", 257L, 1000000007L)
       s"""WITH s AS (SELECT DISTINCT doc_id, $ph AS sh
