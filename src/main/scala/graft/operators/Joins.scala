@@ -113,6 +113,9 @@ object Joins {
   def bloomFilterWords(keys: DataFrame, keyCol: String, numWords: Int): Array[Long] = {
     val numBits = numWords.toLong * BloomBitsPerWord
     val rows = keys
+      // a NULL key has no bit positions; dropping it here matches the
+      // probe, where a NULL key's test is NULL → filtered out
+      .filter(col(keyCol).isNotNull)
       .select(explode(array(bloomPositions(col(keyCol), numBits): _*)).as("pos"))
       .select(expr(s"pos div $BloomBitsPerWord").as("widx"),
         pmod(col("pos"), lit(BloomBitsPerWord.toLong)).as("bit"))

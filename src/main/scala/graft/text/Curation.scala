@@ -186,7 +186,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(shardCol), col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        // NULL text = 0 tokens, not a NULL that poisons the running sum
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col(shardCol), col(idCol), col("n_tokens"),

@@ -154,6 +154,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Joins.bloomProbe(big, "k", words).count() == 0)
   }
 
+  test("bloom filter ignores NULL keys on both sides") {
+    import spark.implicits._
+    val keys = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val words = graft.operators.Joins.bloomFilterWords(keys, "k", numWords = 16)
+    val probed = graft.operators.Joins.bloomProbe(keys, "k", words)
+      .collect().map(_.get(0))
+    assert(probed.toSet == Set(1L, 2L)) // the NULL row never passes
+  }
+
   test("maxsim raises on mismatched token-vector dimensions") {
     import spark.implicits._
     val bad = Seq((Seq(Seq(1L, 2L)), Seq(Seq(1L, 2L, 3L)))).toDF("qv", "dv")
