@@ -1509,6 +1509,30 @@ object SparkEntry {
       .crossJoin(returned.intersectAll(kept).agg(count(lit(1)).as("n_intersect_all")))
   }
 
+  /** Retrieval evaluation: MRR@10 with label agreement as relevance —
+    * the IR metric companion to recall@k (M1). Per query: reciprocal
+    * rank (basis points, integer floor) of the first same-label
+    * neighbor in the cosine top-10; 0 if none. One extra join + agg on
+    * top of the search itself. */
+  private def knnLabelMrr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val hits = Knn.cosineTopK(
+        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+      .join(qLab, Seq("query_id"))
+      .join(bLab, Seq("neighbor_id"))
+    val first = hits.filter(col("q_label") === col("b_label"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("r1"))
+    qLab.join(first, Seq("query_id"), "left")
+      .select(coalesce(expr("10000 div r1"), lit(0L)).as("rr_bp"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("rr_bp")).as("rr_sum_bp"))
+      .withColumn("mrr_bp", expr("rr_sum_bp div n_queries"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -1523,6 +1547,7 @@ object SparkEntry {
     "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "funnel_conversion" -> ((s, dir) => funnelConversion(s, dir)),
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
+    "knn_label_mrr" -> ((s, dir) => knnLabelMrr(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "knn_ivf_upsert" -> ((s, dir) => knnIvfUpsert(s, dir)),
@@ -2321,6 +2346,31 @@ object SparkEntry {
         |  (SELECT count(*) FROM c) AS n_click_after_view,
         |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin,
     "knn_cosine" -> knnCosineOracle,
+    "knn_label_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.query_id
+        |           ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id
+        |         ) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |first_hit AS (
+        |  SELECT s.query_id, min(s.rank) AS r1
+        |  FROM scored s
+        |  JOIN ql ON s.query_id = ql.query_id
+        |  JOIN bl ON s.neighbor_id = bl.neighbor_id
+        |  WHERE s.rank <= 10 AND ql.q_label = bl.b_label
+        |  GROUP BY s.query_id),
+        |rr AS (
+        |  SELECT COALESCE(CAST(10000 // f.r1 AS BIGINT), 0) AS rr_bp
+        |  FROM ql LEFT JOIN first_hit f ON ql.query_id = f.query_id)
+        |SELECT n_queries, rr_sum_bp, rr_sum_bp // n_queries AS mrr_bp
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |             CAST(sum(rr_bp) AS BIGINT) AS rr_sum_bp FROM rr)""".stripMargin,
     "knn_update_identity" -> knnOracle,
     "recall_degraded" -> recallDegradedOracle,
     "metrics_tail_summary" ->
