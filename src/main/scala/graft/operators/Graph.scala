@@ -32,18 +32,42 @@ object Graph {
     * `ckptEvery`: materialize the score table every N iterations. The
     * lineage between checkpoints is a simple chain (each score table is
     * consumed exactly once), so short runs plan as ONE job; long runs
-    * still truncate lineage before the plan tree gets deep. */
+    * still truncate lineage before the plan tree gets deep.
+    *
+    * Measured-small graphs (≤ `driverSolveMaxEdges` directed edges after
+    * normalization) solve on the driver instead: the integer recurrence
+    * is order-independent (sums of int64), so the collected solve
+    * returns EXACTLY the distributed loop's scores without its ~4
+    * scheduler round-trips per iteration — the same policy as
+    * [[graft.text.Dedup.duplicateClusters]]. The message-passing loop
+    * below stays for the billion-edge graphs a 100 TB crawl produces. */
   def pageRankInt(edges: DataFrame, iters: Int, init: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L, ckptEvery: Int = 5): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L, ckptEvery: Int = 5,
+      driverSolveMaxEdges: Long = 5000000L): DataFrame = {
     val adj = edges.select(explode(array(
-        struct(col("src").as("src"), col("dst").as("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
+    val base = init - init * dampNum / dampDen
+    if (adj.count() <= driverSolveMaxEdges) {
+      val e = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val deg = new scala.collection.mutable.HashMap[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s, _) => deg(s) += 1 }
+      var score = deg.keysIterator.map(_ -> init).toMap
+      for (_ <- 1 to iters) {
+        val sumc = new scala.collection.mutable.HashMap[Long, Long].withDefaultValue(0L)
+        e.foreach { case (s, d) => sumc(d) += score(s) / deg(s) }
+        score = score.map { case (id, _) => id -> (base + dampNum * sumc(id) / dampDen) }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return score.toSeq.map { case (id, s) => (id, deg(id), s) }
+        .toDF("id", "deg", "score")
+    }
     val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val base = init - init * dampNum / dampDen
     var scores = deg.withColumn("score", lit(init))
     for (i <- 1 to iters) {
       val contribs = adj

@@ -225,12 +225,17 @@ object Knn {
     * trajectory is therefore exactly replayable in SQL.
     *
     * Scale shape: the shortlist pass is the standard broadcast-queries
-    * scan; everything after runs on shortlist²-sized tables per query
-    * (20² here), distributed BY QUERY — no driver loop, k fixed rounds
-    * of join + window. */
+    * scan; the greedy selection is embarrassingly parallel BY QUERY over
+    * the shortlist-sized group, so it runs as ONE shuffle on query_id +
+    * a row-local loop (`flatMapGroups`) — not k scheduler rounds of
+    * global join + window. The per-group state is shortlist embeddings
+    * plus an O(shortlist) max-sim array: constant memory per query
+    * regardless of corpus size. */
   def mmrTopK(queries: DataFrame, base: DataFrame, k: Int, shortlist: Int = 20,
       lambdaNum: Int = 7): DataFrame = {
     require(lambdaNum >= 0 && lambdaNum <= 10, "lambdaNum is tenths in [0, 10]")
+    val spark = queries.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     val cands = base
       .crossJoin(broadcast(queries))
@@ -238,40 +243,66 @@ object Knn {
         cosine(col("q_embedding"), col("embedding")).as("cos"), col("embedding"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
         floor(col("cos") * 10000).cast("long").as("rel_bps"), col("embedding"))
-      .localCheckpoint() // shortlist-sized; reused by sims + every round
-    val sims = cands.as("x")
-      .join(cands.as("y"), Seq("query_id"))
-      .filter(col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("query_id"), col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        floor(cosine(col("x.embedding"), col("y.embedding")) * 10000).cast("long")
-          .as("sim_bps"))
-      .localCheckpoint()
-    val slim = cands.drop("embedding")
-    val wFirst = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel_bps").desc, col("vec_id"))
-    var selected = slim
-      .withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), lit(1).as("pick"))
-    for (r <- 2 to k) {
-      val wMmr = Window.partitionBy(col("query_id"))
-        .orderBy((lit(lambdaNum) * col("rel_bps") - lit(10 - lambdaNum) * col("ms")).desc,
-          col("vec_id"))
-      val pick = sims
-        .join(selected.select(col("query_id"), col("vec_id").as("b")), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a").as("vec_id"))
-        .agg(max(col("sim_bps")).as("ms"))
-        .join(slim, Seq("query_id", "vec_id"))
-        .join(selected.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
-        .withColumn("rn", row_number().over(wMmr))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), lit(r).as("pick"))
-      selected = selected.unionByName(pick).localCheckpoint()
-    }
-    selected.select(col("query_id"), col("vec_id").as("neighbor_id"), col("pick"))
+    val lam = lambdaNum
+    cands.as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Array[Float])]) =>
+        // shortlist rows ordered by (relevance desc, vec_id asc) — row 0
+        // is the first pick, matching the window formulation's tie-break
+        val rows = it.toArray.sortBy(r => (-r._3, r._2))
+        val n = rows.length
+        // sim_bps replicates the codegen cosine kernel bit-for-bit: an
+        // index-order double fold over float elements, then the same
+        // floor(cos · 10⁴) quantization as the Column path
+        def simBps(i: Int, j: Int): Long = {
+          val a = rows(i)._4; val b = rows(j)._4
+          val len = graft.functions.FloatVecFold.checkDims(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+          while (t < len) {
+            val x = a(t).toDouble; val y = b(t).toDouble
+            dot += x * y; na += x * x; nb += y * y; t += 1
+          }
+          math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000).toLong
+        }
+        val picked = new Array[Boolean](n)
+        val ms = new Array[Long](n) // max sim to the selected set so far
+        val out = Array.newBuilder[(Long, Long, Int)]
+        var cur = 0 // index of the latest pick (first = best relevance)
+        picked(0) = true
+        out += ((qid, rows(0)._2, 1))
+        var r = 2
+        while (r <= math.min(k, n)) {
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = simBps(cur, j)
+              if (r == 2 || s > ms(j)) ms(j) = s
+            }
+            j += 1
+          }
+          // argmax of λ·rel − (1−λ)·maxSim, ties to the smaller vec_id —
+          // identical to the window orderBy ((λ·rel − (10−λ)·ms) desc, vec_id)
+          var best = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+          j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val score = lam * rows(j)._3 - (10 - lam) * ms(j)
+              if (score > bestScore || (score == bestScore && rows(j)._2 < bestId)) {
+                best = j; bestScore = score; bestId = rows(j)._2
+              }
+            }
+            j += 1
+          }
+          picked(best) = true
+          out += ((qid, rows(best)._2, r))
+          cur = best
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "neighbor_id", "pick")
   }
 
   /** Ground-truth generator: exact top-k collected to one array per query,
