@@ -479,6 +479,19 @@ object SparkEntry {
   private def recallSq(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnSq(spark, dir), groundTruth(spark, dir), KnnK)
 
+  /** Binary-quantization kNN: 1-bit sign encoding against per-dim integer
+    * thresholds, Hamming (popcount) shortlist 100, exact re-rank — see
+    * [[graft.index.BqIndex]]. */
+  private def knnBq(spark: SparkSession, dir: String): DataFrame =
+    graft.index.BqIndex.search(
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      KnnK, shortlist = 100)
+
+  /** BQ recall vs exact ground truth, in basis points — thresholds, bits
+    * and Hamming ranks are all integer, so the full index replays. */
+  private def recallBq(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnBq(spark, dir), groundTruth(spark, dir), KnnK)
+
   /** M1 recall with a full DuckDB oracle: predictions from a degraded base
     * (every 3rd vector dropped) scored against exact ground truth. */
   private def recallDegraded(spark: SparkSession, dir: String): DataFrame = {
@@ -805,6 +818,14 @@ object SparkEntry {
     Dedup.ngramJaccardBlocked(
       Tables.documents(spark, dir), "doc_id", "text",
       Seq("lang", "source"), shingleSize = 1, threshold = 0.5)
+
+  /** Exact substring dedup (Lee et al. 2021 criterion): pairs of docs
+    * sharing a contiguous run of ≥ 20 tokens, found by position-aware
+    * 12-token window hashing + diagonal gaps-and-islands — see
+    * [[graft.text.Dedup.substringSpans]]. */
+  private def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text",
+      windowTokens = 12, minSpanTokens = 20, dfCap = 50L)
 
   /** MinHash-LSH near-dup pairs (3-word shingles, 16 hashes, 4 bands,
     * verified Jaccard). Word-level shingles=1 admits far too many
@@ -1568,6 +1589,8 @@ object SparkEntry {
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
+    "knn_bq" -> ((s, dir) => knnBq(s, dir)),
+    "recall_bq" -> ((s, dir) => recallBq(s, dir)),
     "knn_update_identity" -> ((s, dir) => knnUpdateIdentity(s, dir)),
     "recall_degraded" -> ((s, dir) => recallDegraded(s, dir)),
     "recall_lsh" -> ((s, dir) => recallLsh(s, dir)),
@@ -1599,6 +1622,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
+    "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -1827,6 +1851,53 @@ object SparkEntry {
 
   private val sqKnnOracle: String =
     s"WITH $sqKnnCtes\nSELECT query_id, neighbor_id, rank FROM sq_scored WHERE rank <= 10"
+
+  /** Shared CTE prefix replaying BqIndex end to end: grid quantize →
+    * per-dim floor-mean thresholds → packed 32-bit sign words → Hamming
+    * (popcount-of-xor) shortlist 100 with vec_id tie-break → exact
+    * rerank. */
+  private val bqKnnCtes: String = {
+    val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    def enc(src: String, idc: String): String =
+      s"""(SELECT $idc,
+         |    CAST(sum(CASE WHEN d < 32 AND e > thr THEN CAST(1 AS BIGINT) << d ELSE 0 END) AS BIGINT) AS w0,
+         |    CAST(sum(CASE WHEN d >= 32 AND e > thr THEN CAST(1 AS BIGINT) << (d - 32) ELSE 0 END) AS BIGINT) AS w1
+         |  FROM $src JOIN thr USING (d) GROUP BY $idc)""".stripMargin
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bd AS (SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INTEGER) - 1 AS d, unnest(qv) AS e
+       |  FROM (SELECT vec_id, $quant AS qv FROM b)),
+       |qd AS (SELECT query_id, CAST(generate_subscripts(qv, 1) AS INTEGER) - 1 AS d, unnest(qv) AS e
+       |  FROM (SELECT query_id, $quant AS qv FROM q)),
+       |thr AS (SELECT d, (s - ((s % cnt + cnt) % cnt)) // cnt AS thr FROM
+       |  (SELECT d, sum(e) AS s, count(*) AS cnt FROM bd GROUP BY d)),
+       |encb AS ${enc("bd", "vec_id")},
+       |encq AS ${enc("qd", "query_id")},
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT eq.query_id, eb.vec_id,
+       |    row_number() OVER (PARTITION BY eq.query_id
+       |      ORDER BY bit_count(xor(eb.w0, eq.w0)) + bit_count(xor(eb.w1, eq.w1)), eb.vec_id) AS rn
+       |  FROM encb eb CROSS JOIN encq eq) WHERE rn <= 100),
+       |bq_scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
+       |  FROM cand c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id)""".stripMargin
+  }
+
+  private val bqKnnOracle: String =
+    s"WITH $bqKnnCtes\nSELECT query_id, neighbor_id, rank FROM bq_scored WHERE rank <= 10"
+
+  private val bqRecallOracle: String =
+    s"""WITH $bqKnnCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM bq_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   private val sqRecallOracle: String =
     s"""WITH $sqKnnCtes,
@@ -2207,11 +2278,34 @@ object SparkEntry {
     "contamination" -> contaminationOracle,
     "domain_mix" -> domainMixOracle,
     "minhash_neardup" -> minhashOracle,
+    "substring_dedup" ->
+      // full replay: 12-token window PolyHashes WITH positions → df-cap 50
+      // → position-aware hash equi-join → diagonal gaps-and-islands →
+      // longest shared run per pair, ≥ 20 tokens (run of c windows spans
+      // c + 11 tokens)
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |gr AS MATERIALIZED (SELECT doc_id, list_transform(
+        |    [array_to_string(toks[i:i+11], ' ') for i in generate_series(1, greatest(len(toks) - 11, 1))],
+        |    x -> ${duckPolyHash("x", 257L, 1000000007L)}) AS hs FROM t),
+        |occ AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.h AS h FROM
+        |  (SELECT doc_id, unnest([{'pos': i - 1, 'h': hs[i]} for i in generate_series(1, len(hs))]) AS u FROM gr)),
+        |kept AS MATERIALIZED (SELECT doc_id, pos, h FROM occ WHERE h NOT IN
+        |  (SELECT h FROM occ GROUP BY h HAVING count(*) > 50)),
+        |m AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+        |    a.pos - b.pos AS diag
+        |  FROM kept a JOIN kept b USING (h) WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT id_a, id_b, diag, pos_a,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp FROM m),
+        |spans AS (SELECT id_a, id_b, count(*) + 11 AS span FROM r GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS span_tokens FROM spans GROUP BY id_a, id_b
+        |HAVING max(span) >= 20""".stripMargin,
     "simhash_neardup" -> simhashOracle,
     "knn_hamming" -> hammingKnnOracle,
     "doc_winnow" -> winnowOracle,
     "knn_sq" -> sqKnnOracle,
     "recall_sq" -> sqRecallOracle,
+    "knn_bq" -> bqKnnOracle,
+    "recall_bq" -> bqRecallOracle,
     "knn_lsh" -> lshKnnOracle,
     "recall_lsh" -> lshRecallOracle,
     "knn_ivf_flat" -> ivfFlatKnnOracle,

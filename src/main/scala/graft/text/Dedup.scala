@@ -493,4 +493,54 @@ object Dedup {
         round(lit(1) - col("l2") * col("l2") / 2, 4).as("cos"))
       .filter(col("id_a") < col("id_b"))
   }
+
+  /** Exact substring dedup — the suffix-array criterion of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better"):
+    * two documents are substring duplicates when they share a contiguous
+    * token span of at least `minSpanTokens`. The distributed formulation
+    * replaces the suffix array with position-aware window hashing:
+    *
+    *   1. every `windowTokens`-token window (stride 1) becomes its
+    *      PolyHash via the streaming [[graft.functions.ShingleHashes]]
+    *      kernel — position = index in the `ph` array;
+    *   2. windows occurring in > `dfCap` (doc, pos) slots are dropped —
+    *      boilerplate windows (the C4 move) would otherwise fan the
+    *      equi-join out quadratically;
+    *   3. the hash equi-join yields per-pair position matches; matches on
+    *      the same DIAGONAL (pos_a − pos_b constant) at consecutive
+    *      positions are one shared span — classic gaps-and-islands: group
+    *      on (pair, diagonal, pos_a − row_number), count, and a run of c
+    *      matched windows covers c + windowTokens − 1 tokens.
+    *
+    * Every step is an equi-join or a window over (pair, diagonal) — the
+    * natural shuffle keys; nothing is quadratic in corpus size (step 2
+    * bounds per-hash fan-out, matching rare-gram blocking). Output:
+    * (id_a, id_b, span_tokens) for pairs whose longest shared run ≥
+    * `minSpanTokens`, id_a < id_b. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 12, minSpanTokens: Int = 20, dfCap: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.shingleHashes(
+          TextFunctions.tokens(col(textCol)), windowTokens)("ph").as("phs"))
+      .select(col("id"), posexplode(col("phs")).as(Seq("pos", "h")))
+      .localCheckpoint() // consumed by the frequency cap AND both join sides
+    val common = occ.groupBy(col("h")).agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") > dfCap).select(col("h"))
+    val kept = occ.join(common, Seq("h"), "left_anti")
+    val matches = kept.as("a").join(kept.as("b"), Seq("h"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + lit(windowTokens - 1)).as("span"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("span")).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
 }

@@ -208,4 +208,21 @@ class KnnSpec extends AnyFunSuite {
     val counts = c.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
     assert(counts == Set(10L))
   }
+
+  test("BQ index: self-query ranks first, recall in the 1-bit band") {
+    import graft.index.BqIndex
+    // a query identical to a base vector has Hamming 0 to it → it is in
+    // every shortlist and exact re-rank puts it at rank 1 (dist 0)
+    val selfQ = base.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val self = BqIndex.search(selfQ, base, k = 1, shortlist = 20)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.forall { case (q, n) => q == n })
+    val r = recallOf(BqIndex.search(queries, base, 10, shortlist = 100))
+    assert(r >= 0.7, s"BQ recall $r below the 1-bit quantization band")
+    // widening the shortlist can only help: monotone recall
+    val rWide = recallOf(BqIndex.search(queries, base, 10, shortlist = 400))
+    assert(rWide >= r)
+  }
 }

@@ -122,4 +122,34 @@ class TextSpec extends AnyFunSuite {
     assert(brute == Set((1L, 2L)))
     assert(lsh.subsetOf(brute) || lsh == brute)
   }
+
+  test("substring spans: shared run length is exact, short overlaps excluded") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 20) // exactly 20 shared tokens
+    val d = Seq(
+      (1L, words("a", 7) + " " + shared + " " + words("b", 5)),
+      (2L, words("c", 3) + " " + shared + " " + words("d", 9)),
+      (3L, words("e", 10) + " " + words("s", 10) + " " + words("f", 10)), // only 10 shared
+      (4L, words("g", 30))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(d, "doc_id", "text",
+      windowTokens = 5, minSpanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only (1,2) share ≥20 consecutive tokens, and the span is exactly 20
+    assert(got.toSeq == Seq((1L, 2L, 20L)))
+  }
+
+  test("substring spans: df-capped boilerplate windows do not produce pairs") {
+    val boiler = (1 to 12).map(i => s"x$i").mkString(" ")
+    val d = (1L to 9L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // every window occurs 9 times > dfCap 8 → all dropped, no pairs
+    val got = Dedup.substringSpans(d, "doc_id", "text",
+      windowTokens = 5, minSpanTokens = 5, dfCap = 8L)
+    assert(got.count() == 0L)
+    // with the cap lifted the 9 identical docs pair up completely
+    val full = Dedup.substringSpans(d, "doc_id", "text",
+      windowTokens = 5, minSpanTokens = 12, dfCap = 1000L)
+    assert(full.count() == 36L) // C(9,2)
+  }
 }
