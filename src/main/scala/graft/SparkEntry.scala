@@ -382,6 +382,63 @@ object SparkEntry {
           .as("qsum"))
   }
 
+  private val csvCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val jsonlCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** CSV source/sink round-trip: documents (arbitrary text — commas,
+    * quotes) written as RFC-4180 CSV (escape = doubled quote) and read
+    * back with an explicit schema, proven lossless by per-lang counts +
+    * text PolyHash sums matching the parquet-direct oracle. multiLine
+    * read keeps embedded newlines correct; note a multiLine CSV file is
+    * not splittable — at 100 TB write many files (one per task, as here)
+    * so parallelism comes from the file count, not intra-file splits. */
+  private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = csvCache.getOrElseUpdate(dir, {
+      val p = s"target/csv_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(p)
+      p
+    })
+    spark.read
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.PolyHash.column(col("text"), 257L, 1000000007L))
+          .as("text_hash_sum"))
+  }
+
+  /** JSONL source/sink round-trip: events re-emitted as line-delimited
+    * JSON (integer cents + epoch-ms — the lossless wire types; doubles
+    * and timestamps are normalized BEFORE serialization) and read back
+    * with an explicit schema, including a JSON-string column carried
+    * through one level of escaping. Line-delimited JSON is splittable —
+    * the 100 TB-native text format. */
+  private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlCache.getOrElseUpdate(dir, {
+      val p = s"target/jsonl_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.events(spark, dir).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          expr("unix_millis(ts)").as("ts_ms"),
+          col("props"))
+        .write.mode("overwrite").json(p)
+      p
+    })
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, cents LONG, ts_ms LONG, props STRING")
+      .json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("ts_ms")).as("min_ts_ms"),
+        max(col("ts_ms")).as("max_ts_ms"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+  }
+
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IvfPq.Model]
 
   /** IVF+PQ (graft.index.IvfPq) — the faithful FAISS IndexIVFPQ analog
@@ -908,6 +965,63 @@ object SparkEntry {
     Tables.orders(spark, dir).select(
       col("o_custkey"), col("o_orderkey"),
       round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** Window-function breadth (§2.7 checklist): percent_rank / cume_dist
+    * (quantized to integer bp — the ratios are exact small-int divisions,
+    * identical IEEE doubles in any engine), nth_value / first / last over
+    * an explicit unbounded ROWS frame, and lag with a default. The
+    * (cents, o_orderkey) ordering is total, so every rank function is
+    * tie-free and deterministic. */
+  private def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("prio")).orderBy(col("cents"), col("o_orderkey"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("prio"), col("cents"),
+        floor(percent_rank().over(wOrd) * 10000).cast("long").as("pr_bp"),
+        floor(cume_dist().over(wOrd) * 10000).cast("long").as("cd_bp"),
+        nth_value(col("cents"), 3).over(wAll).as("third_cents"),
+        first(col("cents")).over(wAll).as("min_cents"),
+        last(col("cents")).over(wAll).as("max_cents"),
+        lag(col("cents"), 2, -1L).over(wOrd).as("lag2_cents"))
+  }
+
+  /** Array/map function breadth (§2.7 checklist): per order, the
+    * line-number-ordered quantity/price arrays run through the codegen'd
+    * higher-order functions — transform, filter, exists, forall,
+    * zip_with, aggregate — plus map_from_arrays/element_at. All values
+    * integer, so every engine agrees exactly. */
+  private def arrayMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+    // l_linenumber is NOT unique per order in the synthetic data — sort
+    // ONE struct array on the full (ln, qty, price) tuple and project
+    // both columns from it, so qtys[i] and prices[i] stay aligned
+    li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("qty"), col("price_cents")))).as("srt"))
+      .select(col("l_orderkey"),
+        transform(col("srt"), s => s.getField("qty")).as("qtys"),
+        transform(col("srt"), s => s.getField("price_cents")).as("prices"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).as("n"),
+        aggregate(transform(col("qtys"), x => x * 2), lit(0L), (a, x) => a + x)
+          .as("doubled_sum"),
+        size(filter(col("qtys"), x => x > 25)).as("n_big"),
+        exists(col("qtys"), x => x === 50).as("has_50"),
+        forall(col("qtys"), x => x > 0).as("all_pos"),
+        aggregate(zip_with(col("qtys"), col("prices"), (q, p) => q * p),
+          lit(0L), (a, x) => a + x).as("dot_cents"),
+        element_at(
+          map_from_arrays(array(lit("le25"), lit("gt25")),
+            array(size(filter(col("qtys"), x => x <= 25)),
+              size(filter(col("qtys"), x => x > 25)))),
+          "gt25").as("map_gt25"))
   }
 
   /** ROLLUP aggregation (grouping-sets coverage). */
@@ -1586,6 +1700,8 @@ object SparkEntry {
     "knn_mips" -> ((s, dir) => knnMips(s, dir)),
     "stratified_sample" -> ((s, dir) => stratifiedSample(s, dir)),
     "fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
+    "csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
     "knn_sq" -> ((s, dir) => knnSq(s, dir)),
     "recall_sq" -> ((s, dir) => recallSq(s, dir)),
@@ -1632,6 +1748,8 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => q3TopOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
+    "window_funcs" -> ((s, dir) => windowFuncs(s, dir)),
+    "array_map_funcs" -> ((s, dir) => arrayMapFuncs(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
@@ -2363,6 +2481,18 @@ object SparkEntry {
         |SELECT id, CAST(list_sum(list_transform(embedding,
         |  e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))) AS BIGINT) AS qsum
         |FROM b""".stripMargin,
+    "csv_roundtrip" ->
+      // the CSV round-trip must be lossless: the per-lang text hash sums
+      // computed over the re-read CSV must equal the parquet-direct ones
+      s"""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(${duckPolyHash("text", 257L, 1000000007L)}) AS BIGINT) AS text_hash_sum
+        |FROM documents GROUP BY lang""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "stratified_sample" ->
       """WITH h AS (SELECT vec_id, label, vec_id % 4294967296 AS a FROM embeddings),
         |m AS (SELECT vec_id, label,
@@ -2796,6 +2926,36 @@ object SparkEntry {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders""".stripMargin,
+    "window_funcs" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, prio, cents,
+        |  CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+        |  CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp,
+        |  nth_value(cents, 3) OVER wa AS third_cents,
+        |  first_value(cents) OVER wa AS min_cents,
+        |  last_value(cents) OVER wa AS max_cents,
+        |  lag(cents, 2, -1) OVER w AS lag2_cents
+        |FROM o
+        |WINDOW w AS (PARTITION BY prio ORDER BY cents, o_orderkey),
+        |  wa AS (PARTITION BY prio ORDER BY cents, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "array_map_funcs" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents FROM lineitem),
+        |s AS (SELECT l_orderkey, array_agg({'q': qty, 'p': price_cents}
+        |    ORDER BY l_linenumber, qty, price_cents) AS srt FROM li GROUP BY l_orderkey),
+        |a AS (SELECT l_orderkey,
+        |  list_transform(srt, x -> x.q) AS qtys,
+        |  list_transform(srt, x -> x.p) AS prices FROM s)
+        |SELECT l_orderkey, len(qtys) AS n,
+        |  CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT) AS doubled_sum,
+        |  len(list_filter(qtys, x -> x > 25)) AS n_big,
+        |  list_contains(qtys, 50) AS has_50,
+        |  len(list_filter(qtys, x -> x <= 0)) = 0 AS all_pos,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qtys)), i -> qtys[i] * prices[i])) AS BIGINT) AS dot_cents,
+        |  len(list_filter(qtys, x -> x > 25)) AS map_gt25
+        |FROM a""".stripMargin,
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
