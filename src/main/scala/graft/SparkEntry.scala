@@ -967,6 +967,76 @@ object SparkEntry {
       round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
   }
 
+  /** Word co-occurrence lift: the 20 highest-count tokens, scored
+    * pairwise by lift = P(a,b) / (P(a)·P(b)) in integer basis points —
+    * the PMI-family association signal of corpus analysis. Occurrences
+    * are filtered to the top-20 vocabulary BEFORE the doc-level
+    * self-join, so the pair space is ≤ C(20,2) per doc regardless of
+    * corpus size; everything is an equi-join on doc_id or token. */
+  private def wordLiftPairs(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        TextFunctions.tokens(col("text")))).as("tok"))
+      .localCheckpoint() // consumed by df-count, top-20 rank, and the pair join
+    val n = Tables.documents(spark, dir).count()
+    val dfs = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed partial
+    // top-k per partition), not a single-partition window sort over the
+    // whole vocabulary
+    val top = dfs.orderBy(col("df").desc, col("tok")).limit(20)
+      .select(col("tok"), col("df"))
+    val kept = occ.join(broadcast(top.select(col("tok"))), Seq("tok"))
+    val pairs = kept.as("a").join(kept.as("b"), Seq("doc_id"))
+      .filter(col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(top.select(col("tok").as("tok_a"), col("df").as("df_a"))), Seq("tok_a"))
+      .join(broadcast(top.select(col("tok").as("tok_b"), col("df").as("df_b"))), Seq("tok_b"))
+      .withColumn("num", lit(10000L) * lit(n) * col("n_both"))
+      .withColumn("den", col("df_a") * col("df_b"))
+      // integer division, not double-then-truncate: at corpus scale the
+      // double quotient's rounding could cross the floor boundary
+      .select(col("tok_a"), col("tok_b"), col("n_both"),
+        expr("num div den").as("lift_bp"))
+  }
+
+  /** Model-based quality scoring with a frozen linear model: integer
+    * features (token count, stopword hits, punctuation chars) weighted
+    * by fixed integer coefficients — the fastText-style quality
+    * classifier reduced to its deterministic, engine-portable core.
+    * Purely row-local: scales as a map stage. */
+  private def qualityScoreLinear(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val enStop = graft.text.TextFunctions.LangStopwords.head._2
+    val nTok = TextFunctions.tokenCount(t)
+    val nStop = TextFunctions.stopwordCount(t, enStop)
+    val nPunct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tok"),
+      nStop.cast("long").as("n_stop"),
+      nPunct.cast("long").as("n_punct"),
+      (lit(3L) * nTok + lit(20L) * nStop - lit(5L) * nPunct).as("score"),
+      (lit(3L) * nTok + lit(20L) * nStop - lit(5L) * nPunct >= 100L).as("keep"))
+  }
+
+  /** Deterministic per-group top-N sampling: exactly `n` rows per group,
+    * chosen by the Knuth-mixed id hash (not data order, not an RNG) — the
+    * reproducible "examples per domain" picker of eval-set builders. One
+    * window shuffle keyed by the group column. */
+  private def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("mix"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.operators.Sampling.idBucket(col("doc_id"), 1000000007).as("mix"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("rn").cast("long").as("rn"))
+  }
+
   /** Window-function breadth (§2.7 checklist): percent_rank / cume_dist
     * (quantized to integer bp — the ratios are exact small-int divisions,
     * identical IEEE doubles in any engine), nth_value / first / last over
@@ -1750,6 +1820,9 @@ object SparkEntry {
     "window_running_total" -> ((s, dir) => windowRunningTotal(s, dir)),
     "window_funcs" -> ((s, dir) => windowFuncs(s, dir)),
     "array_map_funcs" -> ((s, dir) => arrayMapFuncs(s, dir)),
+    "word_lift_pairs" -> ((s, dir) => wordLiftPairs(s, dir)),
+    "quality_score_linear" -> ((s, dir) => qualityScoreLinear(s, dir)),
+    "group_sample" -> ((s, dir) => groupSample(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
@@ -2956,6 +3029,37 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(generate_series(1, len(qtys)), i -> qtys[i] * prices[i])) AS BIGINT) AS dot_cents,
         |  len(list_filter(qtys, x -> x > 25)) AS map_gt25
         |FROM a""".stripMargin,
+    "word_lift_pairs" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfs AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok),
+        |top AS (SELECT tok, df FROM (SELECT tok, df,
+        |    row_number() OVER (ORDER BY df DESC, tok) AS rn FROM dfs) WHERE rn <= 20),
+        |kept AS (SELECT doc_id, tok FROM occ WHERE tok IN (SELECT tok FROM top)),
+        |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+        |  FROM kept a JOIN kept b USING (doc_id) WHERE a.tok < b.tok GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_both,
+        |  (10000 * n_docs * n_both) // (ta.df * tb.df) AS lift_bp
+        |FROM pairs JOIN top ta ON ta.tok = pairs.tok_a JOIN top tb ON tb.tok = pairs.tok_b
+        |CROSS JOIN n""".stripMargin,
+    "quality_score_linear" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM t)
+        |SELECT doc_id, n_tok, n_stop, n_punct,
+        |  3 * n_tok + 20 * n_stop - 5 * n_punct AS score,
+        |  3 * n_tok + 20 * n_stop - 5 * n_punct >= 100 AS keep
+        |FROM f""".stripMargin,
+    "group_sample" ->
+      """WITH m AS (SELECT doc_id, lang, source,
+        |  (((doc_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+        |    + (doc_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mix FROM documents),
+        |r AS (SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY mix, doc_id) AS rn FROM m)
+        |SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3""".stripMargin,
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
