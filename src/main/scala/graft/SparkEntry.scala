@@ -1037,6 +1037,35 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("rn").cast("long").as("rn"))
   }
 
+  /** Winsorized per-group statistics: rank-selected p05/p95 bounds (pure
+    * integer selection — no interpolation, so any engine picks the same
+    * bound values), then the mean of the clamped series in integer
+    * cents. The robust-mean pattern of metrics pipelines, computed with
+    * one window + one aggregate, both keyed by event_type. */
+  private def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .withColumn("lo_rank", expr("greatest((n * 5) div 100, 1L)"))
+      .withColumn("hi_rank", expr("least((n * 95) div 100 + 1, n)"))
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("p05_cents"), max(col("cents")).as("p95_cents"))
+    ranked.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("p05_cents"), col("p95_cents"),
+        greatest(least(col("cents"), col("p95_cents")), col("p05_cents")).as("clamped"))
+      .groupBy(col("event_type"), col("p05_cents"), col("p95_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("clamped")).as("wsum"))
+      .select(col("event_type"), col("p05_cents"), col("p95_cents"), col("n"),
+        expr("(wsum - ((wsum % n + n) % n)) div n").as("wins_mean_cents"))
+  }
+
   /** Window-function breadth (§2.7 checklist): percent_rank / cume_dist
     * (quantized to integer bp — the ratios are exact small-int divisions,
     * identical IEEE doubles in any engine), nth_value / first / last over
@@ -1237,7 +1266,9 @@ object SparkEntry {
     * [[graft.functions.ShingleHashes]] kernel: no 50-char gram strings
     * are ever built (the HOF string path is interpreted and was 30× the
     * query's cost) and every downstream join/groupBy keys on int64. */
-  private def pagerankSharedGrams(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents linked by a shared RARE word-8-gram (2 ≤ df ≤ 5): the
+    * blocking-bounded edge list feeding both graph analytics queries. */
+  private def sharedGramEdges(spark: SparkSession, dir: String): DataFrame = {
     // Shingle-hashing is the corpus-sized CPU work: repartition first so
     // it runs on every core (the raw scan is one small file = one task),
     // and materialize it once — otherwise it re-runs for the df count
@@ -1253,14 +1284,22 @@ object SparkEntry {
       .filter(col("df").between(2, 5))
       .select(col("g"))
     val rareSh = byGram.join(rare, Seq("g")).localCheckpoint()
-    val edges = rareSh.as("a")
+    rareSh.as("a")
       .join(rareSh.as("b"), Seq("g"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
-    graft.operators.Graph.pageRankInt(edges, iters = 3)
-      .select(col("id").as("doc_id"), col("deg"), col("score"))
   }
+
+  private def pagerankSharedGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankInt(sharedGramEdges(spark, dir), iters = 3)
+      .select(col("id").as("doc_id"), col("deg"), col("score"))
+
+  /** Triangle counts on the shared-rare-gram graph — the clustering/
+    * community-density signal next to PageRank's centrality. */
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(sharedGramEdges(spark, dir))
+      .select(col("id").as("doc_id"), col("n_triangles"))
 
   /** BPE tokenizer training (graft.text.Bpe): 6 merge rounds over the
     * corpus' word-frequency table. The corpus-sized work is one tokenize
@@ -1823,12 +1862,14 @@ object SparkEntry {
     "word_lift_pairs" -> ((s, dir) => wordLiftPairs(s, dir)),
     "quality_score_linear" -> ((s, dir) => qualityScoreLinear(s, dir)),
     "group_sample" -> ((s, dir) => groupSample(s, dir)),
+    "winsorized_stats" -> ((s, dir) => winsorizedStats(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
     "grouping_sets_agg" -> ((s, dir) => groupingSetsAgg(s, dir)),
     "weighted_sample" -> ((s, dir) => weightedSample(s, dir)),
     "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
     "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
+    "graph_triangles" -> ((s, dir) => graphTriangles(s, dir)),
     "knn_mmr" -> ((s, dir) => knnMmr(s, dir)),
     "scd2_user_state" -> ((s, dir) => scd2UserState(s, dir)),
     "sequence_pack" -> ((s, dir) => sequencePack(s, dir)),
@@ -1925,6 +1966,18 @@ object SparkEntry {
 
   /** DuckDB replica of PolyHash.hash(x, base, mod): left fold over
     * codepoints in exact int64 arithmetic. */
+  /** CTE prefix shared by the graph-analytics oracles: rare-8-gram
+    * blocked document edges `p(src < dst)`, replaying ShingleHashes. */
+  private lazy val sharedGramEdgeCtes: String =
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, greatest(len(toks) - 7, 1))],
+      |    x -> ${duckPolyHash("x", 257L, 1000000007L)}))) AS g FROM t),
+      |rare AS MATERIALIZED (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+      |rs AS MATERIALIZED (SELECT doc_id, g FROM dg WHERE g IN (SELECT g FROM rare)),
+      |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM rs a JOIN rs b USING (g) WHERE a.doc_id < b.doc_id)""".stripMargin
+
   private def duckPolyHash(x: String, base: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($x)), i -> CAST(unicode($x[i]) AS BIGINT))), " +
@@ -3053,6 +3106,22 @@ object SparkEntry {
         |  3 * n_tok + 20 * n_stop - 5 * n_punct AS score,
         |  3 * n_tok + 20 * n_stop - 5 * n_punct >= 100 AS keep
         |FROM f""".stripMargin,
+    "winsorized_stats" ->
+      """WITH e AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type, min(cents) AS p05_cents, max(cents) AS p95_cents FROM r
+        |  WHERE rn = greatest((n * 5) // 100, 1) OR rn = least((n * 95) // 100 + 1, n)
+        |  GROUP BY event_type),
+        |c AS (SELECT r.event_type, p05_cents, p95_cents,
+        |  greatest(least(cents, p95_cents), p05_cents) AS clamped
+        |  FROM r JOIN b USING (event_type)),
+        |g AS (SELECT event_type, p05_cents, p95_cents, count(*) AS n,
+        |  CAST(sum(clamped) AS BIGINT) AS wsum
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT event_type, p05_cents, p95_cents, n,
+        |  (wsum - ((wsum % n + n) % n)) // n AS wins_mean_cents FROM g""".stripMargin,
     "group_sample" ->
       """WITH m AS (SELECT doc_id, lang, source,
         |  (((doc_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
@@ -3249,14 +3318,7 @@ object SparkEntry {
       // kernel's ph domain; distinct AFTER hashing, matching Spark) →
       // rare-gram blocking (2 ≤ df ≤ 5) → symmetric adjacency →
       // 3 unrolled integer PageRank rounds
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-        |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, greatest(len(toks) - 7, 1))],
-        |    x -> ${duckPolyHash("x", 257L, 1000000007L)}))) AS g FROM t),
-        |rare AS MATERIALIZED (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
-        |rs AS MATERIALIZED (SELECT doc_id, g FROM dg WHERE g IN (SELECT g FROM rare)),
-        |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        |  FROM rs a JOIN rs b USING (g) WHERE a.doc_id < b.doc_id),
+      s"""WITH $sharedGramEdgeCtes,
         |adj AS MATERIALIZED (SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p),
         |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM adj GROUP BY 1),
         |s0 AS MATERIALIZED (SELECT id, deg, CAST(1000000 AS BIGINT) AS score FROM deg),
@@ -3273,6 +3335,14 @@ object SparkEntry {
         |  FROM deg d LEFT JOIN (SELECT a.dst AS id, sum(s.score // s.deg) AS sumc
         |    FROM adj a JOIN s2 s ON s.id = a.src GROUP BY 1) c ON c.id = d.id)
         |SELECT id AS doc_id, deg, score FROM s3""".stripMargin,
+    "graph_triangles" ->
+      // each triangle x<y<z enumerated once via the oriented edge list
+      s"""WITH $sharedGramEdgeCtes,
+        |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM p e1 JOIN p e2 ON e1.dst = e2.src
+        |  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT id AS doc_id, count(*) AS n_triangles FROM
+        |  (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id""".stripMargin,
     "weighted_sample" ->
       """WITH w AS (SELECT doc_id, least(n_chars * 20, 10000) AS w_bps,
         |  doc_id % 4294967296 AS a FROM documents),

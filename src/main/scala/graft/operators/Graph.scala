@@ -69,6 +69,12 @@ object Graph {
     val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var scores = deg.withColumn("score", lit(init))
+    runDistributed(adj, deg, scores, iters, base, dampNum, dampDen, ckptEvery)
+  }
+
+  private def runDistributed(adj: DataFrame, deg: DataFrame, init0: DataFrame,
+      iters: Int, base: Long, dampNum: Long, dampDen: Long, ckptEvery: Int): DataFrame = {
+    var scores = init0
     for (i <- 1 to iters) {
       val contribs = adj
         .join(scores.select(col("id").as("src"), expr("score div deg").as("c")),
@@ -82,5 +88,29 @@ object Graph {
       if (i % ckptEvery == 0 && i < iters) scores = scores.localCheckpoint()
     }
     scores
+  }
+
+  /** Per-node triangle counts over an undirected edge list. Edges are
+    * oriented low-id → high-id so each triangle {x < y < z} is
+    * enumerated exactly once as (x,y)⋈(y,z)⋈(x,z) — two hash equi-joins,
+    * no direction double-counting. (At power-law scale the standard
+    * upgrade is degree-based orientation, which bounds the join fan-out
+    * by arboricity instead of max id-order degree; the enumeration set
+    * is identical.) Output: (id, n_triangles) for nodes in ≥ 1
+    * triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -72,9 +72,16 @@ object LateInteraction {
     val qBag = queryTokenVectors(queries, idCol, textCol, qLen)
       .groupBy(col("query_id"))
       .agg(collect_list(array(DimA.indices.map(j => col(s"q$j")): _*)).as("qvecs"))
-    val dBag = docTokenVectors(docs, idCol, textCol)
+    // ONE shuffle for the doc bags: collect_set dedupes (max over a bag
+    // ignores duplicates, so set-of-vectors ≡ distinct-tokens-then-list)
+    // with map-side partial sets, replacing the distinct + groupBy
+    // two-shuffle chain
+    val dBag = withDims(
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .select(col("doc_id"), PolyHash.column(col("tok"), 257L, P).as("ph")), "v")
       .groupBy(col("doc_id"))
-      .agg(collect_list(array(DimA.indices.map(j => col(s"v$j")): _*)).as("dvecs"))
+      .agg(collect_set(array(DimA.indices.map(j => col(s"v$j")): _*)).as("dvecs"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     // collect_list order varies with partitioning, but MaxSim is a

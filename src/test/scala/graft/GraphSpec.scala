@@ -27,6 +27,16 @@ class GraphSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 362500L))
   }
 
+  test("triangle counts: K4 has 3 per node, squares have none") {
+    // K4 on 1..4 (4 triangles, each node in 3) ⊔ 4-cycle on 5..8 (none)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val square = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val edges = (k4 ++ square).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("orientation and duplicate edges normalize away") {
     val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val b = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")
