@@ -1777,9 +1777,180 @@ object SparkEntry {
       .withColumn("mrr_bp", expr("rr_sum_bp div n_queries"))
   }
 
+  // ——— Graph-based ANN (HNSW-class capability, SURVEY §2.2 I1/I3/I6) ———
+
+  private val GraphDegree = 16
+  private val graphAdjCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Degree-16 exact k-NN graph of the base — the adjacency standing in
+    * for the reference's HNSW/NGT graph structures (see
+    * [[graft.index.GraphIndex]]). Cached per dir: built once, searched
+    * repeatedly — the reference's build → search-loop lifecycle. */
+  private def graphAdj(spark: SparkSession, dir: String): DataFrame =
+    graphAdjCache.getOrElseUpdate(dir,
+      graft.index.GraphIndex.buildExact(Tables.embeddingBase(spark, dir), GraphDegree)
+        .cache())
+
+  /** HNSW-class graph search: entry-point seeding (1/16 deterministic
+    * subsample scored exactly, 8 seeds kept) + one breadth-first hop
+    * through the degree-16 adjacency + exact rerank of the deduplicated
+    * candidates. Every stage is a hash join — no sequential walk. */
+  private def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.index.GraphIndex.search(
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 1)
+
+  /** Graph-search recall vs exact ground truth (BASELINE graph-class
+    * ladder: HNSW/NGT ≈ 0.94–0.98 at k=10). */
+  private def recallGraph(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphSearch(spark, dir), groundTruth(spark, dir), KnnK)
+
+  // ——— Retrieval/IR metric: nDCG@10 ———
+
+  private val NdcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private val NdcgIdcg = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** nDCG@10 with binary label-agreement relevance over the cosine
+    * top-10. Discount weights are FROZEN integer micro-units
+    * (round(1e6/log2(i+1))) so DCG and IDCG are exact int64 sums on any
+    * engine; IDCG ranks the query's full relevant pool capped at 10.
+    * Per query: ndcg_bp = 10000·DCG div IDCG. */
+  private def ndcgAt10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val iArr = array(NdcgIdcg.map(lit): _*)
+    val dcg = Knn.cosineTopK(
+        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+      .join(qLab, Seq("query_id"))
+      .join(bLab, Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("q_label") === col("b_label"),
+        element_at(wArr, col("rank"))).otherwise(0L)).as("dcg_micro"))
+    val pool = qLab
+      .join(bLab.groupBy(col("b_label")).agg(count(lit(1)).as("n_rel")),
+        qLab("q_label") === col("b_label"), "left")
+      .select(col("query_id"),
+        least(coalesce(col("n_rel"), lit(0L)), lit(10L)).cast("int").as("r_ideal"))
+    dcg.join(pool, Seq("query_id"))
+      .select(col("query_id"), col("dcg_micro"),
+        when(col("r_ideal") === 0, lit(0L))
+          .otherwise(element_at(iArr, col("r_ideal"))).as("idcg_micro"))
+      .withColumn("ndcg_bp", when(col("idcg_micro") === 0, lit(0L))
+        .otherwise(expr("(dcg_micro * 10000) div idcg_micro")))
+  }
+
+  // ——— Time-series / quality analytics ———
+
+  /** OHLC downsampling bars per (event_type, hour): open/close selected
+    * by a PACKED int64 ordering key (epoch-ms·2²⁰ + event_id — unique,
+    * so arg-min/max is deterministic on any engine) via min_by/max_by;
+    * high/low/volume ride the same single-shuffle aggregate. No window
+    * sort anywhere. */
+  private def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        (unix_millis(col("ts")) * lit(1048576L) + col("event_id")).as("ord"))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(
+        expr("min_by(cents, ord)").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        expr("max_by(cents, ord)").as("close_cents"),
+        count(lit(1)).as("n_events"))
+
+  /** Interval union (gaps-and-islands): each event claims a 5-minute
+    * window [ms, ms+300000); overlapping-or-touching claims merge into
+    * islands per user via a running-max window + prefix-sum island ids.
+    * The window and both aggregations all partition by user_id, so one
+    * exchange feeds the whole plan. */
+  private def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winOrd = Window.partitionBy(col("user_id")).orderBy(col("start_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("start_ms"),
+        (unix_millis(col("ts")) + 300000L).as("end_ms"))
+      .withColumn("prev_max_end",
+        max(col("end_ms")).over(winOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("start_ms") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("new_island")).over(winOrd))
+      .groupBy(col("user_id"), col("island_id"))
+      .agg(min(col("start_ms")).as("i_start"), max(col("end_ms")).as("i_end"),
+        count(lit(1)).as("i_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_ms"),
+        max(col("i_events")).as("max_island_events"))
+  }
+
+  /** Data-quality expectation suite (Deequ-style declarative checks):
+    * completeness, value ranges, key uniqueness, and FK integrity over
+    * lineitem/orders, one verdict row per check. The scalar checks share
+    * ONE scan; uniqueness is a keyed count; the FK check is a left-anti
+    * join — at 100 TB each check class stays a single pass. */
+  private def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val scalar = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_ok"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("qty_out"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("disc_out"))
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_dup"))
+    val orphans = li.join(Tables.table(spark, dir, "orders"),
+        li("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    scalar.crossJoin(dupKeys).crossJoin(orphans).selectExpr(
+      """stack(6,
+        |  'row_count_min_1000', n_rows, n_rows >= 1000,
+        |  'orderkey_not_null', null_ok, null_ok = 0,
+        |  'quantity_in_1_50', qty_out, qty_out = 0,
+        |  'discount_in_0_1', disc_out, disc_out = 0,
+        |  'linenumber_unique', n_dup, n_dup = 0,
+        |  'orders_fk', n_orphan, n_orphan = 0) AS (check_name, observed, pass)""".stripMargin)
+  }
+
+  /** Integer EWMA (α = 1/8) of each user's event stream: s₁ = c₁,
+    * sᵢ = (7·sᵢ₋₁ + cᵢ) div 8 over non-negative cents ordered by
+    * (epoch-ms, event_id). A row-local fold over the user's collected,
+    * sorted events (groups are bounded — ≤ ~100 rows/user in the
+    * fixtures, and a 100 TB deployment would window the stream first);
+    * one shuffle on user_id, exactly replayable as a recursive CTE. */
+  private def ewmaUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_millis(col("ts")).as("ms"), col("event_id").as("eid"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"), size(col("seq")).cast("long").as("n_events"),
+        expr("""aggregate(seq,
+          named_struct('i', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct('i', acc.i + 1,
+            's', CASE WHEN acc.i = 0 THEN x.cents
+                      ELSE (7 * acc.s + x.cents) div 8 END)).s""").as("ewma_cents"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
+    "knn_graph_adj" -> ((s, dir) => graphAdj(s, dir)),
+    "knn_graph" -> ((s, dir) => knnGraphSearch(s, dir)),
+    "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
+    "ndcg_at_10" -> ((s, dir) => ndcgAt10(s, dir)),
+    "ohlc_bars" -> ((s, dir) => ohlcBars(s, dir)),
+    "interval_merge" -> ((s, dir) => intervalMerge(s, dir)),
+    "dq_checks" -> ((s, dir) => dqChecks(s, dir)),
+    "ewma_user" -> ((s, dir) => ewmaUser(s, dir)),
     "knn_radius" -> ((s, dir) => knnRadius(s, dir)),
     "knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
     "ivf_list_stats" -> ((s, dir) => ivfListStats(s, dir)),
@@ -2515,7 +2686,147 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN rn <= 5 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Graph-ANN replay: adjacency (degree-16 exact k-NN graph, self
+    * excluded), entry-point seeding (vec_id % 16 = 0, top-8), one-hop
+    * expansion, exact rerank — every stage deterministic with id
+    * tie-breaks, so the whole index replays. */
+  private val graphCtes: String =
+    """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      |gadj AS (SELECT node_id, neighbor_id, rank FROM (
+      |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
+      |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+      |gseeds AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.query_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+      |  FROM q CROSS JOIN b e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
+      |gcand AS (SELECT DISTINCT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id FROM gseeds
+      |  UNION ALL
+      |  SELECT s.query_id, g.neighbor_id AS vec_id FROM gseeds s JOIN gadj g ON g.node_id = s.vec_id)),
+      |graph_scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
+      |  FROM gcand c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id)""".stripMargin
+
+  private val graphAdjOracle: String =
+    s"WITH $graphCtes\nSELECT node_id, neighbor_id, rank FROM gadj"
+
+  private val graphKnnOracle: String =
+    s"WITH $graphCtes\nSELECT query_id, neighbor_id, rank FROM graph_scored WHERE rank <= 10"
+
+  private val graphRecallOracle: String =
+    s"""WITH $graphCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM graph_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  private val ndcgOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+      |  FROM q CROSS JOIN b),
+      |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+      |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+      |w(r, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+      |  (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+      |pw(r, cum) AS (VALUES (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460),
+      |  (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560)),
+      |dcg AS (SELECT s.query_id,
+      |    CAST(sum(CASE WHEN ql.q_label = bl.b_label THEN w.wt ELSE 0 END) AS BIGINT) AS dcg_micro
+      |  FROM scored s JOIN ql USING (query_id) JOIN bl USING (neighbor_id) JOIN w ON w.r = s.rank
+      |  WHERE s.rank <= 10 GROUP BY 1),
+      |pool AS (SELECT ql.query_id, least(count(bl.neighbor_id), 10) AS r_ideal
+      |  FROM ql LEFT JOIN bl ON bl.b_label = ql.q_label GROUP BY 1),
+      |idcg AS (SELECT p.query_id,
+      |    CAST(coalesce(pw.cum, 0) AS BIGINT) AS idcg_micro
+      |  FROM pool p LEFT JOIN pw ON pw.r = p.r_ideal)
+      |SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+      |  CAST(CASE WHEN i.idcg_micro = 0 THEN 0
+      |    ELSE (d.dcg_micro * 10000) // i.idcg_micro END AS BIGINT) AS ndcg_bp
+      |FROM dcg d JOIN idcg i USING (query_id)""".stripMargin
+
+  private val ohlcOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    epoch_ms(ts) * 1048576 + event_id AS ord
+      |  FROM events)
+      |SELECT event_type, hour_ms,
+      |  arg_min(cents, ord) AS open_cents,
+      |  max(cents) AS high_cents,
+      |  min(cents) AS low_cents,
+      |  arg_max(cents, ord) AS close_cents,
+      |  count(*) AS n_events
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  private val intervalMergeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS start_ms,
+      |    epoch_ms(ts) + 300000 AS end_ms FROM events),
+      |m AS (SELECT *, max(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM e),
+      |f AS (SELECT *, CASE WHEN prev_max_end IS NULL OR start_ms > prev_max_end
+      |    THEN 1 ELSE 0 END AS new_island FROM m),
+      |i AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id FROM f),
+      |g AS (SELECT user_id, island_id, min(start_ms) AS i_start, max(end_ms) AS i_end,
+      |    count(*) AS i_events FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_ms,
+      |  CAST(max(i_events) AS BIGINT) AS max_island_events
+      |FROM g GROUP BY 1""".stripMargin
+
+  private val dqChecksOracle: String =
+    """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_out
+      |  FROM lineitem),
+      |d AS (SELECT CAST(count(*) AS BIGINT) AS n_dup FROM (
+      |  SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
+      |SELECT 'row_count_min_1000' AS check_name, n_rows AS observed, n_rows >= 1000 AS pass FROM s
+      |UNION ALL SELECT 'orderkey_not_null', null_ok, null_ok = 0 FROM s
+      |UNION ALL SELECT 'quantity_in_1_50', qty_out, qty_out = 0 FROM s
+      |UNION ALL SELECT 'discount_in_0_1', disc_out, disc_out = 0 FROM s
+      |UNION ALL SELECT 'linenumber_unique', n_dup, n_dup = 0 FROM d
+      |UNION ALL SELECT 'orders_fk', n_orphan, n_orphan = 0 FROM o""".stripMargin
+
+  private val ewmaOracle: String =
+    """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, cents AS s FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, (7 * r.s + e.cents) // 8
+      |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+      |  CAST(arg_max(s, rn) AS BIGINT) AS ewma_cents
+      |FROM r GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "knn_graph_adj" -> graphAdjOracle,
+    "knn_graph" -> graphKnnOracle,
+    "recall_graph" -> graphRecallOracle,
+    "ndcg_at_10" -> ndcgOracle,
+    "ohlc_bars" -> ohlcOracle,
+    "interval_merge" -> intervalMergeOracle,
+    "dq_checks" -> dqChecksOracle,
+    "ewma_user" -> ewmaOracle,
     "pii_redact" -> piiRedactOracle,
     "doc_chunks" -> docChunksOracle,
     "repetition_stats" -> repetitionOracle,
