@@ -1792,18 +1792,123 @@ object SparkEntry {
         .cache())
 
   /** HNSW-class graph search: entry-point seeding (1/16 deterministic
-    * subsample scored exactly, 8 seeds kept) + one breadth-first hop
-    * through the degree-16 adjacency + exact rerank of the deduplicated
-    * candidates. Every stage is a hash join — no sequential walk. */
+    * subsample scored exactly, 8 seeds kept), then 3 batched
+    * expand-score-prune beam rounds (beam 32) through the degree-16
+    * adjacency, exact rerank over everything visited. Every stage is a
+    * hash join — no sequential walk. */
   private def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
     graft.index.GraphIndex.search(
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
-      graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 1)
+      graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
 
   /** Graph-search recall vs exact ground truth (BASELINE graph-class
     * ladder: HNSW/NGT ≈ 0.94–0.98 at k=10). */
   private def recallGraph(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnGraphSearch(spark, dir), groundTruth(spark, dir), KnnK)
+
+  // ——— NN-Descent: the O(n·d²)-per-round approximate graph build ———
+
+  private val nndAdjCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Degree-16 approximate k-NN graph via 3 NN-Descent rounds from a
+    * per-edge hashed init — the linear-in-n build that replaces
+    * [[graphAdj]]'s all-pairs pass at 100 TB
+    * (see [[graft.index.GraphIndex.buildNNDescent]]). */
+  private def nndAdj(spark: SparkSession, dir: String): DataFrame =
+    nndAdjCache.getOrElseUpdate(dir,
+      graft.index.GraphIndex.buildNNDescent(
+        Tables.embeddingBase(spark, dir), GraphDegree, rounds = 3)
+        .cache())
+
+  /** Build quality of the NN-Descent graph: fraction of the exact
+    * degree-16 graph's edges recovered, in basis points — the graph
+    * analog of search recall (NN-Descent converges to ≳90% edge recall
+    * in 2-3 rounds on intrinsically low-dim data). */
+  private def nndGraphQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graphAdj(spark, dir).select(col("node_id"), col("neighbor_id"))
+    val approx = nndAdj(spark, dir).select(col("node_id"), col("neighbor_id"))
+    exact.join(approx, Seq("node_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_total")))
+      .select(expr("n_hits * 10000 div n_total").as("overlap_bp"))
+  }
+
+  /** Graph search over the NN-Descent adjacency — same beam search as
+    * [[knnGraphSearch]], approximate build instead of exact. */
+  private def knnGraphNnd(spark: SparkSession, dir: String): DataFrame =
+    graft.index.GraphIndex.search(
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      nndAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
+
+  /** End-to-end recall of approximate-build + graph search. */
+  private def recallGraphNnd(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphNnd(spark, dir), groundTruth(spark, dir), KnnK)
+
+  // ——— Multi-probe LSH (Lv et al., VLDB 2007) ———
+
+  /** Multi-probe RP-LSH: 4 tables probing 3 buckets each (0, ±1) — the
+    * recall of ~more tables at half the index footprint; compare
+    * [[knnLsh]]'s 8 tables × 1 probe. Index size (rows in the bucket
+    * join's build side) halves; the probe fan-out moves to the tiny
+    * query side. */
+  private def knnLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    graft.index.LshIndex.searchFast(
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      KnnK, numHashTables = 4, bucketLength = 1.0, dim = 64, probes = 3)
+
+  private def recallLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnLshMultiprobe(spark, dir), groundTruth(spark, dir), KnnK)
+
+  // ——— Semantic dedup (SemDeDup, Abbas et al. 2023) ———
+
+  /** Cluster-then-prune semantic dedup over the embedding base: IvfFlat's
+    * integer-exact k-means (8 cells) localizes candidates, then within
+    * each cell a row is dropped iff a LOWER-id row of the same cell has
+    * cosine ≥ 0.35 with it. The pair join is per-cluster (candidates
+    * co-partitioned by cid — never all-pairs), which is exactly how
+    * SemDeDup stays tractable at 100 TB. Output: (vec_id, cid, kept). */
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val base = Tables.embeddingBase(spark, dir)
+    val withEmb = graft.index.IvfFlat.assignments(base, ivfFlatModel(spark, dir))
+      .join(base, "vec_id")
+    val lo = withEmb.select(col("cid"), col("vec_id").as("lo_id"),
+      col("embedding").as("lo_emb"))
+    val drops = withEmb.join(lo, "cid")
+      .filter(col("lo_id") < col("vec_id") &&
+        cosine(col("embedding"), col("lo_emb")) >= 0.35)
+      .select(col("vec_id")).distinct().withColumn("__d", lit(1))
+    withEmb.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("__d").isNull.as("kept"))
+  }
+
+  /** Gap-based sessionization executed by the streaming ENGINE —
+    * flatMapGroupsWithState custom state (SURVEY §2.6 C1's stateful
+    * form), AvailableNow backlog replay, append-mode memory sink. Shares
+    * the batch [[sessionizeEvents]] oracle: one logical answer, stateful
+    * streaming physical execution. */
+  private def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val ds = events.select(col("user_id"), col("ts"), col("event_id"))
+      .as[graft.streaming.StreamingMetrics.Ev]
+    val sink = "stream_sess_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = graft.streaming.StreamingMetrics.sessionizeStream(ds, gapMs = 1800000L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id").as("key"), col("event_id"), col("session_id"))
+  }
 
   // ——— Retrieval/IR metric: nDCG@10 ———
 
@@ -1946,6 +2051,14 @@ object SparkEntry {
     "knn_graph_adj" -> ((s, dir) => graphAdj(s, dir)),
     "knn_graph" -> ((s, dir) => knnGraphSearch(s, dir)),
     "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
+    "nnd_graph_adj" -> ((s, dir) => nndAdj(s, dir)),
+    "nnd_graph_quality" -> ((s, dir) => nndGraphQuality(s, dir)),
+    "knn_graph_nnd" -> ((s, dir) => knnGraphNnd(s, dir)),
+    "recall_graph_nnd" -> ((s, dir) => recallGraphNnd(s, dir)),
+    "knn_lsh_multiprobe" -> ((s, dir) => knnLshMultiprobe(s, dir)),
+    "recall_lsh_multiprobe" -> ((s, dir) => recallLshMultiprobe(s, dir)),
+    "semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
+    "stream_sessionize" -> ((s, dir) => streamSessionize(s, dir)),
     "ndcg_at_10" -> ((s, dir) => ndcgAt10(s, dir)),
     "ohlc_bars" -> ((s, dir) => ohlcBars(s, dir)),
     "interval_merge" -> ((s, dir) => intervalMerge(s, dir)),
@@ -2686,49 +2799,209 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN rn <= 5 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM r GROUP BY 1, 2""".stripMargin
 
-  /** Graph-ANN replay: adjacency (degree-16 exact k-NN graph, self
-    * excluded), entry-point seeding (vec_id % 16 = 0, top-8), one-hop
-    * expansion, exact rerank — every stage deterministic with id
-    * tie-breaks, so the whole index replays. */
-  private val graphCtes: String =
+  /** Exact-graph replay prefix: query/base splits + the degree-16 exact
+    * k-NN adjacency (self excluded, ties by id). */
+  private val graphBaseCtes: String =
     """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-      |gadj AS (SELECT node_id, neighbor_id, rank FROM (
+      |gadj AS MATERIALIZED (SELECT node_id, neighbor_id, rank FROM (
       |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
       |    CAST(row_number() OVER (PARTITION BY a.vec_id
       |      ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
-      |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
-      |gseeds AS (SELECT query_id, vec_id FROM (
-      |  SELECT q.query_id, e.vec_id,
-      |    row_number() OVER (PARTITION BY q.query_id
-      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
-      |  FROM q CROSS JOIN b e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
-      |gcand AS (SELECT DISTINCT query_id, vec_id FROM (
-      |  SELECT query_id, vec_id FROM gseeds
-      |  UNION ALL
-      |  SELECT s.query_id, g.neighbor_id AS vec_id FROM gseeds s JOIN gadj g ON g.node_id = s.vec_id)),
-      |graph_scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
-      |    CAST(row_number() OVER (PARTITION BY c.query_id
-      |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
-      |  FROM gcand c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id)""".stripMargin
+      |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16)""".stripMargin
+
+  /** Beam-search replay over adjacency CTE `adjCte` (CTE names prefixed
+    * with `p` so exact and NN-Descent variants stay disjoint): entry
+    * seeding (vec_id % 16 = 0, top-8), then 3 rounds of
+    * expand-score-prune (beam 32), exact rerank over everything visited
+    * — the same batched beam as [[graft.index.GraphIndex.search]]. */
+  private def beamSearchCtes(adjCte: String, p: String): String = {
+    val qdist = "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    val hops = 3
+    val sb = new StringBuilder
+    sb.append(
+      s"""${p}beam0 AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+         |  FROM q CROSS JOIN b e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
+         |${p}vis0 AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}beam0)""")
+    for (h <- 1 to hops) {
+      sb.append(
+        s""",
+           |${p}cand$h AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id FROM ${p}beam${h - 1}
+           |  UNION ALL SELECT s.query_id, g.neighbor_id AS vec_id
+           |    FROM ${p}beam${h - 1} s JOIN $adjCte g ON g.node_id = s.vec_id)),
+           |${p}beam$h AS MATERIALIZED (SELECT query_id, vec_id FROM (
+           |  SELECT c.query_id, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.query_id
+           |      ORDER BY $qdist, c.vec_id) AS rn
+           |  FROM ${p}cand$h c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id) WHERE rn <= 32),
+           |${p}vis$h AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}vis${h - 1}
+           |  UNION SELECT query_id, vec_id FROM ${p}cand$h)""")
+    }
+    sb.append(
+      s""",
+         |${p}scored AS MATERIALIZED (SELECT c.query_id, c.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY $qdist, c.vec_id) AS INTEGER) AS rank
+         |  FROM ${p}vis$hops c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id)""")
+    sb.toString
+  }
 
   private val graphAdjOracle: String =
-    s"WITH $graphCtes\nSELECT node_id, neighbor_id, rank FROM gadj"
+    s"WITH $graphBaseCtes\nSELECT node_id, neighbor_id, rank FROM gadj"
 
   private val graphKnnOracle: String =
-    s"WITH $graphCtes\nSELECT query_id, neighbor_id, rank FROM graph_scored WHERE rank <= 10"
+    (s"""WITH $graphBaseCtes,
+        |${beamSearchCtes("gadj", "g")}
+        |SELECT query_id, neighbor_id, rank FROM gscored WHERE rank <= 10""").stripMargin
 
   private val graphRecallOracle: String =
-    s"""WITH $graphCtes,
+    s"""WITH $graphBaseCtes,
+       |${beamSearchCtes("gadj", "g")},
        |gt AS (SELECT query_id, neighbor_id FROM (
        |  SELECT q.query_id, b.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
        |  FROM q CROSS JOIN b) WHERE rank <= 10),
-       |pr AS (SELECT query_id, neighbor_id FROM graph_scored WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM gscored WHERE rank <= 10),
        |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** NN-Descent replay core (assumes a CTE `b(vec_id, embedding)` is in
+    * scope): per-edge hashed init (neighbor j of rank r = rank
+    * mix32(r·31+j) mod n), then 3 rounds of undirected 1-hop ∪ 2-hop
+    * expansion + exact re-rank — the same deterministic pipeline as
+    * [[graft.index.GraphIndex.buildNNDescent]]. */
+  private val nndCteCore: String = {
+    def dist(x: String, y: String): String =
+      s"list_distance(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))"
+    // wrap-safe Knuth mix of expression v, mod 2^32 (Sampling.idBucket scheme)
+    def mix32(v: String): String =
+      s"((($v) % 4294967296 >> 16) * 2654435761 % 65536 * 65536 + (($v) % 65536) * 2654435761) % 4294967296"
+    def round(n: Int, prev: String, last: Boolean): String = {
+      val sel =
+        if (last) "node_id, neighbor_id, CAST(rn AS INTEGER) AS rank"
+        else "node_id, neighbor_id"
+      s"""und$n AS MATERIALIZED (SELECT DISTINCT node_id, neighbor_id FROM (
+         |  SELECT node_id, neighbor_id FROM $prev
+         |  UNION ALL SELECT neighbor_id, node_id FROM $prev)),
+         |cand$n AS MATERIALIZED (SELECT DISTINCT node_id, neighbor_id FROM (
+         |  SELECT node_id, neighbor_id FROM und$n
+         |  UNION ALL SELECT u1.node_id, u2.neighbor_id
+         |    FROM und$n u1 JOIN und$n u2 ON u1.neighbor_id = u2.node_id)
+         |  WHERE node_id <> neighbor_id),
+         |nnd$n AS MATERIALIZED (SELECT $sel FROM (
+         |  SELECT t.node_id, t.neighbor_id,
+         |    row_number() OVER (PARTITION BY t.node_id
+         |      ORDER BY ${dist("x", "y")}, t.neighbor_id) AS rn
+         |  FROM cand$n t JOIN b x ON x.vec_id = t.node_id
+         |    JOIN b y ON y.vec_id = t.neighbor_id) WHERE rn <= 16)"""
+    }
+    s"""bn AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM b),
+       |nt AS MATERIALIZED (SELECT count(*) AS n FROM b),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a_rn, b_rn FROM (
+       |  SELECT a.rn AS a_rn, ${mix32("a.rn * 31 + js.j")} % nt.n AS b_rn
+       |  FROM bn a CROSS JOIN nt
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) js)
+       |  WHERE a_rn <> b_rn),
+       |nnd0 AS MATERIALIZED (SELECT x.vec_id AS node_id, y.vec_id AS neighbor_id
+       |  FROM e0 JOIN bn x ON x.rn = e0.a_rn JOIN bn y ON y.rn = e0.b_rn),
+       |${round(1, "nnd0", last = false)},
+       |${round(2, "nnd1", last = false)},
+       |${round(3, "nnd2", last = true)}"""
+  }
+
+  private val nndAdjOracle: String =
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |$nndCteCore
+       |SELECT node_id, neighbor_id, rank FROM nnd3""".stripMargin
+
+  /** Edge recall of the approximate graph vs the exact one — reuses the
+    * exact-graph CTEs (gadj) plus the NN-Descent core. */
+  private val nndQualityOracle: String =
+    s"""WITH $graphBaseCtes,
+       |$nndCteCore,
+       |hits AS (SELECT count(*) AS n_hits
+       |  FROM gadj g JOIN nnd3 n ON g.node_id = n.node_id AND g.neighbor_id = n.neighbor_id),
+       |total AS (SELECT count(*) AS n_total FROM gadj)
+       |SELECT (n_hits * 10000) // n_total AS overlap_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** Beam search over the NN-Descent adjacency — [[beamSearchCtes]] with
+    * nnd3 as the graph. */
+  private val nndSearchCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |$nndCteCore,
+       |${beamSearchCtes("nnd3", "n")}""".stripMargin
+
+  private val nndKnnOracle: String =
+    s"WITH $nndSearchCtes\nSELECT query_id, neighbor_id, rank FROM nscored WHERE rank <= 10"
+
+  private val nndRecallOracle: String =
+    s"""WITH $nndSearchCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM nscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** Multi-probe RP-LSH replay: 4 tables, query side probes buckets
+    * {0, +1, −1} — same hash-sign projection arithmetic as [[lshKnnCtes]]. */
+  private val lshMpCtes: String = {
+    val dot =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) *
+        |        CASE WHEN ((((tbl * 64 + i - 1) * 2654435761) % 4294967296) >> 16) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END)), (a, x) -> a + x)""".stripMargin
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bt AS (SELECT vec_id, embedding, unnest(generate_series(0, 3)) AS tbl FROM b),
+       |bb AS (SELECT vec_id, tbl, CAST(floor($dot) AS BIGINT) AS bucket FROM bt),
+       |qt AS (SELECT query_id, embedding, unnest(generate_series(0, 3)) AS tbl FROM q),
+       |qb AS (SELECT query_id, tbl, CAST(floor($dot) AS BIGINT) AS bucket FROM qt),
+       |qo AS (SELECT query_id, tbl, bucket + off AS bucket
+       |  FROM qb CROSS JOIN (SELECT unnest([0, 1, -1]) AS off) offs),
+       |mp_cand AS (SELECT DISTINCT qo.query_id, bb.vec_id
+       |  FROM qo JOIN bb ON qo.tbl = bb.tbl AND qo.bucket = bb.bucket),
+       |mp_scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS INTEGER) AS rank
+       |  FROM mp_cand c JOIN q ON q.query_id = c.query_id JOIN b ON b.vec_id = c.vec_id)""".stripMargin
+  }
+
+  private val lshMpKnnOracle: String =
+    s"WITH $lshMpCtes\nSELECT query_id, neighbor_id, rank FROM mp_scored WHERE rank <= 10"
+
+  private val lshMpRecallOracle: String =
+    s"""WITH $lshMpCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM mp_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** SemDeDup replay: IvfFlat's integer k-means training (ivfTrainCtes →
+    * assignment `ab`), then the within-cluster lower-id cosine prune. */
+  private val semanticDedupOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |sd_drop AS (SELECT DISTINCT a.vec_id
+       |  FROM ab a JOIN ab c ON a.cid = c.cid AND c.vec_id < a.vec_id
+       |  JOIN b ea ON ea.vec_id = a.vec_id JOIN b eb ON eb.vec_id = c.vec_id
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.35)
+       |SELECT ab.vec_id, CAST(ab.cid AS INTEGER) AS cid, (d.vec_id IS NULL) AS kept
+       |FROM ab LEFT JOIN sd_drop d ON d.vec_id = ab.vec_id""".stripMargin
 
   private val ndcgOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
@@ -2822,6 +3095,22 @@ object SparkEntry {
     "knn_graph_adj" -> graphAdjOracle,
     "knn_graph" -> graphKnnOracle,
     "recall_graph" -> graphRecallOracle,
+    "nnd_graph_adj" -> nndAdjOracle,
+    "nnd_graph_quality" -> nndQualityOracle,
+    "knn_graph_nnd" -> nndKnnOracle,
+    "recall_graph_nnd" -> nndRecallOracle,
+    "knn_lsh_multiprobe" -> lshMpKnnOracle,
+    "recall_lsh_multiprobe" -> lshMpRecallOracle,
+    "semantic_dedup" -> semanticDedupOracle,
+    "stream_sessionize" -> // one logical answer, stateful streaming plan
+      """WITH g AS (SELECT user_id AS key, event_id, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT key, event_id,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY key ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
     "ndcg_at_10" -> ndcgOracle,
     "ohlc_bars" -> ohlcOracle,
     "interval_merge" -> intervalMergeOracle,

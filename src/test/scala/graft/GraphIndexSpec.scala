@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.GraphIndex
+import graft.operators.{Knn, Recall}
+import graft.sources.Tables
+
+/** Graph-ANN index: exact build, NN-Descent approximate build, and the
+  * batched beam search (SURVEY §2.2 I1/I3/I6 — the HNSW-class path). */
+class GraphIndexSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val queries = Tables.embeddingQueries(spark, dir).cache()
+  lazy val base = Tables.embeddingBase(spark, dir).cache()
+  lazy val gt = Knn.exact(queries, base, 10).cache()
+  lazy val exactAdj = GraphIndex.buildExact(base, 8).cache()
+
+  test("exact adjacency: degree rows per node, self excluded, ranks 1..d") {
+    val n = base.count()
+    val adj = exactAdj
+    assert(adj.count() == n * 8)
+    assert(adj.filter(col("node_id") === col("neighbor_id")).count() == 0)
+    val ranks = adj.groupBy("node_id")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("c"))
+    assert(ranks.filter(col("lo") =!= 1 || col("hi") =!= 8 || col("c") =!= 8).count() == 0)
+  }
+
+  test("exact adjacency agrees with per-node exact kNN") {
+    val asQ = base.select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // top-9 then drop self = top-8 among non-self
+    val viaKnn = Knn.exact(asQ, base, 9)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("nbrs"))
+    val viaAdj = exactAdj.groupBy("node_id").agg(collect_set("neighbor_id").as("nbrs2"))
+    val joined = viaKnn.join(viaAdj, col("query_id") === col("node_id"))
+    val mismatched = joined
+      .filter(size(array_except(col("nbrs"), col("nbrs2"))) =!=
+        greatest(size(col("nbrs")) - 8, lit(0)))
+      .count()
+    assert(mismatched == 0)
+  }
+
+  test("NN-Descent recovers most exact edges and is search-equivalent") {
+    val nnd = GraphIndex.buildNNDescent(base, 8, rounds = 3).cache()
+    val n = base.count()
+    // every node keeps up to degree neighbors, no self edges
+    assert(nnd.filter(col("node_id") === col("neighbor_id")).count() == 0)
+    assert(nnd.groupBy("node_id").count().filter(col("count") > 8).count() == 0)
+    val hits = exactAdj.select("node_id", "neighbor_id")
+      .join(nnd.select("node_id", "neighbor_id"), Seq("node_id", "neighbor_id"))
+      .count()
+    val overlap = hits.toDouble / (n * 8)
+    // sf0.001 has ~47 base nodes — the driver-gated sf0.01 run measures 0.97
+    assert(overlap >= 0.6, s"NN-Descent edge recall $overlap < 0.6")
+  }
+
+  test("beam search clears the BASELINE graph-class recall ladder") {
+    val pred = GraphIndex.search(queries, base, exactAdj, k = 10,
+      seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    // contract: exactly k ranked rows per query, ranks 1..k
+    val perQ = pred.groupBy("query_id").agg(count(lit(1)).as("c"), max("rank").as("m"))
+    assert(perQ.filter(col("c") =!= 10 || col("m") =!= 10).count() == 0)
+    val recall = Recall.recallAtK(pred, gt, 10).collect()(0).getDouble(0)
+    // ~3 entry points at this scale; sf0.01 measures 0.988
+    assert(recall >= 0.8, s"graph beam-search recall $recall < 0.8")
+  }
+
+  test("beam widening is monotone in recall") {
+    def rec(beam: Int, hops: Int): Double = {
+      val pred = GraphIndex.search(queries, base, exactAdj, k = 10,
+        seedMod = 16, seedK = 8, hops = hops, beam = beam)
+      Recall.recallAtK(pred, gt, 10).collect()(0).getDouble(0)
+    }
+    val narrow = rec(4, 1)
+    val wide = rec(32, 3)
+    assert(wide >= narrow, s"wide $wide < narrow $narrow")
+  }
+}
