@@ -171,13 +171,17 @@ object GraphIndex {
       scored.groupBy(col("query_id"))
         .agg(topKByDist(col("vec_id"), col("dist"), m).as("nn"))
         .select(col("query_id"), explode(col("nn")).as("vec_id"))
+    // No distinct() anywhere: the bounded-heap aggregate de-duplicates by
+    // (dist, id), so duplicate candidates from multi-path expansion are
+    // absorbed where the data is already being shuffled anyway — three
+    // fewer exchanges per query than an explicit dedup pass.
     val (_, visited) = (1 to hops).foldLeft((seeds, seeds)) {
       case ((beamDf, vis), _) =>
         val expanded = beamDf.alias("bm")
           .join(adj.alias("ad"), col("bm.vec_id") === col("ad.node_id"))
           .select(col("bm.query_id").as("query_id"), col("ad.neighbor_id").as("vec_id"))
-        val cand = beamDf.union(expanded).distinct()
-        (topOf(score(cand), beam), vis.union(cand).distinct())
+        val cand = beamDf.union(expanded)
+        (topOf(score(cand), beam), vis.union(cand))
     }
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     score(visited)
