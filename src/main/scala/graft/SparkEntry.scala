@@ -1942,6 +1942,64 @@ object SparkEntry {
       .select(col("user_id").as("key"), col("event_id"), col("session_id"))
   }
 
+  // ——— Incremental graph insert: D1 without the D3 rebuild ———
+
+  private val upsertSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The reference's dynamic-updates experiment ON the graph index:
+    * build NN-Descent on the 80% snapshot (vec_id % 5 ≠ 4), insert the
+    * held-out 20% via HNSW-style beam-search insertion + reverse-edge
+    * re-prune ([[graft.index.GraphIndex.insert]]), then search the full
+    * base through the augmented adjacency. The embedded baselines
+    * REBUILD here (SURVEY §2.4 D3) — BASELINE records their QPS halving
+    * during this phase; the incremental insert touches O(|new|·degree)
+    * rows instead. */
+  private def knnGraphUpsert(spark: SparkSession, dir: String): DataFrame =
+    upsertSearchCache.getOrElseUpdate(dir, {
+      val base = Tables.embeddingBase(spark, dir)
+      val pre = base.filter(col("vec_id") % 5 =!= 4)
+      val ins = base.filter(col("vec_id") % 5 === 4)
+      val adjPre = graft.index.GraphIndex.buildNNDescent(pre, GraphDegree, rounds = 3)
+      val adjAug = graft.index.GraphIndex.insert(pre, adjPre, ins, GraphDegree)
+      graft.index.GraphIndex.search(
+        Tables.embeddingQueries(spark, dir), base, adjAug, KnnK,
+        seedMod = 16, seedK = 8, hops = 3, beam = 32).cache()
+    })
+
+  /** End-to-end recall after the incremental insert — the reference's
+    * post-re-insert recovery measurement (BASELINE: FAISS-HNSW recovers
+    * to ≈4 950 q/s / recall 0.9769 after re-insert). */
+  private def recallGraphUpsert(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphUpsert(spark, dir), groundTruth(spark, dir), KnnK)
+
+  /** C1/C2 executed by the streaming ENGINE: the reference's
+    * `background_search_loop` (dynamic_script_faiss.py:31-43) — a stream
+    * of query batches answered with exact kNN against the snapshot
+    * current at each micro-batch ([[graft.streaming.StreamingMetrics
+    * .knnSearchLoop]]; the AtomicReference read is C2's snapshot
+    * isolation made explicit). Micro-batch splits are arbitrary, but the
+    * union of per-batch answers IS the batch answer — so this shares
+    * knn_exact's oracle. */
+  private def streamKnnSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val snapshot = new java.util.concurrent.atomic.AtomicReference(
+      Tables.embeddingBase(spark, dir))
+    val qStream = spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet")
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
+      (res, _) =>
+        val rows = res.select(col("query_id"), col("neighbor_id"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        out.synchronized { out ++= rows }
+    }
+    q.processAllAvailable()
+    q.stop()
+    out.toSeq.toDF("query_id", "neighbor_id", "rank")
+  }
+
   // ——— Retrieval/IR metric: nDCG@10 ———
 
   private val NdcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
@@ -2091,6 +2149,9 @@ object SparkEntry {
     "recall_lsh_multiprobe" -> ((s, dir) => recallLshMultiprobe(s, dir)),
     "semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
     "stream_sessionize" -> ((s, dir) => streamSessionize(s, dir)),
+    "stream_knn_search" -> ((s, dir) => streamKnnSearch(s, dir)),
+    "knn_graph_upsert" -> ((s, dir) => knnGraphUpsert(s, dir)),
+    "recall_graph_upsert" -> ((s, dir) => recallGraphUpsert(s, dir)),
     "ndcg_at_10" -> ((s, dir) => ndcgAt10(s, dir)),
     "ohlc_bars" -> ((s, dir) => ohlcBars(s, dir)),
     "interval_merge" -> ((s, dir) => intervalMerge(s, dir)),
@@ -2847,7 +2908,8 @@ object SparkEntry {
     * seeding (vec_id % 16 = 0, top-8), then 3 rounds of
     * expand-score-prune (beam 32), exact rerank over everything visited
     * — the same batched beam as [[graft.index.GraphIndex.search]]. */
-  private def beamSearchCtes(adjCte: String, p: String): String = {
+  private def beamSearchCtes(adjCte: String, p: String,
+      qCte: String = "q", bCte: String = "b"): String = {
     val qdist = "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     val hops = 3
     val sb = new StringBuilder
@@ -2856,7 +2918,7 @@ object SparkEntry {
          |  SELECT q.query_id, e.vec_id,
          |    row_number() OVER (PARTITION BY q.query_id
          |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
-         |  FROM q CROSS JOIN b e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
+         |  FROM $qCte q CROSS JOIN $bCte e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
          |${p}vis0 AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}beam0)""")
     for (h <- 1 to hops) {
       sb.append(
@@ -2869,7 +2931,8 @@ object SparkEntry {
            |  SELECT c.query_id, c.vec_id,
            |    row_number() OVER (PARTITION BY c.query_id
            |      ORDER BY $qdist, c.vec_id) AS rn
-           |  FROM ${p}cand$h c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id) WHERE rn <= 32),
+           |  FROM ${p}cand$h c JOIN $qCte q USING (query_id)
+           |    JOIN $bCte b ON b.vec_id = c.vec_id) WHERE rn <= 32),
            |${p}vis$h AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}vis${h - 1}
            |  UNION SELECT query_id, vec_id FROM ${p}cand$h)""")
     }
@@ -2878,7 +2941,8 @@ object SparkEntry {
          |${p}scored AS MATERIALIZED (SELECT c.query_id, c.vec_id AS neighbor_id,
          |    CAST(row_number() OVER (PARTITION BY c.query_id
          |      ORDER BY $qdist, c.vec_id) AS INTEGER) AS rank
-         |  FROM ${p}vis$hops c JOIN q USING (query_id) JOIN b ON b.vec_id = c.vec_id)""")
+         |  FROM ${p}vis$hops c JOIN $qCte q USING (query_id)
+         |    JOIN $bCte b ON b.vec_id = c.vec_id)""")
     sb.toString
   }
 
@@ -2908,7 +2972,7 @@ object SparkEntry {
     * mix32(r·31+j) mod n), then 3 rounds of undirected 1-hop ∪ 2-hop
     * expansion + exact re-rank — the same deterministic pipeline as
     * [[graft.index.GraphIndex.buildNNDescent]]. */
-  private val nndCteCore: String = {
+  private def nndCteCoreFor(bCte: String): String = {
     def dist(x: String, y: String): String =
       s"list_distance(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))"
     // wrap-safe Knuth mix of expression v, mod 2^32 (Sampling.idBucket scheme)
@@ -2930,11 +2994,11 @@ object SparkEntry {
          |  SELECT t.node_id, t.neighbor_id,
          |    row_number() OVER (PARTITION BY t.node_id
          |      ORDER BY ${dist("x", "y")}, t.neighbor_id) AS rn
-         |  FROM cand$n t JOIN b x ON x.vec_id = t.node_id
-         |    JOIN b y ON y.vec_id = t.neighbor_id) WHERE rn <= 16)"""
+         |  FROM cand$n t JOIN $bCte x ON x.vec_id = t.node_id
+         |    JOIN $bCte y ON y.vec_id = t.neighbor_id) WHERE rn <= 16)"""
     }
-    s"""bn AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM b),
-       |nt AS MATERIALIZED (SELECT count(*) AS n FROM b),
+    s"""bn AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM $bCte),
+       |nt AS MATERIALIZED (SELECT count(*) AS n FROM $bCte),
        |e0 AS MATERIALIZED (SELECT DISTINCT a_rn, b_rn FROM (
        |  SELECT a.rn AS a_rn, ${mix32("a.rn * 31 + js.j")} % nt.n AS b_rn
        |  FROM bn a CROSS JOIN nt
@@ -2946,6 +3010,8 @@ object SparkEntry {
        |${round(2, "nnd1", last = false)},
        |${round(3, "nnd2", last = true)}"""
   }
+
+  private val nndCteCore: String = nndCteCoreFor("b")
 
   private val nndAdjOracle: String =
     s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
@@ -2981,6 +3047,49 @@ object SparkEntry {
        |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
        |  FROM q CROSS JOIN b) WHERE rank <= 10),
        |pr AS (SELECT query_id, neighbor_id FROM nscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** Incremental-insert replay: NN-Descent on the 80% snapshot, beam
+    * insertion of the 20% (out-edges = best 16 of the visited set),
+    * reverse edges, exact re-prune per touched node, beam search over
+    * the augmented graph. */
+  private val graphUpsertCtes: String = {
+    val edist = "list_distance(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bpre AS MATERIALIZED (SELECT vec_id, embedding FROM b WHERE vec_id % 5 <> 4),
+       |bins AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM b WHERE vec_id % 5 = 4),
+       |${nndCteCoreFor("bpre")},
+       |${beamSearchCtes("nnd3", "i", qCte = "bins", bCte = "bpre")},
+       |newe AS MATERIALIZED (SELECT query_id AS node_id, neighbor_id
+       |  FROM iscored WHERE rank <= 16),
+       |alle AS MATERIALIZED (SELECT DISTINCT node_id, neighbor_id FROM (
+       |  SELECT node_id, neighbor_id FROM nnd3
+       |  UNION ALL SELECT node_id, neighbor_id FROM newe
+       |  UNION ALL SELECT neighbor_id AS node_id, node_id AS neighbor_id FROM newe)),
+       |gaug AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+       |  SELECT e.node_id, e.neighbor_id,
+       |    row_number() OVER (PARTITION BY e.node_id
+       |      ORDER BY $edist, e.neighbor_id) AS rn
+       |  FROM alle e JOIN b x ON x.vec_id = e.node_id
+       |    JOIN b y ON y.vec_id = e.neighbor_id) WHERE rn <= 16),
+       |${beamSearchCtes("gaug", "u")}"""
+  }
+
+  private val graphUpsertKnnOracle: String =
+    (s"""WITH $graphUpsertCtes
+        |SELECT query_id, neighbor_id, rank FROM uscored WHERE rank <= 10""").stripMargin
+
+  private val graphUpsertRecallOracle: String =
+    s"""WITH $graphUpsertCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM uscored WHERE rank <= 10),
        |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
@@ -3258,6 +3367,9 @@ object SparkEntry {
         |    % 4294967296 AS mixed FROM h)
         |SELECT vec_id, label FROM m WHERE mixed % 100 < 10""".stripMargin,
     "knn_exact" -> knnOracle,
+    "stream_knn_search" -> knnOracle, // micro-batched union == batch answer
+    "knn_graph_upsert" -> graphUpsertKnnOracle,
+    "recall_graph_upsert" -> graphUpsertRecallOracle,
     "knn_exact_window" -> knnOracle,
     "knn_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),

@@ -93,19 +93,24 @@ object GraphIndex {
     * both expansion rounds, final ranks — replays in the DuckDB oracle.
     * Output: `(node_id, neighbor_id, rank)` like [[buildExact]], directly
     * usable by [[search]]. */
-  def buildNNDescent(base: DataFrame, degree: Int, rounds: Int = 3): DataFrame = {
+  /** Exact-score edge candidates `(node_id, neighbor_id)` against
+    * `base`'s embeddings and keep the best `degree` per node (bounded
+    * heap, ties by id). Duplicate candidate edges are absorbed by the
+    * heap's (dist, id) semantics. */
+  private def rankTop(base: DataFrame, cand: DataFrame, degree: Int): DataFrame = {
     val topk = topKByDist(col("neighbor_id"), col("dist"), degree)
-    def rankTop(cand: DataFrame): DataFrame = {
-      val nodeEmb = base.select(col("vec_id").as("node_id"), col("embedding").as("n_emb"))
-      val nbrEmb = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
-      cand.join(nbrEmb, "neighbor_id").join(nodeEmb, "node_id")
-        .select(col("node_id"), col("neighbor_id"),
-          l2sq(col("n_emb"), col("b_emb")).as("dist"))
-        .groupBy(col("node_id")).agg(topk.as("nn"))
-        .select(col("node_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
-        .select(col("node_id"), col("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-    }
+    val nodeEmb = base.select(col("vec_id").as("node_id"), col("embedding").as("n_emb"))
+    val nbrEmb = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+    cand.join(nbrEmb, "neighbor_id").join(nodeEmb, "node_id")
+      .select(col("node_id"), col("neighbor_id"),
+        l2sq(col("n_emb"), col("b_emb")).as("dist"))
+      .groupBy(col("node_id")).agg(topk.as("nn"))
+      .select(col("node_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("node_id"), col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  def buildNNDescent(base: DataFrame, degree: Int, rounds: Int = 3): DataFrame = {
     // (v · 2654435761) mod 2³², multiply split into 16-bit halves so no
     // intermediate overflows int64 under ANSI (same scheme as
     // Sampling.idBucket); v ≥ 0 here.
@@ -137,8 +142,43 @@ object GraphIndex {
       val cand = und.union(twoHop)
         .filter(col("node_id") =!= col("neighbor_id"))
         .distinct()
-      rankTop(cand).localCheckpoint()
+      rankTop(base, cand, degree).localCheckpoint()
     }
+  }
+
+  /** HNSW-style incremental insert — D1 without a rebuild. The reference's
+    * embedded backends cannot do this: FAISS/hnswlib/Annoy/MRPT/NGT all
+    * rebuild the index on updates (SURVEY §2.4 D3;
+    * `/root/reference/dynamic_script_faiss.py:92-97`), which is exactly
+    * the QPS collapse BASELINE records during the 50%-update phase. Here:
+    *
+    *   1. each new node beam-searches the EXISTING graph ([[search]]) and
+    *      takes the best `degree` of its visited set as out-edges — the
+    *      standard HNSW insertion;
+    *   2. the reverse edges are added (new nodes must be REACHABLE, not
+    *      just connected: without them a search can only surface a new
+    *      node if it happens to be an entry seed);
+    *   3. every touched node re-prunes to the best `degree` by exact
+    *      distance over the union of old and new edges.
+    *
+    * All three steps are hash joins + the bounded-heap aggregate; the
+    * whole update touches O(|new|·degree) adjacency rows, not the graph.
+    * Output: the augmented `(node_id, neighbor_id, rank)` adjacency over
+    * `preBase ∪ newNodes`, directly usable by [[search]]. */
+  def insert(preBase: DataFrame, adjacency: DataFrame, newNodes: DataFrame,
+      degree: Int, seedMod: Int = 16, seedK: Int = 8, hops: Int = 3,
+      beam: Int = 32): DataFrame = {
+    val asQueries = newNodes.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val newEdges = search(asQueries, preBase, adjacency, degree,
+        seedMod, seedK, hops, beam)
+      .select(col("query_id").as("node_id"), col("neighbor_id"))
+    val fullBase = preBase.union(newNodes.select(col("vec_id"), col("embedding")))
+    val allEdges = adjacency.select(col("node_id"), col("neighbor_id"))
+      .union(newEdges)
+      .union(newEdges.select(col("neighbor_id").as("node_id"),
+        col("node_id").as("neighbor_id")))
+    rankTop(fullBase, allEdges, degree)
   }
 
   /** Batched beam search: entry-point seeding, then `hops` rounds of
