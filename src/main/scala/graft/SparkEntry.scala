@@ -1972,6 +1972,33 @@ object SparkEntry {
   private def recallGraphUpsert(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnGraphUpsert(spark, dir), groundTruth(spark, dir), KnnK)
 
+  private val deleteSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The delete phase without a rebuild (D2, where the reference's
+    * embedded backends can only D3): drop the 20% deleted nodes from the
+    * full-base NN-Descent graph by FILTERING adjacency edges — a
+    * metadata-cheap predicate, no index work — and search the surviving
+    * base through what remains. */
+  private def knnGraphDelete(spark: SparkSession, dir: String): DataFrame =
+    deleteSearchCache.getOrElseUpdate(dir, {
+      val surviving = Tables.embeddingBase(spark, dir).filter(col("vec_id") % 5 =!= 4)
+      val adjDel = nndAdj(spark, dir)
+        .filter(col("node_id") % 5 =!= 4 && col("neighbor_id") % 5 =!= 4)
+      graft.index.GraphIndex.search(
+        Tables.embeddingQueries(spark, dir), surviving, adjDel, KnnK,
+        seedMod = 16, seedK = 8, hops = 3, beam = 32).cache()
+    })
+
+  /** Post-delete recall vs exact ground truth over the SURVIVING base —
+    * index quality after edge-filter deletion (the reference's
+    * during-delete phase, BASELINE: FAISS-HNSW −53% QPS while
+    * rebuilding; the filter costs nothing). */
+  private def recallGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    val surviving = Tables.embeddingBase(spark, dir).filter(col("vec_id") % 5 =!= 4)
+    val gt = Knn.exact(Tables.embeddingQueries(spark, dir), surviving, KnnK)
+    Recall.recallBasisPoints(knnGraphDelete(spark, dir), gt, KnnK)
+  }
+
   /** C1/C2 executed by the streaming ENGINE: the reference's
     * `background_search_loop` (dynamic_script_faiss.py:31-43) — a stream
     * of query batches answered with exact kNN against the snapshot
@@ -2151,6 +2178,8 @@ object SparkEntry {
     "stream_sessionize" -> ((s, dir) => streamSessionize(s, dir)),
     "stream_knn_search" -> ((s, dir) => streamKnnSearch(s, dir)),
     "knn_graph_upsert" -> ((s, dir) => knnGraphUpsert(s, dir)),
+    "knn_graph_delete" -> ((s, dir) => knnGraphDelete(s, dir)),
+    "recall_graph_delete" -> ((s, dir) => recallGraphDelete(s, dir)),
     "recall_graph_upsert" -> ((s, dir) => recallGraphUpsert(s, dir)),
     "ndcg_at_10" -> ((s, dir) => ndcgAt10(s, dir)),
     "ohlc_bars" -> ((s, dir) => ohlcBars(s, dir)),
@@ -3078,6 +3107,33 @@ object SparkEntry {
        |${beamSearchCtes("gaug", "u")}"""
   }
 
+  /** Delete-phase replay: full-base NN-Descent graph, edges touching
+    * deleted nodes filtered out, beam search over the surviving base. */
+  private val graphDeleteCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bpre AS MATERIALIZED (SELECT vec_id, embedding FROM b WHERE vec_id % 5 <> 4),
+       |$nndCteCore,
+       |adjdel AS MATERIALIZED (SELECT node_id, neighbor_id FROM nnd3
+       |  WHERE node_id % 5 <> 4 AND neighbor_id % 5 <> 4),
+       |${beamSearchCtes("adjdel", "d", qCte = "q", bCte = "bpre")}"""
+
+  private val graphDeleteKnnOracle: String =
+    (s"""WITH $graphDeleteCtes
+        |SELECT query_id, neighbor_id, rank FROM dscored WHERE rank <= 10""").stripMargin
+
+  private val graphDeleteRecallOracle: String =
+    s"""WITH $graphDeleteCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN bpre b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM dscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   private val graphUpsertKnnOracle: String =
     (s"""WITH $graphUpsertCtes
         |SELECT query_id, neighbor_id, rank FROM uscored WHERE rank <= 10""").stripMargin
@@ -3369,6 +3425,8 @@ object SparkEntry {
     "knn_exact" -> knnOracle,
     "stream_knn_search" -> knnOracle, // micro-batched union == batch answer
     "knn_graph_upsert" -> graphUpsertKnnOracle,
+    "knn_graph_delete" -> graphDeleteKnnOracle,
+    "recall_graph_delete" -> graphDeleteRecallOracle,
     "recall_graph_upsert" -> graphUpsertRecallOracle,
     "knn_exact_window" -> knnOracle,
     "knn_filtered" ->
