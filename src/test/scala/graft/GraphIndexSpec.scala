@@ -68,6 +68,37 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"graph beam-search recall $recall < 0.8")
   }
 
+  test("incremental insert: augmented graph covers all nodes, recall holds") {
+    val pre = base.filter(col("vec_id") % 5 =!= 4)
+    val ins = base.filter(col("vec_id") % 5 === 4)
+    val adjPre = GraphIndex.buildExact(pre, 8)
+    val adjAug = GraphIndex.insert(pre, adjPre, ins, 8).cache()
+    // every node (old and new) has out-edges, capped at degree, no self
+    assert(adjAug.filter(col("node_id") === col("neighbor_id")).count() == 0)
+    assert(adjAug.groupBy("node_id").count().filter(col("count") > 8).count() == 0)
+    assert(adjAug.select("node_id").distinct().count() == base.count())
+    // inserted nodes are REACHABLE: they appear as someone's neighbor
+    val reachable = adjAug.select(col("neighbor_id").as("vec_id")).distinct()
+      .join(ins.select("vec_id"), "vec_id").count()
+    assert(reachable > 0, "no inserted node is reachable via reverse edges")
+    val pred = GraphIndex.search(queries, base, adjAug, k = 10,
+      seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    val recall = Recall.recallAtK(pred, gt, 10).collect()(0).getDouble(0)
+    assert(recall >= 0.7, s"post-insert recall $recall < 0.7")
+  }
+
+  test("delete via edge filter: no deleted node survives in the adjacency") {
+    val adjDel = exactAdj
+      .filter(col("node_id") % 5 =!= 4 && col("neighbor_id") % 5 =!= 4)
+    assert(adjDel.filter(col("node_id") % 5 === 4 || col("neighbor_id") % 5 === 4)
+      .count() == 0)
+    val surviving = base.filter(col("vec_id") % 5 =!= 4)
+    val pred = GraphIndex.search(queries, surviving, adjDel, k = 10,
+      seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    // no deleted node can ever be returned
+    assert(pred.filter(col("neighbor_id") % 5 === 4).count() == 0)
+  }
+
   test("beam widening is monotone in recall") {
     def rec(beam: Int, hops: Int): Double = {
       val pred = GraphIndex.search(queries, base, exactAdj, k = 10,
