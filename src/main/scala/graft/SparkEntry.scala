@@ -1809,9 +1809,12 @@ object SparkEntry {
     * [[graft.index.GraphIndex]]). Cached per dir: built once, searched
     * repeatedly — the reference's build → search-loop lifecycle. */
   private def graphAdj(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint, not cache: consumers reference the adjacency
+    // subplan many times per beam hop — a LogicalRDD leaf keeps their
+    // analyzed plans small where a cached plan tree would not
     graphAdjCache.getOrElseUpdate(dir,
       graft.index.GraphIndex.buildExact(Tables.embeddingBase(spark, dir), GraphDegree)
-        .cache())
+        .localCheckpoint())
 
   /** HNSW-class graph search: entry-point seeding (1/16 deterministic
     * subsample scored exactly, 8 seeds kept), then 3 batched

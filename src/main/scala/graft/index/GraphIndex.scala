@@ -170,15 +170,19 @@ object GraphIndex {
       beam: Int = 32): DataFrame = {
     val asQueries = newNodes.select(
       col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // checkpointed: the new-edge plan embeds a full beam search; without
+    // truncation every downstream search over the augmented adjacency
+    // re-analyzes (and re-plans) that subtree ~3^hops times
     val newEdges = search(asQueries, preBase, adjacency, degree,
         seedMod, seedK, hops, beam)
       .select(col("query_id").as("node_id"), col("neighbor_id"))
+      .localCheckpoint()
     val fullBase = preBase.union(newNodes.select(col("vec_id"), col("embedding")))
     val allEdges = adjacency.select(col("node_id"), col("neighbor_id"))
       .union(newEdges)
       .union(newEdges.select(col("neighbor_id").as("node_id"),
         col("node_id").as("neighbor_id")))
-    rankTop(fullBase, allEdges, degree)
+    rankTop(fullBase, allEdges, degree).localCheckpoint()
   }
 
   /** Batched beam search: entry-point seeding, then `hops` rounds of
@@ -215,13 +219,21 @@ object GraphIndex {
     // (dist, id), so duplicate candidates from multi-path expansion are
     // absorbed where the data is already being shuffled anyway — three
     // fewer exchanges per query than an explicit dedup pass.
-    val (_, visited) = (1 to hops).foldLeft((seeds, seeds)) {
+    //
+    // localCheckpoint per hop is load-bearing for PLAN size, not data:
+    // each hop references the previous beam's subplan ~3× (expand, the
+    // union, the visited accumulator), so an unchecked fold builds a
+    // 3^hops-node logical plan — at hops=3 over an adjacency that is
+    // itself a query (e.g. insert-into-NND), analysis alone costs
+    // seconds per action. The checkpoint truncates each hop to a
+    // LogicalRDD leaf of ≤ beam·|queries| rows.
+    val (_, visited) = (1 to hops).foldLeft((seeds.localCheckpoint(), seeds)) {
       case ((beamDf, vis), _) =>
         val expanded = beamDf.alias("bm")
           .join(adj.alias("ad"), col("bm.vec_id") === col("ad.node_id"))
           .select(col("bm.query_id").as("query_id"), col("ad.neighbor_id").as("vec_id"))
         val cand = beamDf.union(expanded)
-        (topOf(score(cand), beam), vis.union(cand))
+        (topOf(score(cand), beam).localCheckpoint(), vis.union(cand))
     }
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     score(visited)
