@@ -228,10 +228,7 @@ object SparkEntry {
       KnnK)
 
   private def knnCosine(spark: SparkSession, dir: String): DataFrame =
-    Knn.cosineTopK(
-      Tables.embeddingQueries(spark, dir),
-      Tables.embeddingBase(spark, dir),
-      KnnK)
+    cosineHits(spark, dir)
 
   /** IVF pruned kNN (SURVEY §2.2 I2 / §2.3). nlist=8/nprobe=6 clears the
     * BASELINE ≥0.9 recall bar on the weakly-clustered synthetic embeddings
@@ -831,9 +828,9 @@ object SparkEntry {
     * transitive-closure dedup-cluster operator; oracled against a DuckDB
     * recursive CTE (undirected reachability → min label per component). */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardBlocked(
-      Tables.documents(spark, dir), "doc_id", "text",
-      Seq("lang", "source"), shingleSize = 1, threshold = 0.8)
+    // the ≥0.8 subset of the memoized 0.5-threshold pair scan — pairs
+    // are found once and re-scored (see ngramPairs)
+    val pairs = ngramPairs(spark, dir).filter(col("jaccard_bp") >= 8000L)
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
@@ -894,9 +891,7 @@ object SparkEntry {
 
   /** Blocked n-gram Jaccard near-dup pairs (same lang+source block). */
   private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardBlocked(
-      Tables.documents(spark, dir), "doc_id", "text",
-      Seq("lang", "source"), shingleSize = 1, threshold = 0.5)
+    ngramPairs(spark, dir)
 
   /** Exact substring dedup (Lee et al. 2021 criterion): pairs of docs
     * sharing a contiguous run of ≥ 20 tokens, found by position-aware
@@ -1786,8 +1781,7 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("label").as("q_label"))
     val bLab = emb.filter(col("vec_id") % 20 =!= 0)
       .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
-    val hits = Knn.cosineTopK(
-        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+    val hits = cosineHits(spark, dir)
       .join(qLab, Seq("query_id"))
       .join(bLab, Seq("neighbor_id"))
     val first = hits.filter(col("q_label") === col("b_label"))
@@ -2049,8 +2043,7 @@ object SparkEntry {
       .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
     val wArr = array(NdcgW.map(lit): _*)
     val iArr = array(NdcgIdcg.map(lit): _*)
-    val dcg = Knn.cosineTopK(
-        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+    val dcg = cosineHits(spark, dir)
       .join(qLab, Seq("query_id"))
       .join(bLab, Seq("neighbor_id"))
       .groupBy(col("query_id"))
@@ -2164,6 +2157,253 @@ object SparkEntry {
           (acc, x) -> named_struct('i', acc.i + 1,
             's', CASE WHEN acc.i = 0 THEN x.cents
                       ELSE (7 * acc.s + x.cents) div 8 END)).s""").as("ewma_cents"))
+
+  // ——— Round-3 additions: lexical index, table layouts, IR eval, sketch
+  // union, relational breadth ———
+
+  private val orcCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val datePartCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sortedFilesCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val manifestCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** ORC source/sink round-trip (Spark's second bundled columnar
+    * format): events re-emitted as ORC with lossless wire types
+    * (integer cents + epoch-ms) and read back — per-type aggregate must
+    * match the parquet-direct answer. */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = orcCache.getOrElseUpdate(dir, {
+      val p = s"target/orc_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.events(spark, dir).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .write.mode("overwrite").orc(p)
+      p
+    })
+    spark.read.orc(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("ts_ms")).as("min_ts_ms"),
+        max(col("ts_ms")).as("max_ts_ms"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Hive-style date-partitioned layout + partition-pruned scan
+    * ([[graft.sources.Layout.writeDatePartitioned]]): the date-range
+    * predicate prunes whole partition directories at planning time
+    * (PartitionFilters — asserted in LayoutSpec); the answer is
+    * layout-independent. */
+  private def eventsDatePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = datePartCache.getOrElseUpdate(dir, {
+      val p = s"target/date_part/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sources.Layout.writeDatePartitioned(Tables.events(spark, dir), p)
+      p
+    })
+    graft.sources.Layout.readDatePartitioned(spark, path)
+      .filter(col("event_date") >= lit("2024-01-05") && col("event_date") < lit("2024-01-10"))
+      .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+  }
+
+  /** Iceberg-style manifest file skipping over a range-sorted layout
+    * ([[graft.sources.Layout.writeSortedFiles]] + [[graft.sources.Layout.buildManifest]]):
+    * a 2-day predicate consults the per-file min/max manifest and reads
+    * only the files whose interval intersects it (LayoutSpec asserts
+    * files_read < files_total). The answer is layout-independent. */
+  private def manifestSkipScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = sortedFilesCache.getOrElseUpdate(dir, {
+      val p = s"target/sorted_files/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sources.Layout.writeSortedFiles(
+        Tables.events(spark, dir).withColumn("ts_ms", unix_millis(col("ts"))),
+        "ts_ms", p)
+      p
+    })
+    val manifest = manifestCache.getOrElseUpdate(dir,
+      graft.sources.Layout.buildManifest(spark, path, "ts_ms").cache())
+    // [2024-01-10, 2024-01-12) in epoch ms
+    val (pruned, _, _) = graft.sources.Layout.manifestPrunedScan(
+      spark, manifest, "ts_ms", lit(1704844800000L), lit(1705017599999L))
+    pruned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+  }
+
+  /** Posting-list (inverted index) build over documents
+    * ([[graft.text.InvertedIndex.postings]]): per term df, cf, and the
+    * ascending posting-list head — the lexical-search physical
+    * structure (the text analog of IVF inverted lists). */
+  private def postingsStats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.postings(
+      Tables.documents(spark, dir), "doc_id", "text", minDf = 5L, sampleK = 5)
+
+  /** Positional phrase search ("the table" as consecutive tokens) via
+    * per-term position-list intersection — chained hash equi-joins on
+    * (doc, adjacent position), never a scan of non-matching terms. */
+  private def phraseSearchQ(spark: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.phraseSearch(
+      Tables.documents(spark, dir), "doc_id", "text", Seq("the", "table"))
+
+  /** Cosine top-10, memoized per dir — the one search result the whole
+    * IR-evaluation family (MRR, nDCG, MAP, classify) re-scores, exactly
+    * the reference's search-once-score-once lifecycle. */
+  private def cosineHits(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("cosine", dir) {
+      Knn.cosineTopK(
+        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
+    }
+
+  /** MAP@10 with label-agreement relevance: per query, AP in exact
+    * integer micro-units — each hit contributes
+    * floor(1e6·cum_hits/rank), normalized by the ideal pool size
+    * (min(#same-label base rows, 10)). The precision/recall companion
+    * to recall@k (M1) and nDCG. */
+  private def mapAt10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val apNum = cosineHits(spark, dir)
+      .join(qLab, Seq("query_id")).join(bLab, Seq("neighbor_id"))
+      .withColumn("rel", (col("q_label") === col("b_label")).cast("long"))
+      .withColumn("cum", sum(col("rel")).over(w))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel") === 1, expr("(1000000 * cum) div rank"))
+        .otherwise(lit(0L))).as("ap_num_micro"))
+    val pool = qLab
+      .join(bLab.groupBy(col("b_label")).agg(count(lit(1)).as("n_rel")),
+        qLab("q_label") === col("b_label"), "left")
+      .select(col("query_id"),
+        least(coalesce(col("n_rel"), lit(0L)), lit(10L)).as("r_ideal"))
+    apNum.join(pool, Seq("query_id"))
+      .select(col("query_id"), col("ap_num_micro"), col("r_ideal"),
+        when(col("r_ideal") === 0, lit(0L))
+          .otherwise(expr("ap_num_micro div r_ideal")).as("ap_micro"))
+  }
+
+  /** k-NN majority-vote classification over the cosine top-10:
+    * predicted label = most-voted neighbor label (ties to the smaller
+    * label), scored against the query's own label — the classification
+    * use of a vector index. */
+  private def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("votes"), asc("pred_label"))
+    cosineHits(spark, dir)
+      .join(bLab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("b_label").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .join(qLab, Seq("query_id"))
+      .select(col("query_id"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("q_label")).cast("int").as("correct"))
+  }
+
+  /** Per-language top-5 terms by document frequency — grouped top-k
+    * over the distinct-token df aggregate, ties broken lexically. */
+  private def topWordsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("df"), asc("word"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  /** Pareto frontier (skyline) per brand: parts not dominated on
+    * (price, size) — dominance as a per-brand left-anti self-join, so
+    * the work is blocked by brand keys (a hash join at any scale, never
+    * a global nested loop). */
+  private def paretoParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
+      col("p_size"))
+    val a = p.as("a")
+    val b = p.select(col("p_brand").as("b_brand"), col("price_cents").as("b_price"),
+      col("p_size").as("b_size"))
+    a.join(b,
+        col("b_brand") === col("p_brand") &&
+          col("b_price") <= col("price_cents") && col("b_size") <= col("p_size") &&
+          (col("b_price") < col("price_cents") || col("b_size") < col("p_size")),
+        "left_anti")
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"), col("p_size"))
+  }
+
+  /** Embedding drift monitor: per dimension, the label-0 vs label-1
+    * grid-quantized sums compared cross-multiplied (sum0·n1 − sum1·n0 —
+    * exact int64, no division), top-10 dims by |delta|. The feature-
+    * distribution-shift check a production embedding pipeline runs
+    * between snapshots. */
+  private def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("label").isin(0, 1))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1048576 + 0.5).cast("long").as("g"))
+    e.groupBy(col("dim"))
+      .agg(sum(when(col("label") === 0, col("g")).otherwise(0L)).as("sum0_g"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("label") === 1, col("g")).otherwise(0L)).as("sum1_g"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("delta", abs(col("sum0_g") * col("n1") - col("sum1_g") * col("n0")))
+      .orderBy(desc("delta"), asc("dim"))
+      .limit(10)
+  }
+
+  /** Mergeable-sketch distinct counting: per-(type, day) HLL sketches
+    * union-merged to type level (the DataSketches hll_union_agg path) —
+    * THE 100 TB distinct-count pattern: daily sketches are KB-sized,
+    * merge associatively, and never rescan history. Checked against the
+    * exact distinct within the sketch's error bound. */
+  private def hllUnionGroups(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val merged = ev
+      .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * lit(0.05) + lit(16.0)).as("within_bound"))
+  }
+
+  /** Runtime-discovered pivot: distinct event types collected first
+    * (metadata-sized), then a standard pivot — the two-phase plan
+    * dynamic pivoting needs on an engine with static schemas. */
+  private def dynamicPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val keys = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", keys)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: keys.map(k => coalesce(col(k), lit(0L)).as(k)): _*)
+  }
+
+  /** Blocked n-gram Jaccard pairs at the permissive 0.5 threshold,
+    * memoized per dir: `ngram_jaccard_pairs` reports them and
+    * `dedup_clusters` clusters the ≥0.8 subset — pairs are found once
+    * and re-scored, the same lifecycle as the search/recall family. */
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("ngram_pairs", dir) {
+      Dedup.ngramJaccardBlocked(
+        Tables.documents(spark, dir), "doc_id", "text",
+        Seq("lang", "source"), shingleSize = 1, threshold = 0.5)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2318,6 +2558,18 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
     "contamination" -> ((s, dir) => contaminationScan(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
+    "orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
+    "events_date_partitioned" -> ((s, dir) => eventsDatePartitioned(s, dir)),
+    "manifest_skip_scan" -> ((s, dir) => manifestSkipScan(s, dir)),
+    "postings_stats" -> ((s, dir) => postingsStats(s, dir)),
+    "phrase_search" -> ((s, dir) => phraseSearchQ(s, dir)),
+    "map_at_10" -> ((s, dir) => mapAt10(s, dir)),
+    "knn_classify" -> ((s, dir) => knnClassify(s, dir)),
+    "top_words_per_lang" -> ((s, dir) => topWordsPerLang(s, dir)),
+    "pareto_parts" -> ((s, dir) => paretoParts(s, dir)),
+    "embedding_drift" -> ((s, dir) => embeddingDrift(s, dir)),
+    "hll_union_groups" -> ((s, dir) => hllUnionGroups(s, dir)),
+    "dynamic_pivot" -> ((s, dir) => dynamicPivot(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -4286,5 +4538,122 @@ object SparkEntry {
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "orc_roundtrip" ->
+      // ORC round-trip must be lossless: the per-type aggregate over the
+      // re-read ORC equals the parquet-direct answer
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "events_date_partitioned" -> // layout-independent answer
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-10'
+        |GROUP BY 1, 2""".stripMargin,
+    "manifest_skip_scan" -> // layout-independent answer
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE epoch_ms(ts) BETWEEN 1704844800000 AND 1705017599999
+        |GROUP BY event_type""".stripMargin,
+    "postings_stats" ->
+      """WITH pos AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |    FROM documents),
+        |td AS (SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS posting_head
+        |FROM td GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    "phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+        |    unnest(t) AS term FROM toks)
+        |SELECT a.doc_id, count(*) AS n_occurrences
+        |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'the' AND b.term = 'table'
+        |GROUP BY a.doc_id""".stripMargin,
+    "map_at_10" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |hits AS (SELECT s.query_id, s.rank,
+        |    CASE WHEN ql.q_label = bl.b_label THEN 1 ELSE 0 END AS rel
+        |  FROM scored s JOIN ql USING (query_id) JOIN bl USING (neighbor_id)
+        |  WHERE s.rank <= 10),
+        |terms AS (SELECT query_id, rank, rel,
+        |    sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum FROM hits),
+        |ap AS (SELECT query_id,
+        |    CAST(sum(CASE WHEN rel = 1 THEN (1000000 * cum) // rank ELSE 0 END) AS BIGINT) AS ap_num_micro
+        |  FROM terms GROUP BY 1),
+        |pool AS (SELECT ql.query_id, least(count(bl.neighbor_id), 10) AS r_ideal
+        |  FROM ql LEFT JOIN bl ON bl.b_label = ql.q_label GROUP BY 1)
+        |SELECT a.query_id, a.ap_num_micro, CAST(p.r_ideal AS BIGINT) AS r_ideal,
+        |  CAST(CASE WHEN p.r_ideal = 0 THEN 0
+        |    ELSE a.ap_num_micro // p.r_ideal END AS BIGINT) AS ap_micro
+        |FROM ap a JOIN pool p USING (query_id)""".stripMargin,
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |votes AS (SELECT s.query_id, bl.b_label AS pred_label, count(*) AS votes
+        |  FROM scored s JOIN bl USING (neighbor_id) WHERE s.rank <= 10 GROUP BY 1, 2),
+        |top AS (SELECT query_id, pred_label, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label) AS rn
+        |  FROM votes)
+        |SELECT t.query_id, t.pred_label, t.votes,
+        |  CAST(CASE WHEN t.pred_label = ql.q_label THEN 1 ELSE 0 END AS INTEGER) AS correct
+        |FROM top t JOIN ql USING (query_id) WHERE t.rn = 1""".stripMargin,
+    "top_words_per_lang" ->
+      """WITH dfs AS (SELECT lang, word, count(*) AS df FROM (
+        |    SELECT lang, doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT lang, word, df, rank FROM (
+        |  SELECT lang, word, df,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, word) AS INTEGER) AS rank
+        |  FROM dfs) WHERE rank <= 5""".stripMargin,
+    "pareto_parts" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents, p_size
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price_cents, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.p_brand = a.p_brand
+        |  AND b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |  AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))""".stripMargin,
+    "embedding_drift" ->
+      """WITH e AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS g
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |a AS (SELECT dim,
+        |    CAST(sum(CASE WHEN label = 0 THEN g ELSE 0 END) AS BIGINT) AS sum0_g,
+        |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN label = 1 THEN g ELSE 0 END) AS BIGINT) AS sum1_g,
+        |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM e GROUP BY dim)
+        |SELECT dim, sum0_g, n0, sum1_g, n1,
+        |  abs(sum0_g * n1 - sum1_g * n0) AS delta
+        |FROM a ORDER BY delta DESC, dim LIMIT 10""".stripMargin,
+    "hll_union_groups" -> // sketch estimate checked within bound (Spark side)
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "dynamic_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
   )
 }

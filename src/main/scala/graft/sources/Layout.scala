@@ -91,6 +91,62 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hive-style date-partitioned layout: one directory per event date.
+    * THE standard time-series layout at 100 TB — a date-range predicate
+    * prunes whole directories at planning time (PartitionFilters in the
+    * scan node), so a day query over a year of data lists 1/365th of
+    * the files before reading a byte. Repartition by the partition
+    * column first so each date writes one file, not one per task. */
+  def writeDatePartitioned(events: DataFrame, path: String): Unit =
+    events.withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("event_date"))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Range-sorted file layout: range-partition + sort by `sortCol` so
+    * every file covers a narrow, disjoint interval of the column —
+    * the precondition for manifest-based file skipping (and for tight
+    * parquet footer min/max). One build-time shuffle. */
+  def writeSortedFiles(df: DataFrame, sortCol: String, path: String,
+      numFiles: Int = 16): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Iceberg/Delta-style file manifest: per data file, the min/max of
+    * `statCol` and the row count — collected in ONE scan at build time
+    * and kept as a metadata-sized table (one row per file; ~100k rows
+    * even at 100 TB with 1 GB files). Planning a query then consults
+    * the manifest instead of listing + footer-reading every file. */
+  def buildManifest(spark: SparkSession, path: String, statCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("min_stat"),
+        max(col(statCol)).as("max_stat"),
+        count(lit(1)).as("n_rows"))
+
+  /** Manifest-pruned scan: keep only files whose [min, max] interval
+    * intersects [lo, hi], read exactly those, and re-apply the
+    * predicate as the residual filter. The driver-side collect is the
+    * surviving FILE LIST (metadata-sized), never data. Returns the
+    * pruned DataFrame plus (filesRead, filesTotal) for observability. */
+  def manifestPrunedScan(spark: SparkSession, manifest: DataFrame,
+      statCol: String, lo: Column, hi: Column): (DataFrame, Int, Long) = {
+    val total = manifest.count()
+    val files = manifest
+      .filter(col("max_stat") >= lo && col("min_stat") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val df =
+      if (files.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
+    (df, files.length, total)
+  }
+
   /** Persist a table bucketed by a join key (requires a saveAsTable
     * catalog; bucket count fixed at write time). Idempotent: drops the
     * catalog entry and any orphaned location first. */

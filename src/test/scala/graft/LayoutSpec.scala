@@ -103,4 +103,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(user_id"),
       s"range predicates not pushed:\n$plan")
   }
+
+  test("date-partitioned layout prunes date directories at the scan") {
+    val path = "target/tmp/date_part_layout"
+    Layout.writeDatePartitioned(Tables.events(spark, dir), path)
+    val pruned = Layout.readDatePartitioned(spark, path)
+      .filter(col("event_date") >= lit("2024-01-05") && col("event_date") < lit("2024-01-10"))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("event_date"),
+      s"no partition filter on event_date:\n$planStr")
+    val allRows = Layout.readDatePartitioned(spark, path).count()
+    val prunedRows = pruned.count()
+    assert(prunedRows > 0 && prunedRows < allRows)
+    // answer is layout-independent: same rows as filtering the raw table
+    val direct = Tables.events(spark, dir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-05" &&
+        date_format(col("ts"), "yyyy-MM-dd") < "2024-01-10").count()
+    assert(prunedRows == direct)
+  }
+
+  test("manifest file skipping reads a strict subset of files, same answer") {
+    val ev = Tables.events(spark, dir).withColumn("ts_ms", unix_millis(col("ts")))
+    val path = "target/tmp/sorted_files_layout"
+    Layout.writeSortedFiles(ev, "ts_ms", path, numFiles = 8)
+    val manifest = Layout.buildManifest(spark, path, "ts_ms")
+    // manifest rows = data files; intervals must be disjoint-ish (sorted
+    // layout) and cover all rows
+    val mRows = manifest.collect()
+    assert(mRows.length > 1)
+    assert(mRows.map(_.getAs[Long]("n_rows")).sum == ev.count())
+    val lo = 1704844800000L // 2024-01-10T00:00Z
+    val hi = 1705017599999L
+    val (pruned, nRead, nTotal) = Layout.manifestPrunedScan(
+      spark, manifest, "ts_ms", lit(lo), lit(hi))
+    assert(nRead > 0 && nRead < nTotal,
+      s"manifest should skip files: read $nRead of $nTotal")
+    val direct = ev.filter(col("ts_ms") >= lo && col("ts_ms") <= hi).count()
+    assert(pruned.count() == direct)
+  }
 }
