@@ -951,14 +951,23 @@ object SparkEntry {
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
     * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
     * fixture scale from runtime stats. */
-  private def q3TopOrders(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  private def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    // aggregate the fact table FIRST (4× fewer rows reach the join —
+    // the group key l_orderkey is the join key, and o_orderdate is
+    // functionally dependent on it), then attach the order date and
+    // validate the customer FK as a semi join (c_custkey is the PK, so
+    // inner ≡ semi and the planner can broadcast the small side). Same
+    // answer, roughly half the shuffled bytes of join-then-aggregate.
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"))
+    rev
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("l_orderkey"), col("o_orderdate"), round(col("__rev"), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+  }
 
   /** TPC-H Q5-shaped: revenue by supplier nation across the full star
     * join. nation/region are constant-size (25/5 rows at ANY scale
@@ -2405,6 +2414,213 @@ object SparkEntry {
         Seq("lang", "source"), shingleSize = 1, threshold = 0.5)
     }
 
+  private val fragmentedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val compactedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Small-file compaction round-trip ([[graft.sources.Layout.compact]]):
+    * a deliberately fragmented copy of events (64 small files) is
+    * bin-packed back to a handful; the aggregate over the compacted
+    * table must equal the original's. LayoutSpec asserts the file-count
+    * reduction. */
+  private def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val frag = fragmentedCache.getOrElseUpdate(dir, {
+      val p = s"target/fragmented/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.events(spark, dir).repartition(64).write.mode("overwrite").parquet(p)
+      p
+    })
+    val out = compactedCache.getOrElseUpdate(dir, {
+      val p = s"target/compacted/${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sources.Layout.compact(spark, frag, p, targetBytes = 64L << 20)
+      p
+    })
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        countDistinct(col("event_id")).as("n_ids"))
+  }
+
+  /** Last-touch attribution: each purchase joined to the user's latest
+    * prior click/view via the as-of join ([[Joins.asOf]]) — the
+    * marketing-analytics shape of temporal join, oracled against
+    * DuckDB's native ASOF LEFT JOIN. */
+  private def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("purchase_event"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        unix_millis(col("ts")).as("t_ms"),
+        col("event_id").as("touch_event"), col("event_type").as("touch_type"))
+    Joins.asOf(purchases, touches, "user_id", "ms",
+        Seq("touch_event", "touch_type", "t_ms"))
+      .select(col("user_id"), col("purchase_event"),
+        col("touch_event"), col("touch_type"),
+        (col("ms") - col("t_ms")).as("gap_ms"))
+  }
+
+  /** Trailing-7-day distinct users per day: the daily (day, user) set is
+    * built FIRST (the only corpus-sized aggregation), then a
+    * metadata-sized day grid band-joins the trailing window — the
+    * standard rolling-distinct pattern (at 100 TB the per-day distinct
+    * sets are the small thing; the raw events never enter the window
+    * join). */
+  private def rolling7dUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val grid = daily.select(col("day").as("g_day")).distinct()
+    broadcast(grid)
+      .join(daily, daily("day").between(date_sub(col("g_day"), 6), col("g_day")))
+      .groupBy(date_format(col("g_day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+  }
+
+  /** Exact equi-depth histogram (8 quantile bins of cents, ntile over
+    * the (cents, event_id) total order). Exactness costs a global sort —
+    * the approx_percentile path (metrics_quantiles) is the one-pass
+    * sketch alternative at 100 TB; this is the exact companion for
+    * bounded slices. */
+  private def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"), col("event_id"))
+      .withColumn("bin", ntile(8).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
+  /** Robust anomaly scan: per event type, outliers by the MAD rule
+    * |x − median| > 3 · 1.4826 · MAD, all in exact integer arithmetic
+    * (lower medians selected by rank, the 1.4826 consistency constant
+    * as 14826 basis points). The heavy-tail-safe companion to the 3σ
+    * z-score scan (metrics_anomalies). */
+  private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val counts = c.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val med = c.withColumn("rn", row_number().over(wv))
+      .join(counts, Seq("event_type"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = c.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
+    val mad = dev.withColumn("rn", row_number().over(wd))
+      .join(counts, Seq("event_type"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") * 10000 > lit(3L) * 14826L * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Streaming exact dedup run END-TO-END by the streaming engine:
+    * watermarked dropDuplicates on the (user, type) fingerprint over
+    * the AvailableNow backlog, aggregated to per-type first-seen user
+    * counts — order-free, so the streaming answer equals the batch
+    * count-distinct (the shared oracle). */
+  private def streamDedupUsers(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val deduped = graft.streaming.StreamingMetrics.streamingDedup(
+      events.withColumn("fp", concat_ws("|", col("user_id"), col("event_type"))),
+      "fp", "1 hour")
+    val sink = "stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Cross-asset duplicate media segments: sampled frames grouped by
+    * content digest; a digest seen in ≥2 media rows marks shared
+    * footage/boilerplate segments — the multimodal analog of exact text
+    * dedup, running entirely on digests (the payloads never shuffle). */
+  private def multimodalFrameDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalFrames(spark, dir)
+      .groupBy(col("frame_digest"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_frames"),
+        min(col("media_id")).as("first_media"))
+      .filter(col("n_media") >= 2)
+
+  /** TPC-H Q7-shaped: shipped revenue between (supplier nation,
+    * customer nation) pairs by ship year. Constant-size nation
+    * broadcast twice under different aliases; the fact-side joins stay
+    * AQE-decided. */
+  private def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")).as("volume_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Ratio-to-report window: each nation's share (basis points) of its
+    * region's revenue — the percent-of-total window pattern, sharing
+    * the region partitioning between aggregate and window (one
+    * shuffle). Integer cents end-to-end. */
+  private def revenueShareWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")).as("rev_cents"))
+      .withColumn("share_bp",
+        expr("(rev_cents * 10000) div sum(rev_cents) OVER (PARTITION BY r_name)"))
+  }
+
+  /** Retention cohort analysis: users bucketed by signup day, activity
+    * counted per trailing week offset — the product-analytics staple.
+    * Day-level distinct sets are built first; the cohort join never
+    * touches raw events. */
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+    cohorts.join(daily, Seq("user_id"))
+      .filter(col("day") >= col("cohort_day"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        expr("datediff(day, cohort_day) div 7").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -2570,6 +2786,16 @@ object SparkEntry {
     "embedding_drift" -> ((s, dir) => embeddingDrift(s, dir)),
     "hll_union_groups" -> ((s, dir) => hllUnionGroups(s, dir)),
     "dynamic_pivot" -> ((s, dir) => dynamicPivot(s, dir)),
+    "compaction_roundtrip" -> ((s, dir) => compactionRoundtrip(s, dir)),
+    "attribution_last_touch" -> ((s, dir) => attributionLastTouch(s, dir)),
+    "rolling_7d_users" -> ((s, dir) => rolling7dUsers(s, dir)),
+    "equi_depth_histogram" -> ((s, dir) => equiDepthHistogram(s, dir)),
+    "anomaly_mad" -> ((s, dir) => anomalyMad(s, dir)),
+    "stream_dedup_users" -> ((s, dir) => streamDedupUsers(s, dir)),
+    "multimodal_frame_dedup" -> ((s, dir) => multimodalFrameDedup(s, dir)),
+    "q7_volume_shipping" -> ((s, dir) => q7VolumeShipping(s, dir)),
+    "revenue_share_window" -> ((s, dir) => revenueShareWindow(s, dir)),
+    "retention_cohorts" -> ((s, dir) => retentionCohorts(s, dir)),
   )
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
@@ -4655,5 +4881,99 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "compaction_roundtrip" -> // layout-independent answer
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS purchase_event
+        |      FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS touch_event,
+        |      event_type AS touch_type FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT p.user_id, p.purchase_event, t.touch_event, t.touch_type,
+        |  p.ms - t.ms AS gap_ms
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ms >= t.ms""".stripMargin,
+    "rolling_7d_users" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |grid AS (SELECT DISTINCT day AS g_day FROM daily)
+        |SELECT strftime(g_day, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS users_7d
+        |FROM grid JOIN daily ON daily.day BETWEEN g_day - 6 AND g_day
+        |GROUP BY 1""".stripMargin,
+    "equi_depth_histogram" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        |      FROM events),
+        |b AS (SELECT cents, ntile(8) OVER (ORDER BY cents, event_id) AS bin FROM c)
+        |SELECT bin, count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM b GROUP BY 1""".stripMargin,
+    "anomaly_mad" ->
+      """WITH c AS (SELECT event_type, event_id,
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+        |med AS (SELECT event_type, cents AS med_cents FROM (
+        |    SELECT c.event_type, c.cents,
+        |      row_number() OVER (PARTITION BY c.event_type ORDER BY c.cents, c.event_id) AS rn,
+        |      n.n FROM c JOIN n USING (event_type))
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT c.event_type, c.event_id, c.cents,
+        |    abs(c.cents - med.med_cents) AS dev, med.med_cents
+        |  FROM c JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, dev AS mad_cents FROM (
+        |    SELECT d.event_type, d.dev,
+        |      row_number() OVER (PARTITION BY d.event_type ORDER BY d.dev, d.event_id) AS rn,
+        |      n.n FROM dev d JOIN n USING (event_type))
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev * 10000 > 3 * 14826 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    "stream_dedup_users" -> // streaming first-seen dedup == batch distinct
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "multimodal_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+        |m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM d),
+        |s AS (SELECT media_id, text, n,
+        |  CASE WHEN n <= 256 THEN 0 ELSE ((n - 256 + 191) // 192) * 192 END AS smax FROM m),
+        |f AS (SELECT media_id, text, n, unnest(generate_series(0, smax, 192)) AS start FROM s),
+        |fr AS (SELECT media_id, md5(substring(text, start + 1, 256)) AS frame_digest FROM f)
+        |SELECT frame_digest, count(DISTINCT media_id) AS n_media, count(*) AS n_frames,
+        |  min(media_id) AS first_media
+        |FROM fr GROUP BY 1 HAVING count(DISTINCT media_id) >= 2""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS volume_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "revenue_share_window" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_cents,
+        |  CAST((rev_cents * 10000) // sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_bp
+        |FROM rev""".stripMargin,
+    "retention_cohorts" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM cohorts c JOIN daily d USING (user_id)
+        |WHERE d.day >= c.cohort_day
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

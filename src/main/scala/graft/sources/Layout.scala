@@ -147,6 +147,28 @@ object Layout {
     (df, files.length, total)
   }
 
+  /** Small-file compaction — the table-maintenance operation every
+    * long-lived 100 TB table needs: streaming ingest and per-partition
+    * writes leave thousands of KB-sized files whose open/footer/seek
+    * overhead dominates scan time (and whose count bloats driver-side
+    * listing). Bin-pack the input into ceil(totalBytes/targetBytes)
+    * files with one shuffle-free-ish rewrite (coalesce avoids a full
+    * shuffle; row order within files is irrelevant to a columnar scan).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Persist a table bucketed by a join key (requires a saveAsTable
     * catalog; bucket count fixed at write time). Idempotent: drops the
     * catalog entry and any orphaned location first. */

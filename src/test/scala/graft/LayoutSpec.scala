@@ -141,4 +141,16 @@ class LayoutSpec extends AnyFunSuite {
     val direct = ev.filter(col("ts_ms") >= lo && col("ts_ms") <= hi).count()
     assert(pruned.count() == direct)
   }
+
+  test("compaction bin-packs small files without changing the table") {
+    val ev = Tables.events(spark, dir)
+    val frag = "target/tmp/frag_events"
+    val out = "target/tmp/compact_events"
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    val (before, after) = Layout.compact(spark, frag, out, targetBytes = 64L << 20)
+    assert(before == 32 && after < before, s"expected fewer files: $before -> $after")
+    val a = spark.read.parquet(frag).agg(count(lit(1)), sum(col("event_id"))).head()
+    val b = spark.read.parquet(out).agg(count(lit(1)), sum(col("event_id"))).head()
+    assert(a == b)
+  }
 }
