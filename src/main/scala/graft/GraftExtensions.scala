@@ -63,7 +63,7 @@ object GraftExtensions {
     TopKByDistance(
       Cast(children(0), LongType),
       Cast(children(1), DoubleType),
-      children(2)).toAggregateExpression()
+      constInt(children(2), "k")).toAggregateExpression()
 
   /** Constant scalar argument of a SQL call (ksub, numHashes, …) — must
     * be foldable; anything else is a planning-time error, not a

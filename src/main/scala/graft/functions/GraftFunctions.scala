@@ -14,7 +14,7 @@ object GraftFunctions {
       TopKByDistance(
         bridge.expression(id.cast("long")),
         bridge.expression(dist.cast("double")),
-        Literal(k)).toAggregateExpression())
+        k).toAggregateExpression())
 
   /** Exact-int64 ADC table lookup — see [[PqAdcDistanceLong]]. */
   def pqAdcLong(table: Column, codes: Column, ksub: Int): Column =

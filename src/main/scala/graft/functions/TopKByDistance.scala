@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -96,16 +96,18 @@ final class TopKHeap(val k: Int) extends Serializable {
 case class TopKByDistance(
     id: Expression,
     dist: Expression,
-    kExpr: Expression,
+    k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap]
-  with TernaryLike[Expression] {
+  with BinaryLike[Expression] {
   // Input typing is enforced at the Column layer (GraftFunctions casts id
   // to long and dist to double); ExpectsInputTypes is private[sql] in 4.x.
-
-  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
-  require(kExpr.foldable, "k must be a literal")
+  // k is a constructor PARAMETER, not an expression child: planner rules
+  // map children through attribute substitution (e.g. grouping-key
+  // pull-out), and a literal child would come back as a non-foldable
+  // attribute reference mid-planning.
+  require(k > 0, "k must be positive")
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
@@ -146,12 +148,11 @@ case class TopKByDistance(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_by_dist"
 
-  override def first: Expression = id
-  override def second: Expression = dist
-  override def third: Expression = kExpr
+  override def left: Expression = id
+  override def right: Expression = dist
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKByDistance =
-    copy(id = newFirst, dist = newSecond, kExpr = newThird)
+      newLeft: Expression, newRight: Expression): TopKByDistance =
+    copy(id = newLeft, dist = newRight)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByDistance =
     copy(mutableAggBufferOffset = newOffset)

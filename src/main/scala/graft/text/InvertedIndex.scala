@@ -38,7 +38,13 @@ object InvertedIndex {
   /** Posting-list build: per term — document frequency, collection
     * frequency, and the head of the ascending posting list (joined as a
     * string so the artifact is engine-portable). Terms below `minDf`
-    * are dropped (the long-tail cut every real index applies). */
+    * are dropped (the long-tail cut every real index applies).
+    *
+    * The head is selected by the bounded-heap aggregate
+    * ([[graft.functions.GraftFunctions.topKByDist]] with the doc id as
+    * its own rank) — O(sampleK) state per term, where a
+    * collect-then-slice would buffer the FULL posting list per term
+    * (corpus-sized state on frequent terms at 100 TB). */
   def postings(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 2L, sampleK: Int = 5): DataFrame =
     positions(docs, idCol, textCol)
@@ -47,7 +53,8 @@ object InvertedIndex {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).as("cf"),
-        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, sampleK), ",")
+        array_join(graft.functions.GraftFunctions.topKByDist(
+          col("doc_id"), col("doc_id").cast("double"), sampleK), ",")
           .as("posting_head"))
       .filter(col("df") >= minDf)
 

@@ -30,7 +30,22 @@ object ScaleProbe {
     "cdc_apply", "scd2_user_state", "range_frame_total", "event_deltas",
     "dedup_exact", "text_stats", "lang_id", "quality_filter",
     "sequence_pack", "doc_fingerprint", "bloom_join_prune",
-    "unpivot_profile", "scalar_funcs", "hopping_window_agg")
+    "unpivot_profile", "scalar_funcs", "hopping_window_agg",
+    // round-6 additions. Excluded by the quadratic/global-sort rule:
+    // pareto_parts (dominance join grows quadratically per brand —
+    // brands are values, not offset keys), equi_depth_histogram
+    // (single-partition ntile by design; the sketch path is the probe-
+    // worthy one), map_at_10/knn_classify (brute-force-search family).
+    "postings_stats", "phrase_search", "top_words_per_lang",
+    "anomaly_mad", "rolling_7d_users", "retention_cohorts",
+    "attribution_last_touch", "q7_volume_shipping", "revenue_share_window",
+    "incremental_join_view", "join_skew_profile", "dynamic_pivot",
+    "hll_union_groups", "embedding_drift",
+    // TPC-H completion batch — all linear-path join/agg plans.
+    "q6_forecast_revenue", "q8_market_share", "q12_ship_lag_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_late_suppliers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
