@@ -377,18 +377,25 @@ object SparkEntry {
   private def fvecsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = fvecsCache.getOrElseUpdate(dir, {
       val d = new java.io.File(s"target/fvecs_rt/${java.lang.Integer.toHexString(dir.hashCode)}")
-      d.mkdirs()
-      val p = s"${d.getPath}/base.fvecs"
-      val vecs = Tables.embeddingBase(spark, dir)
-        .orderBy(col("vec_id")).select(col("embedding"))
-        .collect().map(_.getSeq[Float](0).toArray)
-      graft.sources.Fvecs.writeFvecs(p, vecs.toIndexedSeq)
-      p
+      deleteRecursively(d)
+      // sharded executor-side export (no driver collect): range-sorted by
+      // vec_id, one shard per partition; shard names sort in id order so
+      // the directory read reassigns the same positional ids
+      graft.sources.Fvecs.writeFvecsSharded(
+        Tables.embeddingBase(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vector")),
+        d.getPath, numShards = 4)
+      d.getPath
     })
     graft.sources.Fvecs.readFvecs(spark, path)
       .select(col("id"),
         aggregate(graft.index.IvfFlat.quantize(col("vector")), lit(0L), (acc, e) => acc + e)
           .as("qsum"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private val csvCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -940,12 +947,17 @@ object SparkEntry {
     * oracle-checkable pseudo-embedding; ASCII-sanitized payloads as in
     * multimodal_frames so DuckDB's per-codepoint replay equals the
     * byte-level pass). */
+  // exploded to (media_id, dim_idx, feature) scalar rows: the checked
+  // output must be sortable by the harness's canonicalizer (raw array
+  // columns are not), and exploded rows carry the same information
   private def multimodalEmbed(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractIntFeatures(
       graft.multimodal.Multimodal.asMediaTable(
         Tables.documents(spark, dir)
           .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
         "doc_id", "text", "text/plain"))
+      .select(col("media_id"), posexplode(col("features")).as(Seq("dim_idx", "feature")))
+      .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"), col("feature"))
 
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
@@ -1949,11 +1961,7 @@ object SparkEntry {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = Tables.normalizeEventTs(raw)
     val ds = events.select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.StreamingMetrics.Ev]
     val sink = "stream_sess_" + java.lang.Integer.toHexString(dir.hashCode)
@@ -2033,23 +2041,25 @@ object SparkEntry {
     * union of per-batch answers IS the batch answer — so this shares
     * knn_exact's oracle. */
   private def streamKnnSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val snapshot = new java.util.concurrent.atomic.AtomicReference(
       Tables.embeddingBase(spark, dir))
     val qStream = spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet")
       .filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    // executor-side parquet sink per micro-batch (the 100 TB shape: result
+    // batches never pass through the driver), read back lazily at the end
+    val outDir = new java.io.File(
+      s"target/stream_knn/${java.lang.Integer.toHexString(dir.hashCode)}")
+    deleteRecursively(outDir)
     val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
       (res, _) =>
-        val rows = res.select(col("query_id"), col("neighbor_id"), col("rank"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        out.synchronized { out ++= rows }
+        res.select(col("query_id"), col("neighbor_id"), col("rank"))
+          .write.mode("append").parquet(outDir.getPath)
     }
     q.processAllAvailable()
     q.stop()
-    out.toSeq.toDF("query_id", "neighbor_id", "rank")
+    spark.read.parquet(outDir.getPath)
   }
 
   // ——— Retrieval/IR metric: nDCG@10 ———
@@ -2553,11 +2563,7 @@ object SparkEntry {
   private def streamDedupUsers(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = Tables.normalizeEventTs(raw)
     val deduped = graft.streaming.StreamingMetrics.streamingDedup(
       events.withColumn("fp", concat_ws("|", col("user_id"), col("event_type"))),
       "fp", "1 hour")
@@ -2862,13 +2868,19 @@ object SparkEntry {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90).as("is_late"))
-    val perOrder = li.groupBy(col("l_orderkey").as("ord_key"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
-    li.filter(col("is_late"))
-      .join(perOrder, col("l_orderkey") === col("ord_key") &&
-        col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .select(col("l_suppkey"), col("l_orderkey")).distinct()
+    // SINGLE fact-table pass: reduce to one row per (order, supplier),
+    // then one row per order carrying its (tiny, bounded-by-suppliers-
+    // per-order) late-supplier set — the "exactly one late supplier on a
+    // multi-supplier order" predicate falls out without re-joining the
+    // fact table against its own aggregate (which would scan it twice
+    // unless exchange reuse happened to fire).
+    val pairs = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("is_late"))
+    pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        collect_set(when(col("is_late"), col("l_suppkey"))).as("late_supps"))
+      .filter(col("n_supp") >= 2 && size(col("late_supps")) === 1)
+      .select(explode(col("late_supps")).as("l_suppkey"))
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
@@ -4128,7 +4140,7 @@ object SparkEntry {
     "knn_ivf_upsert" -> ivfUpsertKnnOracle,
     "zorder_range_scan" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |WHERE user_id <= (SELECT max(user_id) // 10 FROM events)
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
@@ -4258,9 +4270,9 @@ object SparkEntry {
         |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,
     "incremental_agg" ->
       """WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-        |SELECT event_type, count(*) AS n, sum(cents) AS sum_cents,
+        |SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(cents) AS min_cents, max(cents) AS max_cents,
-        |  sum(cents) // count(*) AS avg_cents
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
         |FROM c GROUP BY 1""".stripMargin,
     "funnel_conversion" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -4591,11 +4603,10 @@ object SparkEntry {
         |c AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d),
         |v AS (SELECT doc_id, (i - 1) % 8 AS j, ascii(substring(text, i, 1)) AS b FROM c),
         |g AS (SELECT doc_id, j, CAST(sum(b) AS BIGINT) AS s FROM v GROUP BY doc_id, j),
-        |scaffold AS (SELECT doc_id, unnest(generate_series(0, 7)) AS j FROM d),
-        |filled AS (SELECT sc.doc_id, sc.j, coalesce(g.s, 0) AS s
-        |  FROM scaffold sc LEFT JOIN g ON g.doc_id = sc.doc_id AND g.j = sc.j)
-        |SELECT doc_id AS media_id, array_agg(s ORDER BY j) AS features
-        |FROM filled GROUP BY doc_id""".stripMargin,
+        |scaffold AS (SELECT doc_id, unnest(generate_series(0, 7)) AS j FROM d)
+        |SELECT sc.doc_id AS media_id, CAST(sc.j AS BIGINT) AS dim_idx,
+        |  CAST(coalesce(g.s, 0) AS BIGINT) AS feature
+        |FROM scaffold sc LEFT JOIN g ON g.doc_id = sc.doc_id AND g.j = sc.j""".stripMargin,
     // non-ASCII sanitized to '?' on both sides → byte windows == char windows
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
@@ -4735,11 +4746,11 @@ object SparkEntry {
       """WITH d AS (SELECT lang, doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT lang, doc_id, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM d)
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before FROM d)
         |SELECT lang, doc_id, n_tokens,
-        |  tok_before // 256 AS bin_id,
-        |  tok_before % 256 AS bin_offset,
+        |  CAST(tok_before // 256 AS BIGINT) AS bin_id,
+        |  CAST(tok_before % 256 AS BIGINT) AS bin_offset,
         |  (tok_before % 256) + n_tokens > 256 AS spans_bins
         |FROM c""".stripMargin,
     "bloom_join_prune" -> {
@@ -4780,8 +4791,8 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "unpivot_profile" ->
       """WITH w AS (SELECT l_returnflag,
-        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  count(*) AS n_rows FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'sum_qty_cents' AS metric, sum_qty_cents AS value FROM w
         |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w

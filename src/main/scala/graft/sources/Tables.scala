@@ -34,17 +34,29 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
-  /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark
-    * reads only as a nanos Long (spark.sql.legacy.parquet.nanosAsLong).
-    * Normalize to a microsecond TimestampType here so downstream operators
-    * see a standard timestamp whichever way the session is configured. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
+  /** `events.parquet` fixtures have drifted across generations: parquet
+    * TIMESTAMP(NANOS) (Spark reads a nanos Long under
+    * spark.sql.legacy.parquet.nanosAsLong), unannotated timestamp[us]
+    * (Spark reads TIMESTAMP_NTZ), or a proper tz-annotated timestamp.
+    * Normalize every variant to a standard TimestampType so downstream
+    * `unix_millis(ts)` / bigint casts analyze the same way regardless of
+    * which fixture generation is on disk. The session timezone is pinned
+    * to UTC in Bench/Verify/tests, so the NTZ→TZ cast is lossless. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(table(spark, sfDir, "events"))
+
+  /** The ts normalization applied to ANY events-shaped frame — shared by
+    * the batch loader and the `readStream` sources (which cannot go
+    * through [[events]]). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer division: `/` on Columns is floating-point and int64
         // nanos exceed double's 2^53 exact range (silent ±1µs corruption)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -67,11 +67,7 @@ object StreamingMetrics {
     // force-sets basePath to that path, which must then be a directory —
     // a glob keeps basePath auto-derived from the matched files' parent
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.sources.Tables.normalizeEventTs(raw)
     val sink = "stream_wagg_" + java.lang.Integer.toHexString(dir.hashCode)
     val q = windowedAgg(events, windowDur, watermark)
       .writeStream.format("memory").queryName(sink)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the driver contract itself: every registered query must run and
@@ -37,5 +38,61 @@ class ContractSpec extends AnyFunSuite {
 
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("fixture schema drift guard: loaded dtypes per table") {
+    // One obvious test instead of 21 opaque query failures when the
+    // driver regenerates fixtures with different physical types. The
+    // loader must normalize every `ts` generation (nanos-Long,
+    // TIMESTAMP_NTZ, tz-annotated) to a standard TimestampType.
+    import org.apache.spark.sql.types._
+    def dtypes(df: org.apache.spark.sql.DataFrame): Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val ev = dtypes(graft.sources.Tables.events(spark, dir))
+    assert(ev("event_id") == LongType && ev("user_id") == LongType)
+    assert(ev("ts") == TimestampType,
+      s"events.ts must load as TimestampType (got ${ev("ts")}) — " +
+        "unix_millis/bigint casts downstream fail on anything else")
+    assert(ev("event_type") == StringType && ev("value") == DoubleType)
+
+    val emb = dtypes(graft.sources.Tables.embeddings(spark, dir))
+    assert(emb("vec_id") == LongType)
+    assert(emb("embedding") == ArrayType(FloatType, containsNull = true) ||
+      emb("embedding") == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding must be array<float> (got ${emb("embedding")})")
+    assert(emb("label") == IntegerType)
+
+    val doc = dtypes(graft.sources.Tables.documents(spark, dir))
+    assert(doc("doc_id") == LongType && doc("text") == StringType &&
+      doc("lang") == StringType && doc("source") == StringType &&
+      doc("n_chars") == LongType)
+
+    val li = dtypes(graft.sources.Tables.lineitem(spark, dir))
+    assert(li("l_orderkey") == LongType && li("l_quantity") == DoubleType &&
+      li("l_extendedprice") == DoubleType)
+    // date columns are consumed via to_date() only, so either timestamp
+    // flavor is acceptable — but they must remain some timestamp/date type
+    assert(Set[DataType](TimestampType, TimestampNTZType, DateType)
+      .contains(li("l_shipdate")), s"l_shipdate: ${li("l_shipdate")}")
+    val ord = dtypes(graft.sources.Tables.orders(spark, dir))
+    assert(Set[DataType](TimestampType, TimestampNTZType, DateType)
+      .contains(ord("o_orderdate")), s"o_orderdate: ${ord("o_orderdate")}")
+  }
+
+  test("idBucket is exact and ANSI-safe for ids beyond int32 range") {
+    // a naive id * 2654435761 overflows int64 for ids > ~3.5e9 — the
+    // split-multiply must keep working (and match the mathematical
+    // definition) across the full 100 TB id space
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4294967295L, 4294967296L, 7000000000L,
+      Long.MaxValue / 2, Long.MaxValue - 1)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.operators.Sampling.idBucket(col("id"), 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expected = (((BigInt(id) % 4294967296L) * 2654435761L) % 4294967296L % 100).toLong
+      assert(got(id) == expected, s"id=$id")
+    }
   }
 }

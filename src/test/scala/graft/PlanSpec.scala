@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q21_late_suppliers: single fact-table scan (no self-join against its own aggregate)") {
+    val p = planOf("q21_late_suppliers")
+    // the late-supplier predicate is computed in one aggregation chain;
+    // re-joining lineitem⋈orders against its own per-order aggregate
+    // would show two lineitem scans here and scan the fact table twice
+    // at 100 TB
+    assert("Scan parquet .*lineitem".r.findAllIn(p).size == 1, p)
+    assert("Scan parquet .*orders".r.findAllIn(p).size == 1, p)
+  }
+
   test("text_stats: documents scan pruned to the two used columns") {
     val p = planOf("text_stats")
     assert(p.contains("doc_id") && p.contains("text"))

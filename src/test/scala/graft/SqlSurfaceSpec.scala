@@ -20,6 +20,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(topk.toList == List(2L, 4L, 3L).take(2))
   }
 
+  test("topk_by_dist from SQL accepts int ids and float dists (casts applied)") {
+    GraftFunctions.register(spark)
+    // int id / float dist columns must be cast by the SQL builder, not
+    // ClassCastException in the raw accumulator
+    val topk = spark.sql(
+      """SELECT topk_by_dist(id, dist, 2) AS nn FROM VALUES
+        |  (1, CAST(5.0 AS FLOAT)), (2, CAST(1.0 AS FLOAT)),
+        |  (3, CAST(3.0 AS FLOAT)), (4, CAST(2.0 AS FLOAT)) AS t(id, dist)
+      """.stripMargin).collect()(0).getSeq[Long](0)
+    assert(topk.toList == List(2L, 4L))
+  }
+
   test("cosine_sim, sorted_intersect_count, pq_adc_dist_long, minhash_bands from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

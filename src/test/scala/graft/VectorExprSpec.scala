@@ -110,6 +110,19 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("distance kernels raise on vector dimension mismatch") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    for (kernel <- Seq(l2sq(col("a"), col("b")), dot(col("a"), col("b")),
+        cosine(col("a"), col("b")))) {
+      val e = intercept[Exception] { df.select(kernel).collect() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.getMessage != null && t.getMessage.contains("dimension mismatch")),
+        s"expected a dimension-mismatch failure, got: $e")
+    }
+  }
+
   test("int64 ADC lookup sums the right table entries and guards shape") {
     import graft.functions.GraftFunctions.pqAdcLong
     // m=2, ksub=3: table idx j*3+code
