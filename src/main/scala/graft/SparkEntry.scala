@@ -1346,11 +1346,32 @@ object SparkEntry {
   private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "text", rounds = 6)
 
+  /** Tokenizer APPLICATION — the per-document encode pass of the trained
+    * BPE model (the token-counting step every training pipeline runs over
+    * the full corpus). The merge table is a 6-row driver artifact (like a
+    * centroid table); the encode itself is a row-local fold — no shuffle,
+    * no UDF, scales as a map stage. Output is count- AND content-checked
+    * (PolyHash over the symbol stream). */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.text.Bpe.trainMerges(docs, "text", rounds = 6)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.applyMerges(docs, "text", merges)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        size(col("bpe_symbols")).cast("long").as("n_bpe"),
+        graft.functions.PolyHash.column(
+          array_join(col("bpe_symbols"), " "), 257L, 1000000007L).as("sym_hash"))
+  }
+
   /** DuckDB replay of the full BPE training chain: per round, pair
     * counting via list_transform over the split symbol string, arg-max
     * with the same (cnt DESC, pair ASC) tie-break, and the same two-pass
     * literal merge rewrite. */
-  private def bpeOracle(rounds: Int): String = {
+  /** The shared BPE training chain (CTEs wf, s0, p/c/b/s per round) —
+    * prefix of both the merge-table oracle and the encode oracle. */
+  private def bpeChainCtes(rounds: Int): String = {
     // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references the previous ~4x — inlined, the 6-round chain
     // re-evaluates 4^6 times and never finishes
@@ -1369,10 +1390,41 @@ object SparkEntry {
          |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
          |  FROM s${r - 1})""".stripMargin
     }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def bpeOracle(rounds: Int): String = {
     val finals = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM b$r")
       .mkString("\nUNION ALL ")
-    (head +: steps).mkString(",\n") + "\n" + finals
+    bpeChainCtes(rounds) + "\n" + finals
+  }
+
+  /** Encode oracle: re-derive the merge table (same chain), then apply
+    * the identical two-pass literal rewrite to every document word and
+    * aggregate back to per-doc token counts + a PolyHash of the full
+    * symbol stream (content-exact, not just count-exact). */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val docHead =
+      """dw0 AS MATERIALIZED (SELECT doc_id, widx,
+        |    array_to_string(string_split(word, ''), ' ') AS seq FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word,
+        |         unnest(generate_series(1, len(string_split(trim(text), ' ')))) AS widx
+        |  FROM documents))""".stripMargin
+    val docSteps = (1 to rounds).map { r =>
+      s"""dw$r AS MATERIALIZED (SELECT doc_id, widx, trim(replace(replace(' ' || seq || ' ',
+         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r)),
+         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
+         |  FROM dw${r - 1})""".stripMargin
+    }
+    val streamed =
+      s"""docsym AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe,
+         |  string_agg(seq, ' ' ORDER BY widx) AS sym FROM dw$rounds GROUP BY 1)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_bpe,
+         |  ${duckPolyHash("sym", 257L, 1000000007L)} AS sym_hash
+         |FROM docsym""".stripMargin
+    (Seq(bpeChainCtes(rounds), docHead) ++ docSteps).mkString(",\n") + ",\n" + streamed
   }
 
   /** DuckDB replay of the MMR greedy trajectory. The cosine is the
@@ -3100,7 +3152,58 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, dir) => q19DisjunctiveRevenue(s, dir)),
     "q21_late_suppliers" -> ((s, dir) => q21LateSuppliers(s, dir)),
     "q22_idle_customers" -> ((s, dir) => q22IdleCustomers(s, dir)),
+    "unigram_logprob" -> ((s, dir) =>
+      graft.text.ImportanceScoring.unigramDigitScore(
+        Tables.documents(s, dir), "doc_id", "text")),
+    "dsir_weights" -> ((s, dir) =>
+      graft.text.ImportanceScoring.dsirDigitWeights(
+        Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")),
+    "stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
+    "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
   )
+
+  /** Stream-stream interval join run END-TO-END by the streaming engine:
+    * each view event joined to the same user's clicks in the following
+    * 24 h. Both sides are watermarked, so join state evicts once the
+    * watermark passes the interval — bounded state under continuous
+    * ingest, the canonical Structured Streaming join discipline. The
+    * AvailableNow backlog replay emits exactly the batch interval join
+    * (inner-join results emit eagerly; the watermark only governs state
+    * eviction), which is the shared oracle. */
+  private def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src(): DataFrame = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "48 hours")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "48 hours")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+    val sink = "stream_ssj_" + java.lang.Integer.toHexString(dir.hashCode)
+    // a stream-stream join allocates FOUR state stores (keyed + buffer,
+    // each side) per shuffle partition; the key space is user_id
+    // (hundreds at fixture scale), so 8 partitions cut the fixed store
+    // setup 4× with zero parallelism loss. At real scale key cardinality,
+    // not store count, sizes this — the conf is per-query, not global.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sink)
+  }
 
   // DuckDB oracle SQL. Table names resolve to the same parquet fixtures.
   // Column names and types must match the Spark results exactly (driver
@@ -5403,5 +5506,33 @@ object SparkEntry {
         |FROM cohorts c JOIN daily d USING (user_id)
         |WHERE d.day >= c.cohort_day
         |GROUP BY 1, 2""".stripMargin,
+    // digit-log surrogate: length(CAST(count AS VARCHAR)) = ⌊log10⌋+1,
+    // exact in both engines — the whole LM training + scoring replays
+    "unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |j AS (SELECT doc_id, CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS d
+        |  FROM t JOIN c USING (tok))
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(d) AS BIGINT) AS lm_digit_score,
+        |  CAST((10000 * CAST(sum(d) AS BIGINT)) // count(*) AS BIGINT) AS avg_digit_bp
+        |FROM j GROUP BY 1""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |  unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, tgt,
+        |  ${duckPolyHash("tok", 257L, 1000000007L)} % 1024 AS b FROM t),
+        |d AS (SELECT b, count(*) AS raw_cnt,
+        |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(CAST(length(CAST(tgt_cnt + 1 AS VARCHAR)) AS BIGINT)
+        |         - CAST(length(CAST(raw_cnt + 1 AS VARCHAR)) AS BIGINT)) AS BIGINT) AS w_digit
+        |FROM h JOIN d USING (b) GROUP BY 1""".stripMargin,
+    "stream_stream_join" -> // streaming interval join == batch interval join
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
+    "bpe_encode" -> bpeEncodeOracle(6),
   )
 }
