@@ -2383,6 +2383,35 @@ object SparkEntry {
         Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
     }
 
+  /** Hard-negative mining for contrastive retrieval training: per query,
+    * the best-ranked SAME-label neighbor (the positive) and best-ranked
+    * DIFFERENT-label neighbor (the hard negative) from the cosine top-k —
+    * the (anchor, positive, hard-negative) triplet construction of
+    * dense-retriever training (DPR/ANCE-style mining reduced to its
+    * batch form). Reuses the memoized cosine pass; rank is unique per
+    * query so both picks are deterministic. */
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val scored = cosineHits(spark, dir)
+      .join(broadcast(qLab), "query_id").join(bLab, "neighbor_id")
+      .withColumn("is_pos", col("q_label") === col("b_label"))
+    val picks = scored.groupBy(col("query_id"))
+      .agg(min(when(col("is_pos"), col("rank"))).as("pos_rank"),
+        min(when(!col("is_pos"), col("rank"))).as("neg_rank"))
+      .filter(col("pos_rank").isNotNull && col("neg_rank").isNotNull)
+    picks
+      .join(scored.select(col("query_id"), col("rank").as("pos_rank"),
+        col("neighbor_id").as("pos_id")), Seq("query_id", "pos_rank"))
+      .join(scored.select(col("query_id"), col("rank").as("neg_rank"),
+        col("neighbor_id").as("neg_id")), Seq("query_id", "neg_rank"))
+      .select(col("query_id"), col("pos_id"), col("pos_rank"),
+        col("neg_id"), col("neg_rank"))
+  }
+
   /** MAP@10 with label-agreement relevance: per query, AP in exact
     * integer micro-units — each hit contributes
     * floor(1e6·cum_hits/rank), normalized by the ideal pool size
@@ -3200,6 +3229,7 @@ object SparkEntry {
     "stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
     "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
+    "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
   )
 
   /** Stream-stream interval join run END-TO-END by the streaming engine:
@@ -5575,5 +5605,26 @@ object SparkEntry {
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
     "bpe_encode" -> bpeEncodeOracle(6),
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding, label AS q_label
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding, label AS b_label
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    q.q_label = b.b_label AS is_pos,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |topk AS (SELECT * FROM scored WHERE rank <= 10),
+        |picks AS (SELECT query_id,
+        |    min(CASE WHEN is_pos THEN rank END) AS pos_rank,
+        |    min(CASE WHEN NOT is_pos THEN rank END) AS neg_rank
+        |  FROM topk GROUP BY 1
+        |  HAVING pos_rank IS NOT NULL AND neg_rank IS NOT NULL)
+        |SELECT p.query_id, tp.neighbor_id AS pos_id, p.pos_rank,
+        |  tn.neighbor_id AS neg_id, p.neg_rank
+        |FROM picks p
+        |JOIN topk tp ON tp.query_id = p.query_id AND tp.rank = p.pos_rank
+        |JOIN topk tn ON tn.query_id = p.query_id AND tn.rank = p.neg_rank""".stripMargin,
   )
 }
