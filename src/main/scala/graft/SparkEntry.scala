@@ -403,7 +403,7 @@ object SparkEntry {
   /** Read back an executor-side parquet sink, tolerating the empty-stream
     * case (no part files → no inferable schema) by returning an empty
     * frame with the declared schema instead of throwing. */
-  private def readSinkOrEmpty(spark: SparkSession, dir: java.io.File,
+  private[graft] def readSinkOrEmpty(spark: SparkSession, dir: java.io.File,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val hasParts = Option(dir.listFiles())
       .exists(_.exists(_.getName.startsWith("part-")))

@@ -294,4 +294,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(got == Set((1L, "gold"), (2L, "silver"), (3L, "none")))
   }
+
+  test("sink read-back returns a typed empty frame when the stream emitted nothing") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query_id", LongType), StructField("rank", IntegerType)))
+    // nonexistent dir (stream never wrote) — must not throw schema inference
+    val missing = new java.io.File("target/test_sink_missing_dir")
+    val empty = SparkEntry.readSinkOrEmpty(spark, missing, schema)
+    assert(empty.schema == schema && empty.count() == 0)
+    // dir with real part files — must read the data, not return empty
+    val written = new java.io.File("target/test_sink_written_dir")
+    Seq((1L, 1), (2L, 2)).toDF("query_id", "rank")
+      .write.mode("overwrite").parquet(written.getPath)
+    assert(SparkEntry.readSinkOrEmpty(spark, written, schema).count() == 2)
+  }
+
+  test("IVF searchAssigned with a precomputed assignment equals search") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.embeddingBase(spark, dir)
+    val queries = Tables.embeddingQueries(spark, dir)
+    val model = graft.index.IvfFlat.fit(base, nlist = 8)
+    val direct = graft.index.IvfFlat.search(model, queries, base, 10, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val assigned = graft.index.IvfFlat.assignBase(base, model).localCheckpoint()
+    val served = graft.index.IvfFlat.searchAssigned(model, queries, base, assigned, 10, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == direct)
+  }
 }
