@@ -1397,6 +1397,25 @@ object SparkEntry {
           array_join(col("bpe_symbols"), " "), 257L, 1000000007L).as("sym_hash"))
   }
 
+  /** Tokenizer FERTILITY per language — BPE symbols per whitespace word
+    * in basis points, the standard multilingual-tokenizer diagnostic
+    * (high fertility = the vocabulary under-serves that language; zh
+    * stays near char-level while en compresses). Same row-local encode
+    * pass as [[bpeEncode]], one tiny per-lang aggregate on top. */
+  private def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergeRows(spark, dir).map { case (_, p, m, _) => (p, m) }
+    graft.text.Bpe.applyMerges(docs, "text", merges)
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        size(col("bpe_symbols")).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        expr("(10000 * n_bpe) div n_words").as("fertility_bp"))
+  }
+
   /** DuckDB replay of the full BPE training chain: per round, pair
     * counting via list_transform over the split symbol string, arg-max
     * with the same (cnt DESC, pair ASC) tie-break, and the same two-pass
@@ -1432,11 +1451,10 @@ object SparkEntry {
     bpeChainCtes(rounds) + "\n" + finals
   }
 
-  /** Encode oracle: re-derive the merge table (same chain), then apply
-    * the identical two-pass literal rewrite to every document word and
-    * aggregate back to per-doc token counts + a PolyHash of the full
-    * symbol stream (content-exact, not just count-exact). */
-  private def bpeEncodeOracle(rounds: Int): String = {
+  /** Per-document re-encode CTEs shared by the encode + fertility
+    * oracles: the training chain, then the identical two-pass literal
+    * rewrite applied to every document word. */
+  private def bpeDocCtes(rounds: Int): String = {
     val docHead =
       """dw0 AS MATERIALIZED (SELECT doc_id, widx,
         |    array_to_string(string_split(word, ''), ' ') AS seq FROM (
@@ -1449,6 +1467,14 @@ object SparkEntry {
          |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
          |  FROM dw${r - 1})""".stripMargin
     }
+    (Seq(bpeChainCtes(rounds), docHead) ++ docSteps).mkString(",\n")
+  }
+
+  /** Encode oracle: re-derive the merge table (same chain), then apply
+    * the identical two-pass literal rewrite to every document word and
+    * aggregate back to per-doc token counts + a PolyHash of the full
+    * symbol stream (content-exact, not just count-exact). */
+  private def bpeEncodeOracle(rounds: Int): String = {
     val streamed =
       s"""docsym AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
          |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe,
@@ -1456,7 +1482,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_bpe,
          |  ${duckPolyHash("sym", 257L, 1000000007L)} AS sym_hash
          |FROM docsym""".stripMargin
-    (Seq(bpeChainCtes(rounds), docHead) ++ docSteps).mkString(",\n") + ",\n" + streamed
+    bpeDocCtes(rounds) + ",\n" + streamed
+  }
+
+  /** Fertility oracle: the same re-encode, aggregated per language. */
+  private def bpeFertilityOracle(rounds: Int): String = {
+    val streamed =
+      s"""docagg AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe
+         |  FROM dw$rounds GROUP BY 1)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(a.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(a.n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST((10000 * CAST(sum(a.n_bpe) AS BIGINT)) // CAST(sum(a.n_words) AS BIGINT) AS BIGINT) AS fertility_bp
+         |FROM docagg a JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin
+    bpeDocCtes(rounds) + ",\n" + streamed
   }
 
   /** DuckDB replay of the MMR greedy trajectory. The cosine is the
@@ -1949,6 +1989,10 @@ object SparkEntry {
       graphAdj(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
+    // the per-hop adjacency joins each scan the stored parquet directly:
+    // an eager localCheckpoint load measured no faster at fixture scale
+    // (materialization ≈ the repeat scans of a small columnar file), and
+    // at server scale the hot index lives in the OS page cache either way
     graft.index.GraphIndex.search(
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
       spark.read.parquet(path), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
@@ -3268,6 +3312,7 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
     "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
+    "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
   )
 
   /** Stream-stream interval join run END-TO-END by the streaming engine:
@@ -5649,6 +5694,7 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
     "bpe_encode" -> bpeEncodeOracle(6),
+    "tokenizer_fertility" -> bpeFertilityOracle(6),
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label AS q_label
