@@ -929,6 +929,36 @@ object SparkEntry {
     Dedup.minHashNearDup(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
 
+  /** Streaming MinHash near-dup run END-TO-END by the streaming engine:
+    * continuous-ingestion dedup where each arriving doc is checked
+    * against the prior docs sharing a banded signature bucket
+    * (flatMapGroupsWithState keyed by band bucket — state tracks bucket
+    * occupancy, not the corpus). Same portable hash pipeline as the
+    * batch operator, so the emitted pairs ARE the batch pairs
+    * (StreamingSpec proves cross-micro-batch equality); a pair
+    * colliding in several bands emits once per band, so the registered
+    * output dedupes — and then shares minhash_neardup's oracle. */
+  private def streamMinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val ds = spark.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.StreamingMetrics.DocIn]
+    val sink = "stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.StreamingMetrics
+        .nearDupStream(ds, shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sink).distinct()
+  }
+
   /** SimHash near-dup pairs (banded 16-bit chunks, hamming ≤ 3). */
   private def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDup(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
@@ -3313,6 +3343,7 @@ object SparkEntry {
     "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
+    "stream_minhash_neardup" -> ((s, dir) => streamMinhashNearDup(s, dir)),
   )
 
   /** Stream-stream interval join run END-TO-END by the streaming engine:
@@ -5695,6 +5726,7 @@ object SparkEntry {
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
     "bpe_encode" -> bpeEncodeOracle(6),
     "tokenizer_fertility" -> bpeFertilityOracle(6),
+    "stream_minhash_neardup" -> minhashOracle, // stream pairs == batch pairs
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label AS q_label
