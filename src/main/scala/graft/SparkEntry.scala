@@ -3143,6 +3143,119 @@ object SparkEntry {
       .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
   }
 
+  /** Gram matrix of the whole embedding corpus
+    * ([[graft.operators.Gram]]): the single-pass mergeable matrix
+    * summary PCA/whitening starts from — per-partition d·(d+1)/2 long
+    * folds treeReduced, no shuffle of the vectors, driver holds only
+    * the d×d triangle. Grid-quantized int64 → exact and replayable. */
+  private def embeddingGram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Gram.upperTriangle(
+      spark, Tables.embeddings(spark, dir).select(col("embedding")),
+      "embedding", scale = 1024L)
+
+  /** Roaring-style bitmap intersection ([[graft.operators.Bitmap]]):
+    * two predicates' id sets compressed to 32-id block words, ANDed
+    * block-aligned, popcounted — set algebra over blocks (32× smaller
+    * than the id space) instead of a row-level join. The filtered-search
+    * pre-filter bitmap the server backends build (Milvus boolean-expr
+    * bitmap, Redis FT.SEARCH tag filters). */
+  private def bitmapAndCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = graft.operators.Bitmap.build(ev, "event_id", col("event_type") === "click")
+    val high = graft.operators.Bitmap.build(ev, "event_id", col("value") >= 50.0)
+    graft.operators.Bitmap.and(clicks, high)
+      .select(col("block"), col("word_a").as("word_click"),
+        col("word_b").as("word_high"), col("word_both"), col("n_both"))
+  }
+
+  /** Space-saving heavy hitters ([[graft.operators.SpaceSaving]]): the
+    * deterministic counter-table sibling of `cms_heavy_users` — capacity-64
+    * summaries folded per partition and tree-merged (Mergeable Summaries,
+    * PODS 2012), est ∈ [true, true + N/64] checked for the exact top-10.
+    * No keyed shuffle: at 100 TB the summary moves, not the keys. */
+  private def topkFreqSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpaceSaving.heavyHitters(
+      spark, Tables.events(spark, dir), "user_id", capacity = 64, k = 10)
+
+  /** Set-intersection cardinality from mergeable HLL sketches by
+    * inclusion-exclusion (|A∩B| = est(A) + est(B) − est(A∪B)) — the
+    * audience-overlap question answered from per-segment KB-sized
+    * artifacts, never a join of the id sets. Error compounds across the
+    * three estimates, so the checked bound is the sum of per-sketch
+    * bounds; the output is the exact overlap + the bound boolean
+    * (partition-layout independent — HLL merge is register-max). */
+  private def hllIntersectEst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val ests = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+      .select(
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_u"))
+      .head()
+    val estBoth = ests.getLong(0) + ests.getLong(1) - ests.getLong(2)
+    val exact = a.intersect(b).count()
+    val nA = a.distinct().count()
+    val nB = b.distinct().count()
+    val slack = 0.05 * (nA + nB) + 48.0
+    import spark.implicits._
+    Seq((nA, nB, exact, math.abs(estBoth - exact) <= slack))
+      .toDF("n_click_users", "n_purchase_users", "n_both_exact", "within_bound")
+  }
+
+  /** The CDC fold executed by the streaming ENGINE
+    * ([[graft.streaming.StreamingMetrics.cdcApplyStream]]): per-key
+    * winner state via flatMapGroupsWithState in Update mode, memory sink
+    * accumulating the update log, final snapshot = arg-max over the log
+    * (monotone winner ⇒ identical to the batch fold). Shares the batch
+    * `cdc_apply` oracle: one logical MERGE INTO, two physical engines. */
+  private def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val changes = Tables.normalizeEventTs(raw)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[graft.streaming.StreamingMetrics.CdcIn]
+    val sink = "stream_cdc_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = graft.streaming.StreamingMetrics.cdcApplyStream(changes)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
+    spark.table(sink)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("cents"), col("ms").as("last_ms"))
+  }
+
+  /** Hopping (sliding) windows run by the streaming engine — the
+    * overlapping-window form of `stream_windowed_agg`
+    * ([[graft.streaming.StreamingMetrics.hoppingWindowAgg]] under
+    * AvailableNow, complete-mode memory sink). Each event expands to
+    * windowDur/slideDur window keys BEFORE the keyed shuffle, state per
+    * (window, type). Shares the batch `hopping_window_agg` oracle. */
+  private def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val events = Tables.normalizeEventTs(raw)
+    val sink = "stream_hop_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = graft.streaming.StreamingMetrics
+      .hoppingWindowAgg(events, "2 hours", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -3267,6 +3380,12 @@ object SparkEntry {
     "unpivot_profile" -> ((s, dir) => unpivotProfile(s, dir)),
     "fuzzy_dedup_lev" -> ((s, dir) => fuzzyDedupLev(s, dir)),
     "hopping_window_agg" -> ((s, dir) => hoppingWindowAgg(s, dir)),
+    "embedding_gram" -> ((s, dir) => embeddingGram(s, dir)),
+    "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
+    "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
+    "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
+    "stream_cdc_apply" -> ((s, dir) => streamCdcApply(s, dir)),
+    "stream_hopping_agg" -> ((s, dir) => streamHoppingAgg(s, dir)),
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
     "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
@@ -5194,6 +5313,51 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n,
         |  CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "stream_hopping_agg" -> // one logical answer, streaming-engine plan
+      """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS tb, event_type, value
+        |  FROM events),
+        |x AS (SELECT unnest([tb, tb - INTERVAL '1 hour']) AS window_start,
+        |  event_type, value FROM e)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "stream_cdc_apply" -> // shares the batch cdc_apply fold's oracle
+      """WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, cents, ms AS last_ms FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "embedding_gram" -> // full replay: quantize → upper-triangle products
+      """WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS g
+        |  FROM embeddings)
+        |SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(sum(a.g * b.g) AS BIGINT) AS gram
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |GROUP BY 1, 2""".stripMargin,
+    "bitmap_and_count" -> // full replay: block words, AND, popcount
+      """WITH a AS (SELECT event_id // 32 AS block,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(event_id % 32 AS INTEGER)) AS word_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT event_id // 32 AS block,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(event_id % 32 AS INTEGER)) AS word_high
+        |  FROM events WHERE value >= 50 GROUP BY 1)
+        |SELECT a.block, a.word_click, b.word_high,
+        |  a.word_click & b.word_high AS word_both,
+        |  CAST(bit_count(a.word_click & b.word_high) AS BIGINT) AS n_both
+        |FROM a JOIN b ON a.block = b.block
+        |WHERE (a.word_click & b.word_high) <> 0""".stripMargin,
+    "topk_freq_sketch" -> // sketch bound checked Spark-side (booleans)
+      """SELECT user_id, n_exact, true AS within_bound FROM (
+        |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+        |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,
+    "hll_intersect_est" -> // sketch bound checked Spark-side (boolean)
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT (SELECT count(*) FROM a) AS n_click_users,
+        |  (SELECT count(*) FROM b) AS n_purchase_users,
+        |  (SELECT count(*) FROM a JOIN b USING (user_id)) AS n_both_exact,
+        |  true AS within_bound""".stripMargin,
     "pagerank_sharedgrams" ->
       // full replay: 8-gram shingles → PolyHash gram ids (the ShingleHashes
       // kernel's ph domain; distinct AFTER hashing, matching Spark) →

@@ -187,6 +187,40 @@ object StreamingMetrics {
       }
   }
 
+  final case class CdcIn(user_id: Long, event_id: Long, ms: Long, op: String,
+      cents: Long)
+  final case class CdcState(ms: Long, eventId: Long, op: String, cents: Long)
+  final case class CdcOut(user_id: Long, event_id: Long, ms: Long, op: String,
+      cents: Long)
+
+  /** CDC changelog apply run BY the streaming engine — the continuous
+    * MERGE INTO: per-key state holds the current winner (arg-max by
+    * (ms, event_id), delete-coded ops included), each micro-batch folds
+    * its rows in and emits the key's refreshed winner (Update mode).
+    * State is one fixed-size record per live key however long the
+    * changelog, and the sink sees ≤ one row per touched key per batch —
+    * the snapshot-from-changelog fold of the batch `cdc_apply` query,
+    * kept incrementally. The final winner per key is monotone in
+    * (ms, event_id), so an arg-max over the update log reproduces the
+    * batch answer exactly. */
+  def cdcApplyStream(changes: Dataset[CdcIn]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcIn], state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { r =>
+            if (st == null || r.ms > st.ms ||
+                (r.ms == st.ms && r.event_id > st.eventId))
+              st = CdcState(r.ms, r.event_id, r.op, r.cents)
+          }
+          state.update(st)
+          Iterator.single(CdcOut(uid, st.eventId, st.ms, st.op, st.cents))
+      }
+  }
+
   /** D1 as a streaming sink: every micro-batch of rows is
     * existence-guarded upserted ([[graft.operators.Snapshots.insert]]
     * `dedupe=true` — the Redis HSET-if-absent pattern,

@@ -110,6 +110,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_.user_id == 2L).map(_.session_id).toSeq == Seq(1L))
   }
 
+  test("streaming CDC apply keeps the per-key winner across micro-batches") {
+    import StreamingMetrics.{CdcIn, CdcOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcIn]
+    val out = StreamingMetrics.cdcApplyStream(input.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("cdc_out").start()
+    input.addData(
+      CdcIn(1L, 1L, 100L, "U", 10L),
+      CdcIn(1L, 2L, 200L, "U", 20L),
+      CdcIn(2L, 3L, 100L, "U", 30L))
+    q.processAllAvailable()
+    input.addData(
+      CdcIn(1L, 4L, 150L, "U", 99L), // late update — loses to event 2
+      CdcIn(2L, 5L, 300L, "D", 0L)) // delete wins for key 2
+    q.processAllAvailable()
+    val log = spark.table("cdc_out").as[CdcOut].collect()
+    q.stop()
+    // final winner per key = arg-max (ms, event_id) over the update log
+    val finals = log.groupBy(_.user_id).view
+      .mapValues(_.maxBy(r => (r.ms, r.event_id))).toMap
+    assert(finals(1L).event_id == 2L && finals(1L).cents == 20L)
+    assert(finals(2L).op == "D") // tombstone survives as the winner
+    // batch N emitted key 1's then-current winner, not the late row
+    assert(log.count(_.user_id == 1L) == 2 &&
+      log.filter(_.user_id == 1L).forall(_.event_id == 2L))
+  }
+
   test("streaming dedup drops repeated fingerprints across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, String)]
