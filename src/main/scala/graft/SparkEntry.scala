@@ -3256,6 +3256,47 @@ object SparkEntry {
     spark.table(sink)
   }
 
+  /** Spectral projection onto the corpus' dominant principal direction
+    * ([[graft.operators.Gram.topComponentProject]]): distributed Gram,
+    * driver-side integer power iteration (2 rounds, model-sized), then
+    * one codegen'd zip_with/aggregate dot-product scan. The exact-int64
+    * floor-division pipeline replays bit-for-bit in the oracle. */
+  private def pcaPowerProject(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Gram.topComponentProject(
+      spark, Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", scale = 1024L)
+
+  /** Top event-type 3-step paths (path/funnel mining): consecutive
+    * per-user triples within a 30-minute step gap, counted corpus-wide.
+    * One window pass (lead ×4) + one aggregate — no self-joins; the
+    * classic clickstream "what do users do next" query. */
+  private def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gapMs = 1800000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("ms2", lead(col("ms"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("ms3", lead(col("ms"), 2).over(w))
+      .filter(col("t3").isNotNull &&
+        col("ms2") - col("ms") <= gapMs && col("ms3") - col("ms2") <= gapMs)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(10)
+  }
+
+  /** Min-label propagation communities on the shared-rare-gram document
+    * graph ([[graft.operators.Graph.minLabelPropagation]], 3 rounds) —
+    * the deterministic community detector next to PageRank's centrality
+    * and the triangle counts' density, over the same reused edge
+    * artifact. */
+  private def labelPropCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.minLabelPropagation(sharedGramEdges(spark, dir), rounds = 3)
+      .select(col("id").as("doc_id"), col("label"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -3381,6 +3422,9 @@ object SparkEntry {
     "fuzzy_dedup_lev" -> ((s, dir) => fuzzyDedupLev(s, dir)),
     "hopping_window_agg" -> ((s, dir) => hoppingWindowAgg(s, dir)),
     "embedding_gram" -> ((s, dir) => embeddingGram(s, dir)),
+    "pca_power_project" -> ((s, dir) => pcaPowerProject(s, dir)),
+    "event_paths" -> ((s, dir) => eventPaths(s, dir)),
+    "label_prop_communities" -> ((s, dir) => labelPropCommunities(s, dir)),
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
     "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
@@ -5347,6 +5391,47 @@ object SparkEntry {
         |  CAST(bit_count(a.word_click & b.word_high) AS BIGINT) AS n_both
         |FROM a JOIN b ON a.block = b.block
         |WHERE (a.word_click & b.word_high) <> 0""".stripMargin,
+    "pca_power_project" -> // full replay: gram → 2 integer power rounds → dot
+      """WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS g
+        |  FROM embeddings),
+        |tri AS MATERIALIZED (SELECT a.dim AS di, b.dim AS dj,
+        |    CAST(sum(a.g * b.g) AS BIGINT) AS gram
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim GROUP BY 1, 2),
+        |gsym AS MATERIALIZED (SELECT di, dj, gram FROM tri
+        |  UNION ALL SELECT dj, di, gram FROM tri WHERE di <> dj),
+        |v1 AS MATERIALIZED (SELECT di AS dim,
+        |    CAST(sum(gram) // 1048576 AS BIGINT) AS v FROM gsym GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT g2.di AS dim,
+        |    CAST(sum(g2.gram * v1.v) // 1048576 AS BIGINT) AS v
+        |  FROM gsym g2 JOIN v1 ON v1.dim = g2.dj GROUP BY 1)
+        |SELECT e.vec_id, CAST(sum(e.g * v2.v) AS BIGINT) AS proj
+        |FROM e JOIN v2 ON v2.dim = e.dim GROUP BY 1""".stripMargin,
+    "event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |s AS (SELECT event_type, ms,
+        |    lead(event_type, 1) OVER w AS t2, lead(ms, 1) OVER w AS ms2,
+        |    lead(event_type, 2) OVER w AS t3, lead(ms, 2) OVER w AS ms3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM s
+        |WHERE t3 IS NOT NULL AND ms2 - ms <= 1800000 AND ms3 - ms2 <= 1800000
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "label_prop_communities" -> // 3 unrolled min-propagation rounds
+      s"""WITH $sharedGramEdgeCtes,
+        |adj AS MATERIALIZED (SELECT src, dst FROM p
+        |  UNION ALL SELECT dst AS src, src AS dst FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM adj),
+        |l1 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
+        |  FROM l0 l LEFT JOIN adj a ON a.dst = l.id LEFT JOIN l0 x ON x.id = a.src
+        |  GROUP BY l.id, l.label),
+        |l2 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
+        |  FROM l1 l LEFT JOIN adj a ON a.dst = l.id LEFT JOIN l1 x ON x.id = a.src
+        |  GROUP BY l.id, l.label),
+        |l3 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
+        |  FROM l2 l LEFT JOIN adj a ON a.dst = l.id LEFT JOIN l2 x ON x.id = a.src
+        |  GROUP BY l.id, l.label)
+        |SELECT id AS doc_id, label FROM l3""".stripMargin,
     "topk_freq_sketch" -> // sketch bound checked Spark-side (booleans)
       """SELECT user_id, n_exact, true AS within_bound FROM (
         |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1

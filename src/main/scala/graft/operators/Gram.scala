@@ -73,4 +73,55 @@ object Gram {
     } yield (i + 1, j + 1, tri(i * d - i * (i - 1) / 2 + (j - i)))
     rows.toDF("dim_i", "dim_j", "gram")
   }
+
+  /** PCA-style projection onto the (unnormalized) dominant spectral
+    * direction, ALL in exact integer arithmetic: the Gram matrix is
+    * computed distributed ([[upperTriangle]]), `iters` power-iteration
+    * rounds run on the driver over the d×d triangle (model-sized — µs
+    * of work), each matrix-vector entry divided by 2^`shift` (truncating) to
+    * keep magnitudes bounded, and the resulting direction broadcasts
+    * back into a codegen'd `zip_with`/`aggregate` dot product over the
+    * corpus — one extra scan, no shuffle. Power iteration converges
+    * geometrically to the top eigenvector (the PSD Gram's dominant
+    * direction is the top principal axis of the uncentered data);
+    * truncating int64 division matches integer `//` in any engine, so a fixed
+    * iteration count replays bit-for-bit (the DuckDB oracle unrolls the
+    * same two rounds as joins over the triangle).
+    *
+    * Output: (id, proj) with proj = Σ_dim g_dim · v_dim in int64. */
+  def topComponentProject(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, scale: Long, iters: Int = 2, shift: Int = 20): DataFrame = {
+    val tri = upperTriangle(spark, vectors.select(col(vecCol)), vecCol, scale)
+      .collect()
+    if (tri.isEmpty) return spark.range(0)
+      .select(lit(0L).as(idCol), lit(0L).as("proj"))
+    val d = tri.iterator.map(_.getInt(1)).max
+    val g = Array.ofDim[Long](d, d)
+    tri.foreach { r =>
+      val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2))
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    var v = Array.fill(d)(1L)
+    for (_ <- 1 to iters) {
+      val next = new Array[Long](d)
+      var i = 0
+      while (i < d) {
+        var s = 0L
+        var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }
+        next(i) = s / (1L << shift) // truncate toward zero: matches int `//`
+        i += 1
+      }
+      v = next
+    }
+    val vLit = array(v.map(lit(_)): _*)
+    vectors.select(col(idCol),
+      aggregate(
+        zip_with(
+          transform(col(vecCol),
+            x => floor(x.cast("double") * scale + lit(0.5)).cast("long")),
+          vLit, (gq, vv) => gq * vv),
+        lit(0L), (acc, x) => acc + x).as("proj"))
+  }
 }

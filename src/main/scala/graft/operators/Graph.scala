@@ -113,4 +113,54 @@ object Graph {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-round min-label propagation over an undirected edge list —
+    * the deterministic community/component detector: every node starts
+    * labeled with its own id and each round takes the min of its label
+    * and its neighbors' (label(v) ← min(label(v), min_{u∈N(v)}
+    * label(u))). After r rounds labels agree within radius-r
+    * neighborhoods; connected components are the fixpoint. min() is
+    * order-independent, so a fixed round count replays identically in
+    * any engine (no float damping, no tie-breaking randomness — the
+    * difference from classic frequency-based LPA, chosen deliberately:
+    * determinism IS the contract here).
+    *
+    * Scale shape: one keyed shuffle per round over the adjacency, same
+    * as [[pageRankInt]]; graphs measured under `driverSolveMaxEdges`
+    * solve on the driver (identical labels — min is associative), the
+    * message-passing loop remains for crawl-scale graphs. */
+  def minLabelPropagation(edges: DataFrame, rounds: Int,
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+    val adj = edges.select(explode(array(
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    if (adj.count() <= driverSolveMaxEdges) {
+      val e = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var label = e.iterator.map(_._1).toSet[Long].map(id => id -> id).toMap
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        label.foreach { case (id, l) => next(id) = l }
+        e.foreach { case (s, d) => if (label(s) < next(d)) next(d) = label(s) }
+        label = next.toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return label.toSeq.toDF("id", "label")
+    }
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (i <- 1 to rounds) {
+      val best = adj
+        .join(labels.select(col("id").as("src"), col("label").as("nl")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nl")).as("min_nl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+      if (i % ckptEvery == 0 && i < rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

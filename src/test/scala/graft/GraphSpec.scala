@@ -37,6 +37,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("min-label propagation: labels converge to component minima") {
+    // path 1-2-3-4 (radius 3 from node 1) ⊔ pair 10-11 ⊔ triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val got = Graph.minLabelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("min-label propagation: round count bounds the propagation radius") {
+    // path 1-2-3-4-5: after 1 round node 5 only sees node 4's initial label
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.minLabelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("min-label propagation: driver solve equals the distributed loop") {
+    val edges = Seq((7L, 3L), (3L, 9L), (9L, 7L), (5L, 6L)).toDF("src", "dst")
+    val small = Graph.minLabelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.minLabelPropagation(edges, rounds = 2, driverSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("orientation and duplicate edges normalize away") {
     val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val b = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")

@@ -49,6 +49,26 @@ class SketchMatrixSpec extends AnyFunSuite {
     assert(Gram.upperTriangle(spark, empty, "v", 2L).count() == 0)
   }
 
+  test("pca projection: recovers the dominant axis and is layout-invariant") {
+    // data hugely stretched along dim 2: top component ≈ e2, so the
+    // projection must order rows by their dim-2 coordinate
+    val vecs = Seq(
+      (1L, Array(0.1f, 8.0f, 0.2f)),
+      (2L, Array(0.3f, -6.0f, 0.1f)),
+      (3L, Array(-0.2f, 2.0f, 0.4f)),
+      (4L, Array(0.0f, -1.0f, -0.3f)))
+    val df = vecs.toDF("id", "v")
+    val got = Gram.topComponentProject(spark, df, "id", "v", scale = 1024L)
+      .as[(Long, Long)].collect().toMap
+    val byProj = got.toSeq.sortBy(_._2).map(_._1)
+    // sign of the direction is arbitrary but consistent: order matches
+    // dim-2 order either ascending or descending
+    assert(byProj == Seq(2L, 4L, 3L, 1L) || byProj == Seq(1L, 3L, 4L, 2L))
+    val repart = Gram.topComponentProject(spark, df.repartition(7), "id", "v", 1024L)
+      .as[(Long, Long)].collect().toMap
+    assert(repart == got)
+  }
+
   // ——— Bitmap ———
 
   test("bitmap: AND popcounts equal the exact id-set intersection") {
