@@ -1390,6 +1390,47 @@ object SparkEntry {
     graft.operators.Graph.triangleCounts(sharedGramEdges(spark, dir))
       .select(col("id").as("doc_id"), col("n_triangles"))
 
+  /** Multi-source BFS on the shared-rare-gram graph
+    * ([[graft.operators.Graph.bfsHops]], 4 rounds): hop distance from
+    * the nearest seed document (every 50th doc id) — the traversal
+    * primitive next to the propagation-style analytics, e.g. "how close
+    * is each document to a known-bad seed set". */
+  private def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.bfsHops(
+      sharedGramEdges(spark, dir),
+      Tables.documents(spark, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id")),
+      rounds = 4)
+      .select(col("id").as("doc_id"), col("hops"))
+
+  /** C4-style duplicate-block removal with reassembly
+    * ([[graft.text.Dedup.blockDedup]], 10-token blocks). */
+  private def blockDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.blockDedup(
+      Tables.documents(spark, dir), "doc_id", "text", blockTokens = 10)
+
+  /** Corpus-level trigram novelty ([[graft.text.Dedup.trigramNovelty]]). */
+  private def trigramNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.trigramNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** MERGE INTO over the orders snapshot
+    * ([[graft.operators.Snapshots.mergeInto]]): the source batch updates
+    * every 7th order (+5% in integer cents), inserts a shifted copy of
+    * every 11th, and the matched-delete clause drops matched rows whose
+    * incoming cents are ≡ 0 (mod 7). */
+  private def mergeIntoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = Tables.orders(spark, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val upd = tgt.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (col("cents") + expr("cents div 20")).as("cents"))
+    val ins = tgt.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        expr("cents div 2").as("cents"))
+    graft.operators.Snapshots.mergeInto(
+      tgt, upd.unionByName(ins), "o_orderkey", Seq("cents"),
+      deleteWhen = col("src_cents") % 7 === 0)
+  }
+
   /** BPE tokenizer training (graft.text.Bpe): 6 merge rounds over the
     * corpus' word-frequency table. The corpus-sized work is one tokenize
     * + groupBy; every round then runs over the vocabulary-sized distinct-
@@ -3412,6 +3453,10 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
     "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
     "graph_triangles" -> ((s, dir) => graphTriangles(s, dir)),
+    "bfs_hops" -> ((s, dir) => bfsHops(s, dir)),
+    "block_dedup" -> ((s, dir) => blockDedup(s, dir)),
+    "trigram_novelty" -> ((s, dir) => trigramNovelty(s, dir)),
+    "merge_into" -> ((s, dir) => mergeIntoOrders(s, dir)),
     "knn_mmr" -> ((s, dir) => knnMmr(s, dir)),
     "scd2_user_state" -> ((s, dir) => scd2UserState(s, dir)),
     "sequence_pack" -> ((s, dir) => sequencePack(s, dir)),
@@ -5465,6 +5510,65 @@ object SparkEntry {
         |  FROM deg d LEFT JOIN (SELECT a.dst AS id, sum(s.score // s.deg) AS sumc
         |    FROM adj a JOIN s2 s ON s.id = a.src GROUP BY 1) c ON c.id = d.id)
         |SELECT id AS doc_id, deg, score FROM s3""".stripMargin,
+    "bfs_hops" -> // 4 unrolled frontier-relaxation rounds from the seed set
+      s"""WITH $sharedGramEdgeCtes,
+        |adj AS MATERIALIZED (SELECT src, dst FROM p
+        |  UNION SELECT dst AS src, src AS dst FROM p),
+        |d0 AS MATERIALIZED (SELECT doc_id AS id, CAST(0 AS BIGINT) AS hops
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |d1 AS MATERIALIZED (SELECT id, min(hops) AS hops FROM (
+        |  SELECT id, hops FROM d0 UNION ALL
+        |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d0 d ON d.id = a.src) GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT id, min(hops) AS hops FROM (
+        |  SELECT id, hops FROM d1 UNION ALL
+        |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d1 d ON d.id = a.src) GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT id, min(hops) AS hops FROM (
+        |  SELECT id, hops FROM d2 UNION ALL
+        |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d2 d ON d.id = a.src) GROUP BY 1),
+        |d4 AS MATERIALIZED (SELECT id, min(hops) AS hops FROM (
+        |  SELECT id, hops FROM d3 UNION ALL
+        |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d3 d ON d.id = a.src) GROUP BY 1)
+        |SELECT id AS doc_id, hops FROM d4""".stripMargin,
+    "block_dedup" -> // corpus-wide first occurrence by (doc_id, blk_idx)
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS nb FROM t),
+        |b0 AS (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS i FROM n),
+        |b AS (SELECT doc_id, i AS blk_idx,
+        |  array_to_string(toks[i*10+1 : i*10+10], ' ') AS block FROM b0),
+        |f AS (SELECT block, min(doc_id * 1000000 + blk_idx) AS fk FROM b GROUP BY 1),
+        |k AS (SELECT b.doc_id, b.blk_idx, b.block FROM b JOIN f USING (block)
+        |  WHERE b.doc_id * 1000000 + b.blk_idx = f.fk),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(block, ' ' ORDER BY blk_idx) AS text_dedup FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY 1)
+        |SELECT d.doc_id, coalesce(tot.n_blocks, 0) AS n_blocks,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "trigram_novelty" -> // df over per-doc DISTINCT trigrams, then novel share
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
+        |tri AS (SELECT DISTINCT doc_id,
+        |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri FROM ix),
+        |df AS (SELECT tri, CAST(count(*) AS BIGINT) AS df FROM tri GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tri,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((10000 * CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS BIGINT) AS novelty_bps
+        |FROM tri JOIN df USING (tri) GROUP BY doc_id""".stripMargin,
+    "merge_into" -> // full-outer clause application: update/insert/keep, delete absent
+      """WITH tgt AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |src AS (SELECT k, cents + cents // 20 AS cents FROM tgt WHERE k % 7 = 0
+        |  UNION ALL SELECT k + 100000000, cents // 2 FROM tgt WHERE k % 11 = 0),
+        |j AS (SELECT coalesce(t.k, s.k) AS o_orderkey, t.cents AS tc, s.cents AS sc,
+        |    t.k IS NOT NULL AS in_t, s.k IS NOT NULL AS in_s
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_s THEN tc ELSE sc END AS cents,
+        |  CASE WHEN NOT in_t THEN 'insert' WHEN NOT in_s THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM j WHERE NOT (in_t AND in_s AND sc % 7 = 0)""".stripMargin,
     "graph_triangles" ->
       // each triangle x<y<z enumerated once via the oriented edge list
       s"""WITH $sharedGramEdgeCtes,

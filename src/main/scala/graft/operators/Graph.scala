@@ -114,6 +114,61 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-round multi-source BFS over an undirected edge list: hop
+    * distance from the nearest source, reported for nodes reached within
+    * `rounds` hops (sources report 0). Each round relaxes
+    * dist(v) ← min(dist(v), min_{u∈N(v)} dist(u)+1) — min() is
+    * order-independent, so a fixed round count replays identically in
+    * any engine, and after r rounds the reported distances are exact for
+    * every node within radius r of a source.
+    *
+    * Scale shape: per round, ONE keyed shuffle — the current distance
+    * table joins the adjacency on its source side (candidate messages)
+    * and a groupBy-min folds them with the carried distances. The
+    * distance table only ever holds REACHED nodes (frontier-and-settled,
+    * not all nodes), so early rounds on a 100 TB-crawl graph move a tiny
+    * fraction of the node set; the adjacency is materialized once and
+    * reused every round. Graphs measured under `driverSolveMaxEdges`
+    * solve on the driver — identical distances (min is associative), no
+    * per-round scheduler round-trips — the same policy as
+    * [[pageRankInt]] / [[minLabelPropagation]]. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+    val adj = edges.select(explode(array(
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val src0 = sources.select(col("id").cast("long").as("id")).distinct()
+    if (adj.count() <= driverSolveMaxEdges) {
+      val e = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var dist = src0.collect().map(r => r.getLong(0) -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        dist.foreach { case (id, d) => next(id) = d }
+        e.foreach { case (s, d) =>
+          dist.get(s).foreach { ds =>
+            if (!next.contains(d) || ds + 1 < next(d)) next(d) = ds + 1 }
+        }
+        dist = next.toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return dist.toSeq.toDF("id", "hops")
+    }
+    var dist = src0.withColumn("hops", lit(0L))
+    for (i <- 1 to rounds) {
+      val msgs = adj
+        .join(dist.select(col("id").as("src"), col("hops").as("dh")), Seq("src"))
+        .select(col("dst").as("id"), (col("dh") + 1).as("hops"))
+      dist = dist.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+      if (i % ckptEvery == 0 && i < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   /** Fixed-round min-label propagation over an undirected edge list —
     * the deterministic community/component detector: every node starts
     * labeled with its own id and each round takes the min of its label

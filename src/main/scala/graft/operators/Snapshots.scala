@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,49 @@ object Snapshots {
           .otherwise(lit("unchanged")))
       .filter(col("change_type") =!= "unchanged")
       .drop("__in_old", "__in_new")
+  }
+
+  /** MERGE INTO — the conditional-clause upsert of the lakehouse DML
+    * surface (ANSI SQL:2003 MERGE; Delta/Iceberg `whenMatched…`):
+    *
+    *   WHEN MATCHED AND deleteWhen(source)  THEN DELETE
+    *   WHEN MATCHED                         THEN UPDATE SET payload = source.*
+    *   WHEN NOT MATCHED [BY TARGET]         THEN INSERT source.*
+    *   WHEN NOT MATCHED BY SOURCE           THEN keep target row
+    *
+    * Distinct from [[diff]] (which classifies two snapshots) and from the
+    * changelog fold (`cdc_apply`, which replays an ordered event log):
+    * MERGE applies ONE source batch with per-clause conditions in a
+    * single pass. Implementation is the minimal shuffle for the
+    * semantics — one full-outer hash join on the key (broadcast when the
+    * source batch is small, the common case for incremental loads; with
+    * both sides bucketed on the key, shuffle-free). Emits the merged
+    * snapshot plus the action taken per surviving row ('keep' / 'update'
+    * / 'insert'); deleted rows are absent.
+    *
+    * `deleteWhen` is evaluated over the SOURCE payload columns (prefixed
+    * `src_`), matching MERGE's clause scoping. */
+  def mergeInto(target: DataFrame, source: DataFrame, keyCol: String,
+      payloadCols: Seq[String], deleteWhen: Column): DataFrame = {
+    val t = target.select(
+      col(keyCol) +: payloadCols.map(c => col(c).as(s"tgt_$c")): _*)
+    val s = source.select(
+      col(keyCol) +: payloadCols.map(c => col(c).as(s"src_$c")): _*)
+    val joined = t.withColumn("__in_tgt", lit(1))
+      .join(s.withColumn("__in_src", lit(1)), Seq(keyCol), "full_outer")
+    val out = joined
+      .withColumn("action",
+        when(col("__in_tgt").isNull, lit("insert"))
+          .when(col("__in_src").isNull, lit("keep"))
+          .when(deleteWhen, lit("delete"))
+          .otherwise(lit("update")))
+      .filter(col("action") =!= "delete")
+    out.select(
+      col(keyCol) +:
+        payloadCols.map(c =>
+          when(col("action") === "keep", col(s"tgt_$c"))
+            .otherwise(col(s"src_$c")).as(c)) :+
+        col("action"): _*)
   }
 
   def deleteInsertCycle(base: DataFrame, cutoff: Long, idCol: String = "vec_id"): DataFrame =

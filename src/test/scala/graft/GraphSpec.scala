@@ -65,6 +65,36 @@ class GraphSpec extends AnyFunSuite {
     assert(small == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("bfs hops: exact distances within the round radius, unreached absent") {
+    // path 1-2-3-4-5-6, source 1; 7-8 is a separate unreached component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, src, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfs hops: multi-source takes the nearest seed, driver == distributed") {
+    // path 1..7, sources at both ends: middle node is 3 hops from either
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val src = Seq(1L, 7L).toDF("id")
+    val small = Graph.bfsHops(edges, src, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.bfsHops(edges, src, rounds = 4, driverSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 1L, 7L -> 0L))
+  }
+
+  test("bfs hops: a source off the graph stays at hops 0 and reaches nothing") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(99L).toDF("id"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(99L -> 0L))
+  }
+
   test("orientation and duplicate edges normalize away") {
     val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val b = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")

@@ -10,6 +10,20 @@ class SnapshotDiffSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  test("mergeInto applies update/delete/insert clauses in one pass") {
+    val tgt = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    // 1 → update to 11; 2 → matched delete (v=21 ≡ 0 mod 7); 9 → insert
+    val src = Seq((1L, 11L), (2L, 21L), (9L, 90L)).toDF("k", "v")
+    val got = Snapshots.mergeInto(tgt, src, "k", Seq("v"),
+        deleteWhen = col("src_v") % 7 === 0)
+      .select(col("k"), col("v"), col("action"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((11L, "update")),
+      3L -> ((30L, "keep")),
+      9L -> ((90L, "insert"))))
+  }
+
   test("diff classifies insert/delete/update and drops unchanged rows") {
     val oldDf = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
     val newDf = Seq((2L, "b", 20L), (3L, "c", 31L), (4L, "d", 40L)).toDF("k", "s", "v")

@@ -152,4 +152,39 @@ class TextSpec extends AnyFunSuite {
       windowTokens = 5, minSpanTokens = 12, dfCap = 1000L)
     assert(full.count() == 36L) // C(9,2)
   }
+
+  test("blockDedup keeps the corpus-wide first block occurrence and reassembles") {
+    val d = Seq(
+      (1L, "a b c x y z"), // blocks (2-token): "a b", "c x", "y z"
+      (2L, "a b q r"),     // "a b" duplicates doc 1's first block
+      (3L, "q r a b")      // "q r" duplicates doc 2's second block
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d, "doc_id", "text", blockTokens = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, "a b c x y z"))) // all first occurrences
+    assert(got(2L) == ((2L, 1L, "q r")))         // "a b" first occurred in doc 1
+    assert(got(3L) == ((2L, 0L, "")))            // both blocks occurred earlier
+  }
+
+  test("blockDedup drops repeats within one document too") {
+    val d = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d, "doc_id", "text", blockTokens = 2)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got == ((1L, 3L, 2L, "a b c d")))
+  }
+
+  test("trigramNovelty: shared trigrams are non-novel, unique ones novel") {
+    val d = Seq(
+      (1L, "a b c d"),  // trigrams: "a b c", "b c d"
+      (2L, "a b c e"),  // "a b c" shared with doc 1, "b c e" unique
+      (3L, "x y")       // too short: absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.trigramNovelty(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 5000L)),
+      2L -> ((2L, 1L, 5000L))))
+  }
 }
