@@ -553,48 +553,50 @@ object Dedup {
     * corpus-wide first (ordered by (doc_id, block_idx)) is dropped and
     * each document's surviving blocks are rejoined in order.
     *
-    * Scale shape: explode to (doc_id, block_idx, block), ONE groupBy on
-    * the block key taking `min(struct(doc_id, block_idx))` (associative,
-    * no window over the whole corpus), an equi-join back on the same key
-    * (partitioning reused), and a final groupBy(doc_id) to reassemble —
-    * three hash shuffles, nothing quadratic. The struct-min keeps ids
-    * unbounded (no doc_id·C + idx key encoding to overflow). At crawl
-    * scale the block string would be replaced by its PolyHash (the
-    * [[substringSpans]] kernel) with the first occurrence keeping the
-    * text — the shuffle shape is identical.
+    * Scale shape: explode to (doc_id, block_idx, block), ONE window
+    * keyed on the block taking `min(struct(doc_id, block_idx))`, and ONE
+    * groupBy(doc_id) to reassemble — two hash shuffles, nothing
+    * quadratic. The window shuffles the occurrence table ONCE and
+    * reads it in place (sort-within-partition + spill, the same
+    * machinery a high-cardinality sort-agg uses); the alternative
+    * groupBy(block)+join-back shape pays a second shuffle of the
+    * occurrences plus either a recompute or a checkpoint of the
+    * tokenize — strictly more I/O for the same skew exposure (a
+    * boilerplate block lands in one partition either way, and neither
+    * shape buffers a group in memory). The struct-min keeps ids
+    * unbounded (no
+    * doc_id·C + idx key encoding to overflow). At crawl scale the block
+    * string would be replaced by its PolyHash (the [[substringSpans]]
+    * kernel) with the first occurrence keeping the text — the shuffle
+    * shape is identical.
     *
-    * Output: (doc_id, n_blocks, n_kept, text_dedup) for every input doc
-    * (docs losing all blocks keep an empty string). */
+    * Output: (doc_id, n_blocks, n_kept, text_dedup) per input doc; a doc
+    * losing all blocks keeps an empty string (every doc has ≥ 1 block —
+    * split of even an empty trimmed text yields one token). */
   def blockDedup(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bt = blockTokens
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
-    val occ = toks
+    // tokenize is the corpus-sized CPU work: spread it across every core
+    // first (a small fixture file scans as ONE task otherwise)
+    val occ = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("nb", expr(s"(size(toks) + ${bt - 1}) div $bt"))
-      .select(col("doc_id"), col("nb"),
+      .select(col("doc_id"),
         posexplode(when(col("nb") > 0,
           expr(s"transform(sequence(0, nb - 1), i -> array_join(slice(toks, i * $bt + 1, $bt), ' '))"))
           .otherwise(array())).as(Seq("blk_idx", "block")))
-      .localCheckpoint() // consumed by the first-occurrence agg AND the join back
-    val first = occ.groupBy(col("block"))
-      .agg(min(struct(col("doc_id"), col("blk_idx"))).as("first"))
-    val kept = occ.join(first, Seq("block"))
-      .filter(col("doc_id") === col("first.doc_id") &&
-        col("blk_idx") === col("first.blk_idx"))
-      .select(col("doc_id"), col("blk_idx"), col("block"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks")),
-        Seq("doc_id"), "left")
-      .join(kept.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(array_sort(collect_list(struct(col("blk_idx"), col("block"))))
-              .getField("block"), " ").as("text_dedup")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+    val first = min(struct(col("doc_id"), col("blk_idx")))
+      .over(Window.partitionBy(col("block")))
+    occ
+      .withColumn("kept", struct(col("doc_id"), col("blk_idx")) === first)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(array_sort(collect_list(
+            when(col("kept"), struct(col("blk_idx"), col("block")))))
+          .getField("block"), " ").as("text_dedup"))
   }
 
   /** Corpus-level trigram novelty — the Gopher-adjacent quality signal
@@ -605,23 +607,27 @@ object Dedup {
     * in NO other document (document frequency 1), and the novel share in
     * basis points (integer arithmetic, engine-replayable).
     *
-    * Scale shape: explode distinct per-doc trigrams, ONE df groupBy on
-    * the trigram key, an equi-join back on the same key, a groupBy(doc).
+    * Scale shape: explode per-doc DISTINCT trigrams (the distinct is
+    * row-local — array_distinct before the explode, no shuffle), ONE
+    * count-window on the trigram key (single shuffle of the trigram
+    * table, read in place — see [[blockDedup]] for why this beats
+    * groupBy+join-back), a groupBy(doc) — two hash shuffles total.
     * Trigram strings are carried verbatim for oracle parity at fixture
     * scale; the crawl-scale variant swaps in the streaming PolyHash
     * window kernel ([[substringSpans]] step 1) — same shuffle shape,
     * 8-byte keys. */
   def trigramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tri = docs.select(col(idCol).as("doc_id"),
+    import org.apache.spark.sql.expressions.Window
+    // spread the tokenize + explode across every core (see blockDedup)
+    val tri = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) >= 3,
-          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
           .otherwise(array())).as("tri"))
-      .distinct()
-      .localCheckpoint() // consumed by the df agg AND the join back
-    val df = tri.groupBy(col("tri")).agg(count(lit(1)).as("df"))
-    tri.join(df, Seq("tri"))
+    tri
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tri"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct_tri"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
