@@ -113,4 +113,22 @@ class PlanSpec extends AnyFunSuite {
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$name:\n$p")
     }
   }
+
+  test("block_dedup + trigram_novelty: two keyed shuffles, no join-back") {
+    for (name <- Seq("block_dedup", "trigram_novelty")) {
+      val p = planOf(name)
+      // hash shuffles: the key window + the per-doc fold (the spread-the-
+      // tokenize repartition is round-robin, not hashpartitioning)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+      // the per-doc fold partially aggregates before its shuffle
+      assert(p.contains("Window"), s"$name:\n$p")
+    }
+  }
+
+  test("merge_into: one full-outer join on the key, no extra shuffle after") {
+    val p = planOf("merge_into")
+    assert(p.contains("FullOuter"), p)
+    assert("Join".r.findAllIn(p).size >= 1, p)
+  }
 }
