@@ -3218,6 +3218,17 @@ object SparkEntry {
     graft.operators.SpaceSaving.heavyHitters(
       spark, Tables.events(spark, dir), "user_id", capacity = 64, k = 10)
 
+  /** Deterministic Munro–Paterson quantile summary over event cents —
+    * percentiles WITHOUT a global sort ([[graft.operators.QuantileSketch]]):
+    * per-partition folds tree-merged, the carried worst-case rank bound
+    * checked against the exact order statistics. */
+  private def quantileSketchEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.checkedQuantiles(
+      spark,
+      Tables.events(spark, dir)
+        .select(round(col("value") * 100).cast("long").as("cents")),
+      "cents", k = 256, qBps = Seq(1000, 2500, 5000, 7500, 9000, 9900))
+
   /** Set-intersection cardinality from mergeable HLL sketches by
     * inclusion-exclusion (|A∩B| = est(A) + est(B) − est(A∪B)) — the
     * audience-overlap question answered from per-segment KB-sized
@@ -3472,6 +3483,7 @@ object SparkEntry {
     "label_prop_communities" -> ((s, dir) => labelPropCommunities(s, dir)),
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
+    "quantile_sketch_events" -> ((s, dir) => quantileSketchEvents(s, dir)),
     "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => streamCdcApply(s, dir)),
     "stream_hopping_agg" -> ((s, dir) => streamHoppingAgg(s, dir)),
@@ -5477,6 +5489,15 @@ object SparkEntry {
         |  FROM l2 l LEFT JOIN adj a ON a.dst = l.id LEFT JOIN l2 x ON x.id = a.src
         |  GROUP BY l.id, l.label)
         |SELECT id AS doc_id, label FROM l3""".stripMargin,
+    "quantile_sketch_events" -> // sketch bound checked Spark-side (boolean)
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM v),
+        |n AS (SELECT count(*) AS n FROM v),
+        |q AS (SELECT unnest([1000, 2500, 5000, 7500, 9000, 9900]) AS q_bps)
+        |SELECT CAST(q.q_bps AS BIGINT) AS q_bps,
+        |  (SELECT cents FROM s, n WHERE r = (n.n - 1) * q.q_bps // 10000) AS exact_cents,
+        |  true AS within_bound
+        |FROM q""".stripMargin,
     "topk_freq_sketch" -> // sketch bound checked Spark-side (booleans)
       """SELECT user_id, n_exact, true AS within_bound FROM (
         |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
