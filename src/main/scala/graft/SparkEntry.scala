@@ -3257,6 +3257,38 @@ object SparkEntry {
       .toDF("n_click_users", "n_purchase_users", "n_both_exact", "within_bound")
   }
 
+  /** The quantile summary folded by the streaming ENGINE: each
+    * micro-batch builds its partition-folded sketch
+    * ([[graft.operators.QuantileSketch.summarize]]) and merges it into
+    * an atomically-swapped accumulator — the KB-sized artifact is all
+    * that crosses batches, the monitor pattern for "p99 over an
+    * unbounded stream" (bounds add across merges, so the carried
+    * guarantee survives any batch split). Validation + oracle are the
+    * batch twin's: one logical answer, two physical engines. */
+  private def streamQuantileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val cents = Tables.normalizeEventTs(raw)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.QuantileSketch.Sketch.empty(256))
+    val q = cents.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val sk = graft.operators.QuantileSketch.summarize(batch, "cents", 256)
+          acc.updateAndGet(s => s.merge(sk)); ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.QuantileSketch.checkedAgainst(
+      spark,
+      Tables.events(spark, dir)
+        .select(round(col("value") * 100).cast("long").as("v")),
+      acc.get, Seq(1000, 2500, 5000, 7500, 9000, 9900))
+  }
+
   /** The CDC fold executed by the streaming ENGINE
     * ([[graft.streaming.StreamingMetrics.cdcApplyStream]]): per-key
     * winner state via flatMapGroupsWithState in Update mode, memory sink
@@ -3486,6 +3518,7 @@ object SparkEntry {
     "quantile_sketch_events" -> ((s, dir) => quantileSketchEvents(s, dir)),
     "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => streamCdcApply(s, dir)),
+    "stream_quantile_events" -> ((s, dir) => streamQuantileEvents(s, dir)),
     "stream_hopping_agg" -> ((s, dir) => streamHoppingAgg(s, dir)),
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
@@ -5489,6 +5522,15 @@ object SparkEntry {
         |  FROM l2 l LEFT JOIN adj a ON a.dst = l.id LEFT JOIN l2 x ON x.id = a.src
         |  GROUP BY l.id, l.label)
         |SELECT id AS doc_id, label FROM l3""".stripMargin,
+    "stream_quantile_events" -> // shares the batch twin's oracle
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM v),
+        |n AS (SELECT count(*) AS n FROM v),
+        |q AS (SELECT unnest([1000, 2500, 5000, 7500, 9000, 9900]) AS q_bps)
+        |SELECT CAST(q.q_bps AS BIGINT) AS q_bps,
+        |  (SELECT cents FROM s, n WHERE r = (n.n - 1) * q.q_bps // 10000) AS exact_cents,
+        |  true AS within_bound
+        |FROM q""".stripMargin,
     "quantile_sketch_events" -> // sketch bound checked Spark-side (boolean)
       """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM v),

@@ -148,11 +148,20 @@ object QuantileSketch {
     * are the output (partition-layout independent). */
   def checkedQuantiles(spark: SparkSession, df: DataFrame, valCol: String,
       k: Int, qBps: Seq[Int]): DataFrame = {
-    import spark.implicits._
     val vals = df.select(col(valCol).cast("long").as("v")).na.drop()
       .localCheckpoint() // three passes: sketch, sorted ranks, bound counts
     // job 1: the sketch (per-partition fold, tree merge)
     val sketch = summarize(vals, "v", k)
+    checkedAgainst(spark, vals, sketch, qBps)
+  }
+
+  /** Validate an already-built sketch (batch or stream-folded) against
+    * the exact order statistics of `vals` (single `v: long` column):
+    * one distributed sort pass for the exact values, one aggregate for
+    * all rank intervals. */
+  def checkedAgainst(spark: SparkSession, vals: DataFrame, sketch: Sketch,
+      qBps: Seq[Int]): DataFrame = {
+    import spark.implicits._
     val n = sketch.n
     val targets = qBps.map(q => (n - 1) * q / 10000)
     val ests = targets.map(sketch.query)

@@ -350,4 +350,31 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(served == direct)
   }
+
+  test("streamed quantile sketch: per-batch merge counts everything, bound holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val vals = input.toDF().toDF("v")
+    val acc = new AtomicReference(graft.operators.QuantileSketch.Sketch.empty(16))
+    val q = vals.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val sk = graft.operators.QuantileSketch.summarize(batch, "v", 16)
+          acc.updateAndGet(s => s.merge(sk)); ()
+        }
+      }.start()
+    input.addData(1L to 1000L: _*)
+    q.processAllAvailable()
+    input.addData(1001L to 2000L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val s = acc.get
+    assert(s.n == 2000L)
+    // values are 1..2000: query(target)'s true 0-indexed rank is est-1
+    for (target <- Seq(0L, 999L, 1999L)) {
+      val est = s.query(target)
+      assert(math.abs((est - 1) - target) <= s.errBound,
+        s"target $target est $est bound ${s.errBound}")
+    }
+  }
 }
