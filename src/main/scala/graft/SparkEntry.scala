@@ -929,6 +929,14 @@ object SparkEntry {
     Dedup.minHashNearDup(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
 
+  /** Incremental-ingestion dedup ([[graft.text.Dedup.minHashNearDupAgainst]]):
+    * every 4th document plays the arriving increment, the rest the
+    * standing corpus. */
+  private def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupAgainst(Tables.documents(spark, dir), "doc_id", "text",
+      isNew = col("doc_id") % 4 === 0,
+      shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+
   /** Streaming MinHash near-dup run END-TO-END by the streaming engine:
     * continuous-ingestion dedup where each arriving doc is checked
     * against the prior docs sharing a banded signature bucket
@@ -3475,6 +3483,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
+    "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
     "multimodal_meta" -> ((s, dir) => multimodalMeta(s, dir)),
@@ -3721,7 +3730,7 @@ object SparkEntry {
       s"list_transform(generate_series(1, length($x)), i -> CAST(unicode($x[i]) AS BIGINT))), " +
       s"(acc, c) -> (acc * $base + c) % $mod)"
 
-  private val minhashOracle: String = {
+  private def minhashOracleWith(candWhere: String, outCols: String): String = {
     val p = graft.text.Dedup.MinHashMod
     val sigExprs = (0 until 16).map { s =>
       val a = graft.text.Dedup.minHashCoeffA(s)
@@ -3743,13 +3752,21 @@ object SparkEntry {
        |sig AS (SELECT doc_id, shingles, [${sigExprs.mkString(",\n  ")}] AS sig FROM ph),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b USING (band_idx, band_hash) WHERE a.doc_id < b.doc_id),
+       |  FROM bands a JOIN bands b USING (band_idx, band_hash) WHERE $candWhere),
        |v AS (SELECT id_a, id_b, len(list_intersect(sa.shingles, sb.shingles)) AS n_int,
        |    len(sa.shingles) AS na, len(sb.shingles) AS nb
        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-       |SELECT id_a, id_b, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp
+       |SELECT $outCols, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp
        |FROM v WHERE (n_int * 10000) // (na + nb - n_int) >= 5000""".stripMargin
   }
+
+  private val minhashOracle: String =
+    minhashOracleWith("a.doc_id < b.doc_id", "id_a, id_b")
+
+  /** Asymmetric variant: increment (doc_id ≡ 0 mod 4) vs corpus. */
+  private val minhashIncrementalOracle: String =
+    minhashOracleWith("a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0",
+      "id_a AS id_new, id_b AS id_old")
 
   /** Shared CTE prefix replaying simhash signatures (t → h → sg). */
   private val simhashSigCtes: String = {
@@ -4652,6 +4669,7 @@ object SparkEntry {
     "contamination" -> contaminationOracle,
     "domain_mix" -> domainMixOracle,
     "minhash_neardup" -> minhashOracle,
+    "incremental_neardup" -> minhashIncrementalOracle,
     "substring_dedup" ->
       // full replay: 12-token window PolyHashes WITH positions → df-cap 50
       // → position-aware hash equi-join → diagonal gaps-and-islands →

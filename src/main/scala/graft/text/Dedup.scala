@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,46 @@ object Dedup {
       .withColumn("jaccard_bp", expr("(n_int * 10000L) div (na + nb - n_int)"))
       .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_bp"))
+
+  /** Incremental (asymmetric) MinHash near-dup — dedupe an ARRIVING
+    * increment against the EXISTING corpus, the shape every continuously
+    * ingested 100 TB pipeline actually runs (the self-join variant
+    * [[minHashNearDup]] is the one-shot bootstrap). Same portable
+    * signature pipeline; the band bucket join is new×old instead of the
+    * lower-id self-join, so its cost is |increment|-proportional: the
+    * old side's bands are a persisted artifact in steady state and only
+    * the increment is shingled per run. Output: (id_new, id_old,
+    * jaccard_bp) for verified pairs ≥ threshold.
+    *
+    * `isNew` is a predicate over the id column partitioning docs into
+    * the increment (true) and the corpus (false). */
+  def minHashNearDupAgainst(docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, shingleSize: Int = 1, numHashes: Int = 16,
+      numBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val base = docs
+      .select(col(idCol), graft.functions.GraftFunctions.shingleHashes(
+        TextFunctions.tokens(col(textCol)), shingleSize).as("__sh2"))
+      .select(col(idCol), col("__sh2.ph").as("__ph"),
+        array_sort(array_distinct(col("__sh2.ih"))).as("ih"))
+      .withColumn("n_sh", size(col("ih")))
+      .localCheckpoint()
+    val coeffA = Array.tabulate(numHashes)(minHashCoeffA)
+    val coeffB = Array.tabulate(numHashes)(minHashCoeffB)
+    val bands = base.select(
+      col(idCol),
+      posexplode(graft.functions.GraftFunctions.minhashBands(
+        col("__ph"), coeffA, coeffB, numBands, MinHashMod))
+        .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
+    val candidates = bands.filter(isNew).as("a")
+      .join(bands.filter(!isNew).as("b"), Seq("band_idx", "band_hash"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    verifyJaccardSets(base.select(col(idCol), col("ih"), col("n_sh")),
+      candidates, idCol, threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard_bp"))
+  }
 
   /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
     * key (e.g. same source+lang); exact Jaccard on distinct-shingle sets.

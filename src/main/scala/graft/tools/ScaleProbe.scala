@@ -45,7 +45,13 @@ object ScaleProbe {
     "q6_forecast_revenue", "q8_market_share", "q12_ship_lag_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_late_suppliers", "q22_idle_customers")
+    "q21_late_suppliers", "q22_idle_customers",
+    // round-9 additions: linear-path by design — block/trigram shuffles
+    // are keyed, merge_into is one full-outer join, the quantile sketch
+    // moves only KB-sized artifacts. bfs_hops is excluded: its rare-gram
+    // GRAPH derivation (doc-pair blocking) is the scaling subject and is
+    // probed via pagerank/label-prop's shared edge artifact already.
+    "block_dedup", "trigram_novelty", "merge_into", "quantile_sketch_events")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

@@ -153,6 +153,17 @@ class TextSpec extends AnyFunSuite {
     assert(full.count() == 36L) // C(9,2)
   }
 
+  test("incremental near-dup: only new-vs-old pairs, no new-new or old-old") {
+    // doc 8 (new: 8 % 4 == 0) duplicates old doc 1; docs 1,2 are near-dups
+    // of each other but both OLD — must not pair
+    val got = Dedup.minHashNearDupAgainst(docs, "doc_id", "text",
+        isNew = org.apache.spark.sql.functions.col("doc_id") % 4 === 0,
+        numHashes = 16, numBands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((8L, 1L)))
+    assert(got.forall { case (n, o) => n % 4 == 0 && o % 4 != 0 })
+  }
+
   test("blockDedup keeps the corpus-wide first block occurrence and reassembles") {
     val d = Seq(
       (1L, "a b c x y z"), // blocks (2-token): "a b", "c x", "y z"
