@@ -187,4 +187,49 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).toList == List(0L, 1L)) // bins
     assert(rows.forall(!_.getBoolean(5)))
   }
+
+  test("blockDedup: doc shorter than one block, single-token doc, all-dup doc") {
+    val d = Seq((1L, "a b c"), (2L, "x"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d, "doc_id", "text", blockTokens = 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 1L, "a b c"))) // one short block, kept
+    assert(got(2L) == ((1L, 1L, "x")))
+    assert(got(3L) == ((1L, 0L, "")))      // whole doc was a dup block
+  }
+
+  test("trigramNovelty: docs under three tokens are absent, not crashed") {
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.trigramNovelty(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(3L))
+    assert(got.head == ((3L, 1L, 1L, 10000L)))
+  }
+
+  test("mergeInto: empty source keeps the target verbatim") {
+    val tgt = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val src = Seq.empty[(Long, Long)].toDF("k", "v")
+    val got = graft.operators.Snapshots
+      .mergeInto(tgt, src, "k", Seq("v"), deleteWhen = col("src_v") < 0)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "keep"), (2L, 20L, "keep")))
+  }
+
+  test("bfsHops: empty source set reaches nothing, zero rounds is the seed set") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(graft.operators.Graph.bfsHops(edges,
+      Seq.empty[Long].toDF("id"), rounds = 3).count() == 0L)
+    val r0 = graft.operators.Graph.bfsHops(edges,
+      Seq(1L).toDF("id"), rounds = 0).as[(Long, Long)].collect().toMap
+    assert(r0 == Map(1L -> 0L))
+  }
+
+  test("quantile sketch: single value, duplicates-only stream") {
+    import graft.operators.QuantileSketch.Sketch
+    val one = Sketch.empty(8).add(42L)
+    assert(one.query(0) == 42L && one.n == 1L)
+    val dup = (1 to 500).foldLeft(Sketch.empty(8))((s, _) => s.add(7L))
+    assert(dup.query(0) == 7L && dup.query(499) == 7L)
+    assert(dup.n == 500L)
+  }
 }
