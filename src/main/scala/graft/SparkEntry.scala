@@ -2322,6 +2322,33 @@ object SparkEntry {
     * (round(1e6/log2(i+1))) so DCG and IDCG are exact int64 sums on any
     * engine; IDCG ranks the query's full relevant pool capped at 10.
     * Per query: ndcg_bp = 10000·DCG div IDCG. */
+  /** Exact-integer AUC ([[graft.operators.Eval.aucBps]]) of a
+    * centroid-affinity score against the label-0 class: embeddings are
+    * grid-quantized (the BQ/SQ convention), the global centroid is the
+    * per-dim exact floor-mean (numerator made exactly divisible before
+    * the division — engine-portable), the score the integer dot against
+    * it. Mann–Whitney with tie credit, no pairwise join. */
+  private def aucLabelScore(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      when(col("label") === 0, 1L).otherwise(0L).as("pos"),
+      expr("transform(embedding, e -> cast(floor(cast(e as double) * 1048576 + 0.5) as bigint))")
+        .as("qv"))
+      .localCheckpoint() // consumed by the centroid agg AND the scoring pass
+    val cent = q.select(posexplode(col("qv")).as(Seq("d", "e")))
+      .groupBy(col("d"))
+      // exact floor-mean: subtract the positive mod so the division is
+      // exact — identical under truncating (Spark div) and flooring
+      // (DuckDB //) integer division
+      .agg(expr("(sum(e) - pmod(sum(e), count(*))) div count(*)").as("c"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val centLit = array(cent.map(lit(_)).toIndexedSeq: _*)
+    val withCent = q.withColumn("centArr", centLit).select(col("pos"),
+      expr("aggregate(zip_with(qv, centArr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .as("score"))
+    graft.operators.Eval.aucBps(withCent, "score", "pos")
+  }
+
   private def ndcgAt10(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val qLab = emb.filter(col("vec_id") % 20 === 0)
@@ -3410,6 +3437,7 @@ object SparkEntry {
     "recall_graph_delete" -> ((s, dir) => recallGraphDelete(s, dir)),
     "recall_graph_upsert" -> ((s, dir) => recallGraphUpsert(s, dir)),
     "ndcg_at_10" -> ((s, dir) => ndcgAt10(s, dir)),
+    "auc_label_score" -> ((s, dir) => aucLabelScore(s, dir)),
     "ohlc_bars" -> ((s, dir) => ohlcBars(s, dir)),
     "interval_merge" -> ((s, dir) => intervalMerge(s, dir)),
     "dq_checks" -> ((s, dir) => dqChecks(s, dir)),
@@ -4659,6 +4687,28 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
     "ndcg_at_10" -> ndcgOracle,
+    "auc_label_score" -> // full replay: quantize → floor-mean centroid → dot → Mann-Whitney
+      """WITH qv AS (SELECT vec_id,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, pos, generate_subscripts(qv, 1) AS d, unnest(qv) AS e FROM qv),
+        |ct AS (SELECT d,
+        |    (CAST(sum(e) AS BIGINT) - ((CAST(sum(e) AS BIGINT) % count(*) + count(*)) % count(*)))
+        |      // count(*) AS c
+        |  FROM ex GROUP BY 1),
+        |sc AS (SELECT vec_id, any_value(pos) AS pos, CAST(sum(e * c) AS BIGINT) AS score
+        |  FROM ex JOIN ct USING (d) GROUP BY vec_id),
+        |g AS (SELECT score AS s, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nn FROM sc GROUP BY 1),
+        |w AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(2 * np * neg_below + np * nn) AS BIGINT) AS u2,
+        |  CAST((10000 * CAST(sum(2 * np * neg_below + np * nn) AS BIGINT))
+        |    // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) AS BIGINT) AS auc_bps
+        |FROM w""".stripMargin,
     "ohlc_bars" -> ohlcOracle,
     "interval_merge" -> intervalMergeOracle,
     "dq_checks" -> dqChecksOracle,

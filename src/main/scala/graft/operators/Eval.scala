@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation over scored rows — the threshold-free
+  * complement to the per-query metrics (`ndcg_at_10`, `map_at_10`,
+  * `knn_label_mrr`). Arithmetic is exact int64 end to end (scores are
+  * pre-quantized integers; AUC is the Mann–Whitney pair count), so any
+  * engine replays the result bit-for-bit.
+  */
+object Eval {
+
+  /** EXCLUSIVE global running sum of `valCol` in `orderCol` order,
+    * WITHOUT a single-partition window: range-repartition on the order
+    * key, per-partition window prefix (parallel), plus a driver-computed
+    * per-partition offset — the driver holds ONE long per partition,
+    * never data. `orderCol` values must be unique (group rows first);
+    * range partitioning would otherwise split ties across a boundary
+    * and make "strictly below" ambiguous.
+    *
+    * The range repartition is a shuffle Spark plans anyway for a global
+    * sort; the difference from `Window.orderBy(global)` is that the
+    * prefix windows then run per partition in parallel instead of
+    * funneling 100 TB through one task. */
+  def withExclusivePrefixSum(df: DataFrame, orderCol: String, valCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      // freeze the pid assignment: the offsets aggregate and the final
+      // window must observe the SAME partitioning
+      .localCheckpoint()
+    val partSums = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valCol)).as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive offsets in pid (= range) order — RangePartitioner assigns
+    // ascending key ranges to ascending partition ids
+    var acc = 0L
+    val offsets = (0 until p).map { pid =>
+      val o = acc; acc += partSums.getOrElse(pid, 0L); pid -> o
+    }.toMap
+    val offLit = map((0 until p).flatMap(pid =>
+      Seq(lit(pid), lit(offsets(pid)))): _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn(outCol,
+        coalesce(sum(col(valCol)).over(w), lit(0L)) +
+          element_at(offLit, col("__pid")))
+      .drop("__pid")
+  }
+
+  /** Exact AUC from integer scores: Mann–Whitney with tie credit.
+    * u2 = 2·#\{(pos, neg): score_pos > score_neg\} + #\{ties\} — an
+    * integer, so auc = u2 / (2·nPos·nNeg) needs no floats until the
+    * final basis-point division.
+    *
+    * Scale shape: ONE groupBy on the score (map-side combined), the
+    * parallel prefix sum above for "negatives strictly below", one
+    * scalar aggregate. No pairwise join ever materializes — the naive
+    * formulation is nPos·nNeg pairs; this is |distinct scores| rows.
+    *
+    * `pos` must be a 0/1 integer column. Output: one row
+    * (n_pos, n_neg, u2, auc_bps). */
+  def aucBps(scored: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(posCol)).as("np"),
+        sum(lit(1L) - col(posCol)).as("nn"))
+    val pre = withExclusivePrefixSum(g, "s", "nn", "neg_below")
+    pre.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(lit(2L) * col("np") * col("neg_below") + col("np") * col("nn"))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(10000 * u2) div (2 * n_pos * n_neg)").as("auc_bps"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Eval
+
+class EvalSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("exclusive prefix sum matches the single-partition reference on unique keys") {
+    val df = Seq((5L, 10L), (1L, 1L), (3L, 100L), (9L, 7L), (2L, 2L))
+      .toDF("k", "v")
+    val got = Eval.withExclusivePrefixSum(df, "k", "v", "pre")
+      .select("k", "pre").as[(Long, Long)].collect().toMap
+    // ascending by k: 1(+1) 2(+2) 3(+100) 5(+10) 9(+7), exclusive
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 5L -> 103L, 9L -> 113L))
+  }
+
+  test("aucBps: hand-computed Mann-Whitney with ties") {
+    // pos scores {3,3,5}, neg {1,3,4}: wins = 5, ties = 2 → u2 = 12,
+    // denominator = 2·3·3 = 18 → auc = 12/18 = 0.6666…
+    val df = Seq((3L, 1L), (3L, 1L), (5L, 1L), (1L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("score", "pos")
+    val r = Eval.aucBps(df, "score", "pos").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 12L, 6666L)))
+  }
+
+  test("aucBps: perfect separation is 10000 bps, reversed is 0") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)).toDF("score", "pos")
+    assert(Eval.aucBps(perfect, "score", "pos").head().getLong(3) == 10000L)
+    val reversed = Seq((1L, 1L), (2L, 1L), (9L, 0L), (10L, 0L)).toDF("score", "pos")
+    assert(Eval.aucBps(reversed, "score", "pos").head().getLong(3) == 0L)
+  }
+}
