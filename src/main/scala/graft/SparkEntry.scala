@@ -2794,6 +2794,39 @@ object SparkEntry {
         (col("ms") - col("t_ms")).as("gap_ms"))
   }
 
+  /** Linear multi-touch attribution — the equal-credit generalization of
+    * [[attributionLastTouch]]: every purchase distributes 10 000 bps
+    * across ALL the user's click/view touches in the preceding 7 days,
+    * `10000 div n` each with the integer remainder credited to the
+    * EARLIEST touch (deterministic, so credits sum to exactly 10 000 per
+    * attributed conversion in any engine). Shape: one user-keyed band
+    * join (the [[Joins]] range-join discipline), one window over the
+    * conversion key for (n, earliest), one groupBy per touch — keyed
+    * shuffles only, nothing quadratic. */
+  private def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val horizon = 7L * 24 * 3600 * 1000
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"),
+        col("event_id").as("purchase_event"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_id").as("touch_event"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_event"))
+    val wOrd = w.orderBy(col("t_ms"), col("touch_event"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ms") <= col("p_ms") && col("t_ms") > col("p_ms") - horizon)
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("bps",
+        expr("10000 div n_touch") +
+          when(col("rn") === 1, expr("10000 - n_touch * (10000 div n_touch)"))
+            .otherwise(lit(0L)))
+      .groupBy(col("user_id"), col("touch_event"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("bps")).as("total_bps"))
+  }
+
   /** Trailing-7-day distinct users per day: the daily (day, user) set is
     * built FIRST (the only corpus-sized aggregation), then a
     * metadata-sized day grid band-joins the trailing window — the
@@ -3601,6 +3634,7 @@ object SparkEntry {
     "dynamic_pivot" -> ((s, dir) => dynamicPivot(s, dir)),
     "compaction_roundtrip" -> ((s, dir) => compactionRoundtrip(s, dir)),
     "attribution_last_touch" -> ((s, dir) => attributionLastTouch(s, dir)),
+    "attribution_linear" -> ((s, dir) => attributionLinear(s, dir)),
     "rolling_7d_users" -> ((s, dir) => rolling7dUsers(s, dir)),
     "equi_depth_histogram" -> ((s, dir) => equiDepthHistogram(s, dir)),
     "anomaly_mad" -> ((s, dir) => anomalyMad(s, dir)),
@@ -5976,6 +6010,21 @@ object SparkEntry {
         |SELECT p.user_id, p.purchase_event, t.touch_event, t.touch_type,
         |  p.ms - t.ms AS gap_ms
         |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ms >= t.ms""".stripMargin,
+    "attribution_linear" -> // equal split, integer remainder to earliest touch
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS p_ms, event_id AS purchase_event
+        |      FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_ms(ts) AS t_ms, event_id AS touch_event
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.user_id, p.purchase_event, t.touch_event, t.t_ms
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  AND t.t_ms <= p.p_ms AND t.t_ms > p.p_ms - 604800000),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY purchase_event) AS n_touch,
+        |  row_number() OVER (PARTITION BY purchase_event
+        |    ORDER BY t_ms, touch_event) AS rn FROM j)
+        |SELECT user_id, touch_event, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(10000 // n_touch + CASE WHEN rn = 1
+        |    THEN 10000 - n_touch * (10000 // n_touch) ELSE 0 END) AS BIGINT) AS total_bps
+        |FROM c GROUP BY user_id, touch_event""".stripMargin,
     "rolling_7d_users" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |grid AS (SELECT DISTINCT day AS g_day FROM daily)

@@ -27,6 +27,25 @@ class EvalSpec extends AnyFunSuite {
       ((3L, 3L, 12L, 6666L)))
   }
 
+  test("linear attribution conserves exactly 10000 bps per attributed purchase") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("attribution_linear")(spark, dir)
+    val totalBps = out.agg(sum("total_bps")).head().getLong(0)
+    // attributed purchases = purchases with ≥1 touch in the window
+    val ev = graft.sources.Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"),
+        col("event_id").as("pe"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"))
+    val attributed = p.join(t, Seq("user_id"))
+      .filter(col("t_ms") <= col("p_ms") &&
+        col("t_ms") > col("p_ms") - 604800000L)
+      .select("pe").distinct().count()
+    assert(totalBps == 10000L * attributed)
+  }
+
   test("aucBps: perfect separation is 10000 bps, reversed is 0") {
     val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)).toDF("score", "pos")
     assert(Eval.aucBps(perfect, "score", "pos").head().getLong(3) == 10000L)
