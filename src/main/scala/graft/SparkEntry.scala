@@ -854,6 +854,32 @@ object SparkEntry {
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** The practical OUTPUT of the dedup family: a per-document keep/drop
+    * decision. Duplicate clusters ([[dedupClusters]] — transitive
+    * closure of the ≥0.8-Jaccard pair graph) each elect ONE canonical
+    * representative by quality (the [[qualityScoreLinear]] linear score,
+    * ties to the lower id); unclustered docs are their own component and
+    * keep themselves. One left join + one component-keyed window — the
+    * cluster table is duplicate-sized, not corpus-sized. */
+  private def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val enStop = graft.text.TextFunctions.LangStopwords.head._2
+    val score = lit(3L) * TextFunctions.tokenCount(t) +
+      lit(20L) * TextFunctions.stopwordCount(t, enStop) -
+      lit(5L) * length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), score.cast("long").as("score"))
+    val clusters = dedupClusters(spark, dir)
+      .withColumnRenamed("id", "doc_id")
+    val full = scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("doc_id"))
+    full.withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("score"), col("keep"))
+  }
+
   /** Rare-token familiarity: per doc, the share of token OCCURRENCES
     * whose corpus document-frequency is < 5 — an integer-portable
     * out-of-vocabulary/quality signal (the engine-checkable stand-in for
@@ -3541,6 +3567,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+    "dedup_keep_list" -> ((s, dir) => dedupKeepList(s, dir)),
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
@@ -5228,6 +5255,32 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src)
         |SELECT id, min(c) AS component FROM reach GROUP BY id""".stripMargin,
+    "dedup_keep_list" -> // cluster replay + quality-argmax representative
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source, text,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM c WHERE (n_int * 10000) // (na + nb - n_int) >= 8000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS c FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src),
+        |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  3 * CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+        |  + 20 * CAST(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |  - 5 * CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT)
+        |    AS score FROM documents),
+        |f AS (SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.score
+        |  FROM q LEFT JOIN comp ON comp.id = q.doc_id)
+        |SELECT doc_id, component, score,
+        |  row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) = 1 AS keep
+        |FROM f""".stripMargin,
     "ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
