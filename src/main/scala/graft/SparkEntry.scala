@@ -1136,6 +1136,38 @@ object SparkEntry {
       (lit(3L) * nTok + lit(20L) * nStop - lit(5L) * nPunct >= 100L).as("keep"))
   }
 
+  /** Shard routing audit under a scale-out
+    * ([[graft.operators.Sampling.withRendezvousShard]]): every document
+    * routed by rendezvous hashing at 8 and at 9 shards, per-shard counts
+    * before/after plus how many keys ENTERED each shard. The HRW
+    * invariant — old shards only lose, every relocated key lands on the
+    * new shard — is emitted as a checked boolean per shard. Both
+    * assignments are row-local expressions over one scan; the only
+    * shuffle is the final 9-group count. */
+  private def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val a = graft.operators.Sampling.withRendezvousShard(
+      graft.operators.Sampling.withRendezvousShard(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", 8, "shard_before"),
+      "doc_id", 9, "shard_after")
+    a.groupBy(col("shard_after").as("shard"))
+      .agg(
+        sum(when(col("shard_before") === col("shard_after"), 0L).otherwise(1L))
+          .as("n_entered"),
+        count(lit(1)).as("n_after"))
+      .join(
+        a.groupBy(col("shard_before").as("shard"))
+          .agg(count(lit(1)).as("n_before")),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_entered"), lit(0L)).as("n_entered"),
+        // HRW: only the NEW shard (id 8) gains keys
+        (coalesce(col("n_entered"), lit(0L)) === 0L || col("shard") === 8L)
+          .as("hrw_invariant"))
+  }
+
   /** Deterministic per-group top-N sampling: exactly `n` rows per group,
     * chosen by the Knuth-mixed id hash (not data order, not an RNG) — the
     * reproducible "examples per domain" picker of eval-set builders. One
@@ -3585,6 +3617,7 @@ object SparkEntry {
     "word_lift_pairs" -> ((s, dir) => wordLiftPairs(s, dir)),
     "quality_score_linear" -> ((s, dir) => qualityScoreLinear(s, dir)),
     "group_sample" -> ((s, dir) => groupSample(s, dir)),
+    "shard_assign" -> ((s, dir) => shardAssign(s, dir)),
     "winsorized_stats" -> ((s, dir) => winsorizedStats(s, dir)),
     "rollup_agg" -> ((s, dir) => rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => cubeAgg(s, dir)),
@@ -5411,6 +5444,28 @@ object SparkEntry {
         |  FROM c GROUP BY 1, 2, 3)
         |SELECT event_type, p05_cents, p95_cents, n,
         |  (wsum - ((wsum % n + n) % n)) // n AS wins_mean_cents FROM g""".stripMargin,
+    "shard_assign" -> // rendezvous weights replayed; first-max tie like array_position
+      """WITH a AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 7), s ->
+        |    ((doc_id % 1000000007 + (s + 1) * 97003999) % 1000000007
+        |      * 2654435761) % 1000000007) AS m8,
+        |  list_transform(generate_series(0, 8), s ->
+        |    ((doc_id % 1000000007 + (s + 1) * 97003999) % 1000000007
+        |      * 2654435761) % 1000000007) AS m9
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  list_position(m8, list_max(m8)) - 1 AS shard_before,
+        |  list_position(m9, list_max(m9)) - 1 AS shard_after FROM a),
+        |aft AS (SELECT shard_after AS shard,
+        |  CAST(sum(CASE WHEN shard_before = shard_after THEN 0 ELSE 1 END) AS BIGINT) AS n_entered,
+        |  CAST(count(*) AS BIGINT) AS n_after FROM b GROUP BY 1),
+        |bef AS (SELECT shard_before AS shard, CAST(count(*) AS BIGINT) AS n_before
+        |  FROM b GROUP BY 1)
+        |SELECT coalesce(aft.shard, bef.shard) AS shard,
+        |  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+        |  coalesce(n_entered, 0) AS n_entered,
+        |  (coalesce(n_entered, 0) = 0 OR coalesce(aft.shard, bef.shard) = 8) AS hrw_invariant
+        |FROM aft FULL OUTER JOIN bef USING (shard)""".stripMargin,
     "group_sample" ->
       """WITH m AS (SELECT doc_id, lang, source,
         |  (((doc_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536

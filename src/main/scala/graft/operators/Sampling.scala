@@ -21,6 +21,26 @@ object Sampling {
     * mode — Spark 4's default — and in DuckDB), which a 100 TB id space
     * absolutely reaches. Every step stays in exact wrap-free int64
     * arithmetic, so the bucket is reproducible in any engine. */
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * deterministic router that moves the MINIMUM of keys when the shard
+    * count changes: key k goes to argmax_s weight(k, s), so adding shard
+    * S relocates exactly the keys whose new argmax IS S (≈ 1/(S+1) of
+    * them) and never shuffles a key between two old shards. Row-local
+    * integer arithmetic (Knuth-mix per (key, shard), mod a prime), so
+    * any engine replays the assignment bit-for-bit and a 100 TB table
+    * routes with zero shuffle — the expression IS the partitioner.
+    * Ties break to the lowest shard id (first position of the max). */
+  def withRendezvousShard(df: org.apache.spark.sql.DataFrame, idCol: String,
+      shards: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+    // weight(k, s) must MIX s through the multiply — an additive-only
+    // (h + s·c) % p is linear in s, so argmax follows the mod wrap and
+    // a scale-out moves ~2/S of keys instead of ~1/(S+1)
+    val p = 1000000007L
+    val ms = s"transform(sequence(0, ${shards - 1}), " +
+      s"s -> ((pmod($idCol, ${p}L) + (s + 1) * 97003999L) % ${p}L * 2654435761L) % ${p}L)"
+    df.withColumn(outCol, expr(s"array_position($ms, array_max($ms)) - 1"))
+  }
+
   def idBucket(id: Column, buckets: Int): Column = {
     val k = 2654435761L // Knuth's 2^32 / phi
     val a = pmod(id.cast("long"), lit(4294967296L)) // id mod 2^32

@@ -10,6 +10,23 @@ class SnapshotDiffSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  test("rendezvous sharding: balanced-ish, and scale-out only moves keys to the new shard") {
+    val ids = (1L to 9000L).toDF("id")
+    val a = Sampling.withRendezvousShard(
+      Sampling.withRendezvousShard(ids, "id", 8, "s8"), "id", 9, "s9")
+      .select(col("id"), col("s8"), col("s9")).collect()
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    val moved = a.filter(r => r.getLong(1) != r.getLong(2))
+    // HRW: every relocated key lands on the NEW shard (id 8) …
+    assert(moved.forall(_.getLong(2) == 8))
+    // … and roughly 1/9 of keys move (binomial tolerance)
+    assert(moved.length > 9000 / 9 / 2 && moved.length < 9000 / 9 * 2)
+    // determinism: same inputs, same assignment
+    val b = Sampling.withRendezvousShard(ids, "id", 8, "s8")
+      .select("id", "s8").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(r => b(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("mergeInto applies update/delete/insert clauses in one pass") {
     val tgt = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     // 1 → update to 11; 2 → matched delete (v=21 ≡ 0 mod 7); 9 → insert
