@@ -51,7 +51,11 @@ object ScaleProbe {
     // moves only KB-sized artifacts. bfs_hops is excluded: its rare-gram
     // GRAPH derivation (doc-pair blocking) is the scaling subject and is
     // probed via pagerank/label-prop's shared edge artifact already.
-    "block_dedup", "trigram_novelty", "merge_into", "quantile_sketch_events")
+    "block_dedup", "trigram_novelty", "merge_into", "quantile_sketch_events",
+    // linear-path: band join + windows; grouped score + parallel prefix;
+    // row-local routing. (incremental_neardup/dedup_keep_list sit on the
+    // pair-scan family the quadratic rule excludes.)
+    "attribution_linear", "auc_label_score", "shard_assign")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
