@@ -209,6 +209,53 @@ object Dedup {
         col("jaccard_bp"))
   }
 
+  /** The standing corpus' dedup artifact for the incremental path: band
+    * table + verify-set table, both keyed by id — persist these once
+    * (parquet, bucketed by band_hash / id at scale) and every future
+    * increment joins against them without re-shingling the corpus.
+    * Returns (bands, sets) with the exact schemas
+    * [[minHashNearDupAgainstArtifact]] consumes. */
+  def buildNearDupArtifact(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4)
+      : (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col(idCol), graft.functions.GraftFunctions.shingleHashes(
+        TextFunctions.tokens(col(textCol)), shingleSize).as("__sh2"))
+      .select(col(idCol), col("__sh2.ph").as("__ph"),
+        array_sort(array_distinct(col("__sh2.ih"))).as("ih"))
+      .withColumn("n_sh", size(col("ih")))
+      .localCheckpoint()
+    val coeffA = Array.tabulate(numHashes)(minHashCoeffA)
+    val coeffB = Array.tabulate(numHashes)(minHashCoeffB)
+    val bands = base.select(
+      col(idCol),
+      posexplode(graft.functions.GraftFunctions.minhashBands(
+        col("__ph"), coeffA, coeffB, numBands, MinHashMod))
+        .as(Seq("band_idx", "band_hash")))
+    (bands, base.select(col(idCol), col("ih"), col("n_sh")))
+  }
+
+  /** [[minHashNearDupAgainst]] in steady state: the increment's bands
+    * and sets are computed fresh (increment-sized work), the corpus side
+    * comes from a STORED artifact ([[buildNearDupArtifact]], e.g. read
+    * back from parquet) — no corpus re-shingle, the same cold-start
+    * discipline as the stored kNN graph (`knn_graph_stored`). */
+  def minHashNearDupAgainstArtifact(newDocs: DataFrame, idCol: String,
+      textCol: String, corpusBands: DataFrame, corpusSets: DataFrame,
+      shingleSize: Int = 1, numHashes: Int = 16, numBands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val (newBands, newSets) =
+      buildNearDupArtifact(newDocs, idCol, textCol, shingleSize, numHashes, numBands)
+    val candidates = newBands.as("a")
+      .join(corpusBands.as("b"), Seq("band_idx", "band_hash"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sets = newSets.unionByName(corpusSets).distinct()
+    verifyJaccardSets(sets, candidates, idCol, threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard_bp"))
+  }
+
   /** Blocked n-gram Jaccard dedup: candidates = pairs sharing the blocking
     * key (e.g. same source+lang); exact Jaccard on distinct-shingle sets.
     *

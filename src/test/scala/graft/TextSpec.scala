@@ -164,6 +164,27 @@ class TextSpec extends AnyFunSuite {
     assert(got.forall { case (n, o) => n % 4 == 0 && o % 4 != 0 })
   }
 
+  test("incremental near-dup from a STORED artifact equals the recompute path") {
+    import org.apache.spark.sql.functions.col
+    val isNew = col("doc_id") % 4 === 0
+    val direct = Dedup.minHashNearDupAgainst(docs, "doc_id", "text",
+        isNew = isNew, numHashes = 16, numBands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // corpus artifact written to parquet and read back — the cold start
+    val (bands, sets) = Dedup.buildNearDupArtifact(
+      docs.filter(!isNew), "doc_id", "text", numHashes = 16, numBands = 8)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_art").toString
+    bands.write.mode("overwrite").parquet(s"$dir/bands")
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    val stored = Dedup.minHashNearDupAgainstArtifact(
+        docs.filter(isNew), "doc_id", "text",
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+        numHashes = 16, numBands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == direct, s"stored $stored vs direct $direct")
+    assert(stored.exists { case (n, o, _) => n == 8L && o == 1L })
+  }
+
   test("blockDedup keeps the corpus-wide first block occurrence and reassembles") {
     val d = Seq(
       (1L, "a b c x y z"), // blocks (2-token): "a b", "c x", "y z"
