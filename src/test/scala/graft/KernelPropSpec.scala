@@ -127,4 +127,52 @@ class KernelPropSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("quantile sketch: any values, any split — n conserved, every query within the carried bound") {
+    import graft.operators.QuantileSketch.Sketch
+    val gen = for {
+      n <- Gen.choose(1, 3000)
+      vals <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      cut <- Gen.choose(0, n)
+      k <- Gen.oneOf(8, 16, 32)
+    } yield (vals, cut, k)
+    check(Prop.forAll(gen) { case (vals, cut, k) =>
+      val (l, r) = vals.splitAt(cut)
+      val s = l.foldLeft(Sketch.empty(k))(_.add(_))
+        .merge(r.foldLeft(Sketch.empty(k))(_.add(_)))
+      val sorted = vals.sorted.toIndexedSeq
+      def trueRankRange(v: Long): (Long, Long) =
+        (sorted.count(_ < v).toLong, sorted.count(_ <= v).toLong)
+      s.n == vals.length.toLong &&
+        Seq(0L, (s.n - 1) / 2, s.n - 1).forall { t =>
+          val est = s.query(t)
+          val (lo, hi) = trueRankRange(est)
+          lo - s.errBound <= t && t <= hi + s.errBound
+        }
+    })
+  }
+
+  test("rendezvous sharding: any ids, any S — scale-out only routes keys to the new shard") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      s <- Gen.choose(2, 12)
+      ids <- Gen.listOfN(400, Gen.choose(0L, Long.MaxValue / 4))
+    } yield (s, ids.distinct)
+    val p = Prop.forAll(gen) { case (s, ids) =>
+      val df = ids.toDF("id")
+      val a = graft.operators.Sampling.withRendezvousShard(
+        graft.operators.Sampling.withRendezvousShard(df, "id", s, "sa"),
+        "id", s + 1, "sb")
+        .select(col("sa"), col("sb")).collect()
+      a.forall { r =>
+        val (before, after) = (r.getLong(0), r.getLong(1))
+        before >= 0 && before < s && after >= 0 && after <= s &&
+          (before == after || after == s)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
 }
