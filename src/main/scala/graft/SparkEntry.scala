@@ -3383,6 +3383,49 @@ object SparkEntry {
       .toDF("n_click_users", "n_purchase_users", "n_both_exact", "within_bound")
   }
 
+  /** PER-GROUP quantile summaries via the native aggregate
+    * ([[graft.functions.GraftFunctions.quantileSketchAgg]]): one
+    * `groupBy(event_type)` replaces five per-group sorts — map-side
+    * partial sketches cross the shuffle as KB blobs. The emitted check:
+    * each group's estimates honor the group's carried rank bound
+    * (layout-independent), pinned against per-group exact order
+    * statistics. */
+  private def quantileSketchByType(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(2500, 5000, 9000)
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .localCheckpoint() // three consumers: sketch agg, exact ranks, bound counts
+    val qArr = array(qs.map(lit): _*)
+    val ests = ev.groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+          .quantileSketchAgg(col("cents"), 128, qs).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), col("sk.err_bound").as("err"),
+        posexplode(col("sk.ests")).as(Seq("qi", "est")))
+      .withColumn("q_bps", element_at(qArr, col("qi") + 1).cast("long"))
+      .withColumn("target", expr("(n - 1) * q_bps div 10000"))
+    val ranked = ev.withColumn("rn",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))) - 1)
+    val exact = ests.select(col("event_type"), col("q_bps"), col("target"))
+      .join(ranked, Seq("event_type"))
+      .filter(col("rn") === col("target"))
+      .select(col("event_type"), col("q_bps"), col("cents").as("exact_cents"))
+    val bounds = ests.join(ev, Seq("event_type"))
+      .groupBy(col("event_type"), col("q_bps"))
+      .agg(max(col("est")).as("est"), max(col("err")).as("err"),
+        max(col("target")).as("target"),
+        sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("n_less"),
+        sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("n_leq"))
+      .select(col("event_type"), col("q_bps"),
+        (col("n_less") - col("err") <= col("target") &&
+          col("target") <= col("n_leq") + col("err")).as("within_bound"))
+    exact.join(bounds, Seq("event_type", "q_bps"))
+      .select(col("event_type"), col("q_bps"), col("exact_cents"),
+        col("within_bound"))
+  }
+
   /** The quantile summary folded by the streaming ENGINE: each
     * micro-batch builds its partition-folded sketch
     * ([[graft.operators.QuantileSketch.summarize]]) and merges it into
@@ -3646,6 +3689,7 @@ object SparkEntry {
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
     "quantile_sketch_events" -> ((s, dir) => quantileSketchEvents(s, dir)),
+    "quantile_sketch_by_type" -> ((s, dir) => quantileSketchByType(s, dir)),
     "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => streamCdcApply(s, dir)),
     "stream_quantile_events" -> ((s, dir) => streamQuantileEvents(s, dir)),
@@ -5741,6 +5785,18 @@ object SparkEntry {
         |  (SELECT cents FROM s, n WHERE r = (n.n - 1) * q.q_bps // 10000) AS exact_cents,
         |  true AS within_bound
         |FROM q""".stripMargin,
+    "quantile_sketch_by_type" -> // per-group bound checked Spark-side (boolean)
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |q AS (SELECT unnest([2500, 5000, 9000]) AS q_bps),
+        |t AS (SELECT event_type, q_bps, (n - 1) * q_bps // 10000 AS target
+        |  FROM n CROSS JOIN q),
+        |r AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) - 1 AS rn FROM e)
+        |SELECT t.event_type, CAST(t.q_bps AS BIGINT) AS q_bps,
+        |  r.cents AS exact_cents, true AS within_bound
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.target""".stripMargin,
     "quantile_sketch_events" -> // sketch bound checked Spark-side (boolean)
       """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM v),

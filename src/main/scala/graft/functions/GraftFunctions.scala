@@ -16,6 +16,14 @@ object GraftFunctions {
         bridge.expression(dist.cast("double")),
         k).toAggregateExpression())
 
+  /** Aggregate: per-group Munro–Paterson quantile summary → struct(n,
+    * err_bound, ests[]) for the given quantiles (basis points). See
+    * [[QuantileSketchAgg]]. */
+  def quantileSketchAgg(value: Column, k: Int, qBps: Seq[Int]): Column =
+    bridge.column(
+      QuantileSketchAgg(bridge.expression(value.cast("long")), k, qBps)
+        .toAggregateExpression())
+
   /** Exact-int64 ADC table lookup — see [[PqAdcDistanceLong]]. */
   def pqAdcLong(table: Column, codes: Column, ksub: Int): Column =
     bridge.column(PqAdcDistanceLong(

@@ -98,16 +98,48 @@ object QuantileSketch {
     * [[Sketch]] but array-backed so the hot `add` path allocates
     * nothing per row (the immutable Sketch stays the merge/query/wire
     * format). */
-  final class Builder(k: Int) extends Serializable {
+  final class Builder(val k: Int) extends Serializable {
     private val cap = 2 * k
     private var n = 0L
     private var err = 0L
     private val levels = scala.collection.mutable.ArrayBuffer(
       new scala.collection.mutable.ArrayBuffer[Long](cap))
 
+    def count: Long = n
+    def errBound: Long = err
+    def levelSnapshot: IndexedSeq[IndexedSeq[Long]] = levels.map(_.toIndexedSeq).toIndexedSeq
+
     def add(v: Long): Unit = {
       levels(0) += v
       n += 1
+      compactAll()
+    }
+
+    /** Level-wise append of another builder's buffers, then re-compact —
+      * the mutable twin of [[Sketch.merge]]; bounds add. */
+    def mergeFrom(o: Builder): Unit = {
+      val os = o.levelSnapshot
+      var i = 0
+      while (i < os.length) {
+        if (i >= levels.length)
+          levels += new scala.collection.mutable.ArrayBuffer[Long](cap)
+        levels(i) ++= os(i)
+        i += 1
+      }
+      n += o.n
+      err += o.err
+      compactAll()
+    }
+
+    /** Restore one level verbatim (deserialization path). */
+    def loadLevel(i: Int, vals: Array[Long]): Unit = {
+      while (i >= levels.length)
+        levels += new scala.collection.mutable.ArrayBuffer[Long](cap)
+      levels(i) ++= vals
+    }
+    def loadCounts(n0: Long, err0: Long): Unit = { n = n0; err = err0 }
+
+    private def compactAll(): Unit = {
       var i = 0
       while (i < levels.length) {
         if (levels(i).length >= cap) {

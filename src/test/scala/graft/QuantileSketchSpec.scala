@@ -43,6 +43,31 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("native groupBy aggregate: exact when small, bound holds per group when compacted") {
+    import org.apache.spark.sql.functions._
+    // group a: 1..50 (fits k=64 buffer — exact); group b: permutation of
+    // 1..5000 at k=16 (forces compaction + cross-partition merges)
+    val rows = (1L to 50L).map(("a", _)) ++
+      (1L to 5000L).map(i => ("b", ((i * 48271L) % 5000) + 1))
+    val df = rows.toDF("g", "v").repartition(8)
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions
+        .quantileSketchAgg(col("v"), 64, Seq(0, 5000, 10000)).as("sk"))
+      .select(col("g"), col("sk.n"), col("sk.err_bound"), col("sk.ests"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    val (na, erra, estsA) = out("a")
+    assert(na == 50L && erra == 0L)
+    // targets (0-indexed): 0, (49·5000)/10000 = 24, 49 → values 1, 25, 50
+    assert(estsA == Seq(1L, 25L, 50L)) // exact order statistics below capacity
+    val (nb, errb, estsB) = out("b")
+    assert(nb == 5000L)
+    // group b values are a permutation of 1..5000: true rank of est = est-1
+    for ((est, target) <- estsB.zip(Seq(0L, 2499L, 4999L)))
+      assert(math.abs((est - 1) - target) <= errb,
+        s"est $est target $target bound $errb")
+  }
+
   test("checkedQuantiles: within_bound true on a distributed column") {
     val df = (1 to 20000).map(i => ((i * 48271L) % 20000)).toDF("v")
       .repartition(8)
