@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.index.LshIndex
@@ -62,6 +63,27 @@ object SparkEntry {
       Tables.embeddingBase(spark, dir),
       KnnK)
 
+  /** Matryoshka-truncation search (Kusupati et al. 2022, MRL): exact
+    * kNN over only the FIRST 32 of 64 dims — the nested-prefix serving
+    * pattern where a truncated embedding stands in for the full vector
+    * at half the scan bytes. Same broadcast + bounded-heap plan as
+    * [[knnExact]]; [[recallMatryoshka]] scores the quality loss against
+    * full-dim ground truth. */
+  private def knnMatryoshka(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("knn_matryoshka", dir) {
+      Knn.exact(
+        Tables.embeddingQueries(spark, dir)
+          .withColumn("q_embedding", slice(col("q_embedding"), 1, 32)),
+        Tables.embeddingBase(spark, dir)
+          .withColumn("embedding", slice(col("embedding"), 1, 32)),
+        KnnK)
+    }
+
+  /** Recall of the half-dim matryoshka search vs full-dim ground truth —
+    * the measured cost of the 2× byte saving. */
+  private def recallMatryoshka(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnMatryoshka(spark, dir), groundTruth(spark, dir), KnnK)
+
   /** Radius (range) search — FAISS `range_search`: every base vector
     * within squared-L2 1.40 of the query. The 1.40 cut keeps ~1% of all
     * pairs at fixture scale; the double fold is bit-identical to the
@@ -88,6 +110,26 @@ object SparkEntry {
     sizes.crossJoin(tot)
       .select(col("cid"), col("n_vecs"),
         expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
+  }
+
+  /** Cluster-balanced sampling: per-IVF-cell quota of 40 vectors, kept
+    * by Knuth id-hash priority — the embedding-space analog of
+    * [[domainMix]] and the SemDeDup/SSL-curation practice of flattening
+    * cluster skew so head clusters don't dominate a training mix.
+    * Assignment reuses the trained IVF centroid artifact; selection is
+    * one window per cell, deterministic in doc identity on any engine.
+    * Per cell: population, kept count, and the kept id-sum (pins the
+    * exact selection, not just its size). */
+  private def clusterBalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val asg = graft.index.IvfFlat
+      .assignments(Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir))
+    val bucket = graft.operators.Sampling.idBucket(col("vec_id"), 1000000)
+    val w = Window.partitionBy(col("cid")).orderBy(bucket, col("vec_id"))
+    asg.withColumn("rn", row_number().over(w))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= 40, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= 40, col("vec_id")).otherwise(lit(0L))).as("kept_id_sum"))
   }
 
   /** Binary (Hamming) kNN — FAISS IndexBinaryFlat over 60-bit simhash
@@ -924,6 +966,13 @@ object SparkEntry {
     graft.text.Curation.domainMix(Tables.documents(spark, dir), "doc_id",
       Seq("lang", "source"), cap = 5)
 
+  /** Water-filling token-budget allocation across sources
+    * ([[graft.text.Curation.tokenBudgetAllocation]]): half the corpus'
+    * tokens, split equally with capacity caps and redistribution. */
+  private def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.tokenBudgetAllocation(
+      Tables.documents(spark, dir), "source", "text", budgetPctBps = 5000)
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -1134,6 +1183,32 @@ object SparkEntry {
       nPunct.cast("long").as("n_punct"),
       (lit(3L) * nTok + lit(20L) * nStop - lit(5L) * nPunct).as("score"),
       (lit(3L) * nTok + lit(20L) * nStop - lit(5L) * nPunct >= 100L).as("keep"))
+  }
+
+  /** Per-language rank-normalized quality percentile — cross-lingual
+    * calibration of [[qualityScoreLinear]]'s raw score: a "keep the top
+    * 40% PER LANGUAGE" gate instead of one global threshold (the
+    * FineWeb-style per-language cut; a global cut would empty
+    * low-resource languages whose raw scores run lower). Percentile =
+    * ((rn − 1)·10000) div (n − 1) over the deterministic (score,
+    * doc_id) order — one window per language partition, exact integer
+    * arithmetic, and the language IS the natural shuffle key a corpus
+    * is already bucketed by. */
+  private def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val enStop = graft.text.TextFunctions.LangStopwords.head._2
+    val score = lit(3L) * TextFunctions.tokenCount(t) +
+      lit(20L) * TextFunctions.stopwordCount(t, enStop) -
+      lit(5L) * length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), score.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("n") > 1, expr("((rn - 1) * 10000) div (n - 1)"))
+          .otherwise(lit(10000L)).as("pct_bp"))
+      .withColumn("keep_top40", col("pct_bp") >= 6000)
   }
 
   /** Shard routing audit under a scale-out
@@ -1478,6 +1553,15 @@ object SparkEntry {
   /** Corpus-level trigram novelty ([[graft.text.Dedup.trigramNovelty]]). */
   private def trigramNovelty(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.trigramNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** EXACT global Jaccard ≥ 0.6 pairs via prefix filtering
+    * ([[graft.text.Dedup.setSimJoin]], the AllPairs/PPJoin shape) — the
+    * deterministic complement to MinHash: no blocking key, no
+    * probabilistic misses, still never all-pairs. */
+  private def setsimJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.setSimJoin(
+      Tables.documents(spark, dir), "doc_id", "text", thresholdBps = 6000)
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"))
 
   /** MERGE INTO over the orders snapshot
     * ([[graft.operators.Snapshots.mergeInto]]): the source batch updates
@@ -2106,6 +2190,21 @@ object SparkEntry {
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
       graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
       .cache())
+
+  /** Mutual (reciprocal) k-NN pairs: edges of the exact degree-16 graph
+    * present in BOTH directions — the symmetric-neighbor criterion used
+    * for near-dup image mining, RNN-descent graph pruning, and
+    * diversity-aware rerank. One equi-join of the memoized adjacency
+    * against itself on the reversed edge key; no new distance math. */
+  private def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val adj = graphAdj(spark, dir)
+    adj.as("a").join(adj.as("b"),
+      col("a.node_id") === col("b.neighbor_id") &&
+        col("a.neighbor_id") === col("b.node_id"))
+      .filter(col("a.node_id") < col("a.neighbor_id"))
+      .select(col("a.node_id").as("id_a"), col("a.neighbor_id").as("id_b"),
+        col("a.rank").as("rank_ab"), col("b.rank").as("rank_ba"))
+  }
 
   /** Graph-search recall vs exact ground truth (BASELINE graph-class
     * ladder: HNSW/NGT ≈ 0.94–0.98 at k=10). */
@@ -3458,6 +3557,35 @@ object SparkEntry {
       acc.get, Seq(1000, 2500, 5000, 7500, 9000, 9900))
   }
 
+  /** The space-saving heavy-hitter summary folded ACROSS streaming
+    * micro-batches — continuous "top talkers" monitoring: each
+    * micro-batch folds into one capacity-64 counter table
+    * ([[graft.operators.SpaceSaving]]), merged associatively into the
+    * running summary (the mergeable-summaries property that makes the
+    * sketch a streaming-native artifact); the final merged table answers
+    * the same bound-checked exact-top-10 contract as the batch
+    * `topk_freq_sketch`, whose oracle it shares. */
+  private def streamTopkFreq(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val keys = Tables.normalizeEventTs(raw).select(col("user_id"))
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.SpaceSaving.Summary.empty(64))
+    val q = keys.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val sk = graft.operators.SpaceSaving.summarize(batch, "user_id", 64)
+          acc.updateAndGet(s => s.merge(sk)); ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.SpaceSaving.checkedAgainst(
+      spark, Tables.events(spark, dir).select(col("user_id")), "user_id",
+      acc.get, k = 10)
+  }
+
   /** The CDC fold executed by the streaming ENGINE
     * ([[graft.streaming.StreamingMetrics.cdcApplyStream]]): per-key
     * winner state via flatMapGroupsWithState in Update mode, memory sink
@@ -3553,7 +3681,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
+    "knn_matryoshka" -> ((s, dir) => knnMatryoshka(s, dir)),
+    "recall_matryoshka" -> ((s, dir) => recallMatryoshka(s, dir)),
     "knn_graph_adj" -> ((s, dir) => graphAdj(s, dir)),
+    "mutual_knn_pairs" -> ((s, dir) => mutualKnnPairs(s, dir)),
     "knn_graph" -> ((s, dir) => knnGraphSearch(s, dir)),
     "knn_graph_stored" -> ((s, dir) => knnGraphStored(s, dir)),
     "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
@@ -3579,6 +3710,7 @@ object SparkEntry {
     "knn_radius" -> ((s, dir) => knnRadius(s, dir)),
     "knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
     "ivf_list_stats" -> ((s, dir) => ivfListStats(s, dir)),
+    "cluster_balance_sample" -> ((s, dir) => clusterBalanceSample(s, dir)),
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
@@ -3659,6 +3791,7 @@ object SparkEntry {
     "array_map_funcs" -> ((s, dir) => arrayMapFuncs(s, dir)),
     "word_lift_pairs" -> ((s, dir) => wordLiftPairs(s, dir)),
     "quality_score_linear" -> ((s, dir) => qualityScoreLinear(s, dir)),
+    "quality_percentile" -> ((s, dir) => qualityPercentile(s, dir)),
     "group_sample" -> ((s, dir) => groupSample(s, dir)),
     "shard_assign" -> ((s, dir) => shardAssign(s, dir)),
     "winsorized_stats" -> ((s, dir) => winsorizedStats(s, dir)),
@@ -3672,6 +3805,7 @@ object SparkEntry {
     "bfs_hops" -> ((s, dir) => bfsHops(s, dir)),
     "block_dedup" -> ((s, dir) => blockDedup(s, dir)),
     "trigram_novelty" -> ((s, dir) => trigramNovelty(s, dir)),
+    "setsim_join" -> ((s, dir) => setsimJoin(s, dir)),
     "merge_into" -> ((s, dir) => mergeIntoOrders(s, dir)),
     "knn_mmr" -> ((s, dir) => knnMmr(s, dir)),
     "scd2_user_state" -> ((s, dir) => scd2UserState(s, dir)),
@@ -3688,6 +3822,7 @@ object SparkEntry {
     "label_prop_communities" -> ((s, dir) => labelPropCommunities(s, dir)),
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
+    "stream_topk_freq" -> ((s, dir) => streamTopkFreq(s, dir)),
     "quantile_sketch_events" -> ((s, dir) => quantileSketchEvents(s, dir)),
     "quantile_sketch_by_type" -> ((s, dir) => quantileSketchByType(s, dir)),
     "hll_intersect_est" -> ((s, dir) => hllIntersectEst(s, dir)),
@@ -3724,6 +3859,7 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
     "contamination" -> ((s, dir) => contaminationScan(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
+    "token_budget_mix" -> ((s, dir) => tokenBudgetMix(s, dir)),
     "orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "events_date_partitioned" -> ((s, dir) => eventsDatePartitioned(s, dir)),
     "manifest_skip_scan" -> ((s, dir) => manifestSkipScan(s, dir)),
@@ -4805,6 +4941,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "knn_graph_adj" -> graphAdjOracle,
+    "mutual_knn_pairs" ->
+      (s"WITH $graphBaseCtes\n" +
+        """SELECT a.node_id AS id_a, a.neighbor_id AS id_b,
+          |  a.rank AS rank_ab, b.rank AS rank_ba
+          |FROM gadj a JOIN gadj b
+          |  ON a.node_id = b.neighbor_id AND a.neighbor_id = b.node_id
+          |WHERE a.node_id < a.neighbor_id""".stripMargin),
     "knn_graph" -> graphKnnOracle,
     "knn_graph_stored" -> graphKnnOracle, // stored-adjacency replay, same answer
     "recall_graph" -> graphRecallOracle,
@@ -4856,6 +4999,29 @@ object SparkEntry {
     "repetition_stats" -> repetitionOracle,
     "contamination" -> contaminationOracle,
     "domain_mix" -> domainMixOracle,
+    // water-filling replay: same sorted-prefix closed form, int64 only
+    "token_budget_mix" ->
+      """WITH d AS (SELECT source AS domain,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cap) AS BIGINT) AS total, count(*) AS n_dom FROM d),
+        |s AS (SELECT domain, cap, total, n_dom, (total * 5000) // 10000 AS budget,
+        |  CAST(coalesce(sum(cap) OVER (ORDER BY cap, domain
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumcap_b,
+        |  CAST(coalesce(count(*) OVER (ORDER BY cap, domain
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn_b
+        |  FROM d CROSS JOIN t),
+        |f AS (SELECT *, CASE WHEN cap * (n_dom - cumn_b) <= budget - cumcap_b
+        |  THEN 1 ELSE 0 END AS cond FROM s),
+        |g AS (SELECT *, min(cond) OVER (ORDER BY cap, domain
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS saturated FROM f),
+        |agg AS (SELECT CAST(coalesce(sum(CASE WHEN saturated THEN cap END), 0) AS BIGINT) AS satcap,
+        |  CAST(coalesce(sum(CASE WHEN saturated THEN 1 END), 0) AS BIGINT) AS satn FROM g)
+        |SELECT domain, cap AS cap_tokens,
+        |  CAST(CASE WHEN saturated THEN cap
+        |    ELSE (budget - satcap) // (n_dom - satn) END AS BIGINT) AS alloc_tokens,
+        |  saturated
+        |FROM g CROSS JOIN agg""".stripMargin,
     "minhash_neardup" -> minhashOracle,
     "incremental_neardup" -> minhashIncrementalOracle,
     "substring_dedup" ->
@@ -4962,6 +5128,33 @@ object SparkEntry {
         |    % 4294967296 AS mixed FROM h)
         |SELECT vec_id, label FROM m WHERE mixed % 100 < 10""".stripMargin,
     "knn_exact" -> knnOracle,
+    "knn_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding[1:32] AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.query_id
+        |           ORDER BY list_distance(q.emb, b.emb), b.vec_id
+        |         ) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b)
+        |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin,
+    "recall_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |gt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+        |  FROM q CROSS JOIN b) WHERE rank <= 10),
+        |pr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_distance(CAST(q.embedding[1:32] AS DOUBLE[]), CAST(b.embedding[1:32] AS DOUBLE[])), b.vec_id) AS rank
+        |  FROM q CROSS JOIN b) WHERE rank <= 10),
+        |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+        |total AS (SELECT count(*) AS n_gt FROM gt)
+        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin,
     "stream_knn_search" -> knnOracle, // micro-batched union == batch answer
     "knn_graph_upsert" -> graphUpsertKnnOracle,
     "knn_graph_delete" -> graphDeleteKnnOracle,
@@ -5003,6 +5196,18 @@ object SparkEntry {
         |SELECT s.cid, s.n_vecs,
         |  CAST((tot.nl * tot.ss * 10000) // (tot.n * tot.n) AS BIGINT) AS imbalance_bp
         |FROM sizes s CROSS JOIN tot""".stripMargin),
+    "cluster_balance_sample" -> (
+      s"""WITH $ivfTrainCtes,
+        |h AS (SELECT vec_id, cid, vec_id % 4294967296 AS a FROM ab),
+        |m AS (SELECT vec_id, cid,
+        |  (((a >> 16) * 2654435761) % 65536 * 65536 + (a & 65535) * 2654435761)
+        |    % 4294967296 % 1000000 AS bucket FROM h),
+        |r AS (SELECT cid, vec_id,
+        |  row_number() OVER (PARTITION BY cid ORDER BY bucket, vec_id) AS rn FROM m)
+        |SELECT cid, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 40 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY 1""".stripMargin),
     "knn_grouped" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
         |b AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
@@ -5366,6 +5571,15 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
         |p AS (SELECT id_a, id_b, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp FROM c)
         |SELECT id_a, id_b, jaccard_bp FROM p WHERE jaccard_bp >= 5000""".stripMargin,
+    // exact semantics = all-pairs Jaccard (fine at oracle scale); the
+    // Spark side must reach the same rows through the prefix filter
+    "setsim_join" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp FROM c)
+        |SELECT id_a, id_b, jaccard_bp FROM p WHERE jaccard_bp >= 6000""".stripMargin,
     "embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
@@ -5472,6 +5686,20 @@ object SparkEntry {
         |  3 * n_tok + 20 * n_stop - 5 * n_punct AS score,
         |  3 * n_tok + 20 * n_stop - 5 * n_punct >= 100 AS keep
         |FROM f""".stripMargin,
+    "quality_percentile" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  3 * CAST(len(toks) AS BIGINT)
+        |  + 20 * CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |  - 5 * CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS score
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM f)
+        |SELECT doc_id, lang, score,
+        |  CAST(CASE WHEN n > 1 THEN ((rn - 1) * 10000) // (n - 1) ELSE 10000 END AS BIGINT) AS pct_bp,
+        |  CASE WHEN n > 1 THEN ((rn - 1) * 10000) // (n - 1) ELSE 10000 END >= 6000 AS keep_top40
+        |FROM r""".stripMargin,
     "winsorized_stats" ->
       """WITH e AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
         |r AS (SELECT event_type, cents,
@@ -5807,6 +6035,10 @@ object SparkEntry {
         |  true AS within_bound
         |FROM q""".stripMargin,
     "topk_freq_sketch" -> // sketch bound checked Spark-side (booleans)
+      """SELECT user_id, n_exact, true AS within_bound FROM (
+        |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+        |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,
+    "stream_topk_freq" -> // same contract, summary folded by the stream
       """SELECT user_id, n_exact, true AS within_bound FROM (
         |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
         |  ORDER BY n_exact DESC, user_id LIMIT 10)""".stripMargin,

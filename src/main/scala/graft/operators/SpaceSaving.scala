@@ -90,11 +90,19 @@ object SpaceSaving {
     * guarantee `n_exact ≤ est ≤ n_exact + N/capacity`. Booleans, not
     * estimates, are the output — partition-layout independent. */
   def heavyHitters(spark: SparkSession, df: DataFrame, keyCol: String,
-      capacity: Int, k: Int): DataFrame = {
+      capacity: Int, k: Int): DataFrame =
+    checkedAgainst(spark, df, keyCol, summarize(df, keyCol, capacity), k)
+
+  /** Bound-check a PREBUILT summary (e.g. one folded across streaming
+    * micro-batches) against the exact top-k of `df`. The N/capacity
+    * slack survives any merge tree: per-partition floors are pure
+    * overestimation and merge adds them, so the combined error is still
+    * ≤ (Σ batch sizes)/capacity = N/capacity. */
+  def checkedAgainst(spark: SparkSession, df: DataFrame, keyCol: String,
+      summary: Summary, k: Int): DataFrame = {
     import spark.implicits._
-    val summary = summarize(df, keyCol, capacity)
     val n = df.count()
-    val slack = n / capacity
+    val slack = n / summary.capacity
     val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col(keyCol)).limit(k).collect()
     exact.toSeq.map { r =>

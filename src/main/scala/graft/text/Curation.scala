@@ -142,6 +142,55 @@ object Curation {
         sum(when(col("__rn") <= cap, col(idCol)).otherwise(lit(0L))).as("kept_id_sum"))
   }
 
+  /** Token-budget allocation across domains by WATER-FILLING — the
+    * mixture step of LLM pre-training data curation: a global token
+    * budget (budgetPctBps of the corpus) is split equally across
+    * domains, but no domain can contribute more tokens than it has;
+    * capacity freed by small (saturated) domains is redistributed
+    * equally among the rest. Closed form, no iteration: sort domains by
+    * capacity ascending — the saturated set is then a prefix, found by
+    * the progressive check capᵢ·(remaining domains) ≤ remaining budget —
+    * and every unsaturated domain gets the same floor share of what the
+    * saturated prefix left over.
+    *
+    * Scale: the per-domain capacities are one aggregate of the corpus
+    * (shuffle keyed by domain); everything after runs on the
+    * METADATA-sized domain table (single-partition windows over tens of
+    * rows — deliberate, not a bottleneck). Exact int64 arithmetic end to
+    * end, so any engine replays it bit-for-bit. Output: (domain,
+    * cap_tokens, alloc_tokens, saturated). */
+  def tokenBudgetAllocation(docs: DataFrame, domainCol: String,
+      textCol: String, budgetPctBps: Int): DataFrame = {
+    val caps = docs
+      .select(col(domainCol).as("domain"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__nt")).as("cap"))
+    val totals = caps.agg(sum(col("cap")).as("total"),
+      count(lit(1)).as("n_dom"))
+    val byCap = Window.orderBy(col("cap"), col("domain"))
+    val before = byCap.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = caps.crossJoin(totals)
+      .withColumn("budget", expr(s"(total * $budgetPctBps) div 10000"))
+      .withColumn("cumcap_b", coalesce(sum(col("cap")).over(before), lit(0L)))
+      .withColumn("cumn_b", count(lit(1)).over(before))
+      .withColumn("cond",
+        (col("cap") * (col("n_dom") - col("cumn_b")) <=
+          col("budget") - col("cumcap_b")).cast("int"))
+      // saturation must be a prefix of the sort order: prefix-AND the check
+      .withColumn("saturated",
+        min(col("cond")).over(byCap.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    val satTotals = flagged.filter(col("saturated"))
+      .agg(coalesce(sum(col("cap")), lit(0L)).as("satcap"),
+        count(lit(1)).as("satn"))
+    flagged.crossJoin(satTotals)
+      .select(col("domain"), col("cap").as("cap_tokens"),
+        when(col("saturated"), col("cap"))
+          .otherwise(expr("(budget - satcap) div (n_dom - satn)"))
+          .as("alloc_tokens"),
+        col("saturated"))
+  }
+
   /** Boilerplate detection (the C4 repeated-line rule): a sentence that
     * appears in `minDf`+ DISTINCT documents is boilerplate (headers,
     * footers, cookie banners); each document reports its sentence count

@@ -169,6 +169,72 @@ object Dedup {
       .filter(col("jaccard_bp") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_bp"))
 
+  /** EXACT global set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin shape of Vernica et al., SIGMOD'10 ("Efficient
+    * Parallel Set-Similarity Joins Using MapReduce"). Unlike
+    * [[minHashNearDup]] (probabilistic candidates) and
+    * [[ngramJaccardBlocked]] (exact but only within (lang, source)
+    * blocks), this finds EVERY pair with Jaccard ≥ τ corpus-wide, with
+    * no all-pairs stage:
+    *
+    *   1. canonical global token order = ascending document frequency
+    *      (ties by token hash) — rare tokens first;
+    *   2. each doc emits only its PREFIX under that order
+    *      (p = n − ⌈τ·n⌉ + 1 tokens): two sets with Jaccard ≥ τ must
+    *      share a prefix token (the prefix-filter theorem), and because
+    *      prefixes hold the RAREST tokens, the candidate equi-join on
+    *      token fans out least where df is highest;
+    *   3. length filter (τ·max ≤ min) and the PPJoin positional upper
+    *      bound (1 + min(na−ra, nb−rb) ≥ minimal overlap) prune
+    *      candidates before any pair is verified;
+    *   4. survivors verify with the exact sorted-merge intersect kernel.
+    *
+    * Every stage is a map, an equi-join on a derived key, or a bounded
+    * window — the 100 TB shape. Output: (id_a, id_b, jaccard_bp) with
+    * id_a < id_b and jaccard_bp ≥ thresholdBps. */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+      thresholdBps: Int = 6000): DataFrame = {
+    // unigram token sets as sorted distinct 60-bit hashes — the same
+    // streaming kernel + intersect domain the MinHash verify stage uses
+    val base = docs
+      .select(col(idCol), graft.functions.GraftFunctions.shingleHashes(
+        TextFunctions.tokens(col(textCol)), 1)("ih").as("__ih"))
+      .select(col(idCol), array_sort(array_distinct(col("__ih"))).as("ih"))
+      .withColumn("n_sh", size(col("ih")))
+      .localCheckpoint() // feeds df counts, prefixes, AND the verify join
+    val toks = base.select(col(idCol).as("id"), col("n_sh").as("n"),
+      explode(col("ih")).as("th"))
+    val dfCounts = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    // rank tokens per doc by (df, th); keep only the safe prefix:
+    // p = n − ⌈τ·n⌉ + 1 (⌈τ·n⌉ in exact integer arithmetic)
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("df"), col("th"))
+    val prefixes = toks.join(dfCounts, Seq("th"))
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= col("n") - expr(
+        s"(($thresholdBps * n + 9999) div 10000)") + lit(1))
+      .select(col("th"), col("id"), col("n"), col("r"))
+      .localCheckpoint() // both sides of the candidate self-join
+    val minOverlap = // ⌈τ/(1+τ)·(na+nb)⌉ — the overlap any τ-pair needs
+      expr(s"(($thresholdBps * (na + nb) + ${10000 + thresholdBps} - 1)" +
+        s" div ${10000 + thresholdBps})")
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"), Seq("th"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.r").as("ra"), col("b.r").as("rb"))
+      // length filter: Jaccard ≥ τ forces τ·max(na,nb) ≤ min(na,nb)
+      .filter(col("na") * 10000 >= col("nb") * thresholdBps &&
+        col("nb") * 10000 >= col("na") * thresholdBps)
+      // positional filter: overlap ≤ 1 + min(remaining after the match)
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= minOverlap)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccardSets(base.select(col(idCol), col("ih"), col("n_sh")),
+      candidates, idCol, thresholdBps / 10000.0)
+  }
+
   /** Incremental (asymmetric) MinHash near-dup — dedupe an ARRIVING
     * increment against the EXISTING corpus, the shape every continuously
     * ingested 100 TB pipeline actually runs (the self-join variant

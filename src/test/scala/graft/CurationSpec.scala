@@ -9,6 +9,35 @@ class CurationSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  test("token budget water-filling: hand-computed allocation and invariants") {
+    // capacities: a=2, b=6, c=20, d=20 tokens (total 48); budget 50% = 24.
+    // Sorted asc: a(2): 2*4=8 ≤ 24 → saturated. b(6): 6*3=18 ≤ 22 →
+    // saturated. c(20): 20*2=40 ≤ 16? no. So a,b keep all 8; c,d split
+    // floor(16/2)=8 each. Expected: a→2, b→6, c→8, d→8.
+    val docs = Seq(
+      ("a", "t1 t2"), ("b", "t1 t2 t3 t4 t5 t6"),
+      ("c", Seq.tabulate(20)(i => s"c$i").mkString(" ")),
+      ("d", Seq.tabulate(20)(i => s"d$i").mkString(" "))
+    ).toDF("source", "text")
+    val out = Curation.tokenBudgetAllocation(docs, "source", "text", 5000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((2L, 2L, true)))
+    assert(out("b") == ((6L, 6L, true)))
+    assert(out("c") == ((20L, 8L, false)))
+    assert(out("d") == ((20L, 8L, false)))
+    // invariants: alloc ≤ cap everywhere; Σalloc ≤ budget
+    assert(out.values.forall { case (cap, al, _) => al <= cap })
+    assert(out.values.map(_._2).sum <= 24L)
+  }
+
+  test("token budget: oversized budget saturates every domain") {
+    val docs = Seq(("x", "a b c"), ("y", "d e")).toDF("source", "text")
+    val out = Curation.tokenBudgetAllocation(docs, "source", "text", 10000)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("x" -> 3L, "y" -> 2L))
+  }
+
   test("pii redaction counts and scrubs emails and long numbers") {
     val docs = Seq(
       (1L, "contact me at alice@example.com or bob@test.org thanks"),

@@ -53,6 +53,26 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("setSimJoin equals brute-force exact Jaccard at every threshold") {
+    // brute force over all pairs of the toy corpus
+    def jacBps(a: String, b: String): Long = {
+      val sa = a.trim.split("\\s+").toSet
+      val sb = b.trim.split("\\s+").toSet
+      val i = (sa & sb).size.toLong
+      i * 10000L / (sa.size + sb.size - i)
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (bps <- Seq(3000, 6000, 8000)) {
+      val expected = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        j = jacBps(ta, tb) if j >= bps
+      } yield (ia, ib, j)).toSet
+      val got = Dedup.setSimJoin(docs, "doc_id", "text", bps)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"threshold $bps")
+    }
+  }
+
   test("simhash: identical docs have zero hamming distance, near-dups small") {
     val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
