@@ -112,6 +112,39 @@ object SparkEntry {
         expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
   }
 
+  /** Index ADVISOR — the cost-based physical-design step: from the one
+    * measured statistic that matters (base cardinality n) and each
+    * registered index family's fixed configuration, the closed-form
+    * per-query cost of serving k-NN through it — distance computations
+    * and bytes touched — and the min-bytes winner. The formulas mirror
+    * the ACTUAL registered configs: exact scan (n full vectors),
+    * IVF-Flat (8 centroids + nprobe 2 of 8 cells), graph search (n/16
+    * seed scores + 3 hops × beam 32 × degree 16), BQ (n 8-byte Hamming
+    * words + 100 full-vector reranks). Recall per family is measured
+    * separately by the recall_* queries — this emits the cost side of
+    * that trade, all in exact integer arithmetic. */
+  private def indexAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val strategies = explode(array(
+      struct(lit("exact").as("strategy"),
+        expr("n").as("est_comps"), expr("n * 256").as("est_bytes")),
+      struct(lit("ivf_flat").as("strategy"),
+        expr("8 + (n * 2) div 8").as("est_comps"),
+        expr("8 * 256 + ((n * 2) div 8) * 256").as("est_bytes")),
+      struct(lit("graph").as("strategy"),
+        expr("n div 16 + 1536").as("est_comps"),
+        expr("(n div 16 + 1536) * 256").as("est_bytes")),
+      struct(lit("bq").as("strategy"),
+        expr("n + 100").as("est_comps"),
+        expr("n * 8 + 100 * 256").as("est_bytes"))))
+    Tables.embeddingBase(spark, dir)
+      .agg(count(lit(1)).as("n"))
+      .select(strategies.as("s"))
+      .select(col("s.strategy"), col("s.est_comps"), col("s.est_bytes"))
+      .withColumn("chosen",
+        col("est_bytes") === min(col("est_bytes")).over(
+          Window.partitionBy(lit(1))))
+  }
+
   /** Cluster-balanced sampling: per-IVF-cell quota of 40 vectors, kept
     * by Knuth id-hash priority — the embedding-space analog of
     * [[domainMix]] and the SemDeDup/SSL-curation practice of flattening
@@ -404,6 +437,26 @@ object SparkEntry {
   /** Integer-PQ recall vs exact ground truth in basis points (⊕). */
   private def recallPqFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnPqFlat(spark, dir), groundTruth(spark, dir), KnnK)
+
+  /** PQ codebook health: per-subquantizer codeword populations and the
+    * same FAISS imbalance factor [[ivfListStats]] reports for IVF lists
+    * (nl·Σs²/n² in basis points, per sub_id). Dead or hot codewords
+    * inflate quantization error and skew the ADC join — this is the
+    * introspection that says WHEN to retrain, computed from the encoded
+    * base artifact with one aggregate. */
+  private def pqCodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = pqFlatModel(spark, dir).encodedBase
+      .groupBy(col("sub_id").cast("long").as("sub_id"),
+        col("code").cast("long").as("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.groupBy(col("sub_id")).agg(
+      sum(col("n_vecs")).as("n"),
+      sum(col("n_vecs") * col("n_vecs")).as("ss"),
+      count(lit(1)).as("nl"))
+    sizes.join(tot, Seq("sub_id"))
+      .select(col("sub_id"), col("code"), col("n_vecs"),
+        expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
+  }
 
   private val fvecsCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1004,6 +1057,30 @@ object SparkEntry {
     Dedup.minHashNearDup(Tables.documents(spark, dir), "doc_id", "text",
       shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
 
+  /** Measured quality of the MinHash-LSH candidate generator: recall of
+    * [[minhashNearDup]]'s verified pairs against EXACT ground truth from
+    * the prefix-filtered set-similarity join
+    * ([[graft.text.Dedup.setSimJoin]], same 3-gram shingle domain, same
+    * τ = 0.5). Precision is 1 by construction (candidates are
+    * exact-verified); recall is what the 16-hash/4-band config actually
+    * buys — the "measure, don't guess" number that justifies (or
+    * indicts) a banding schedule before it runs on 100 TB. */
+  private def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gt = Dedup.setSimJoin(docs, "doc_id", "text",
+      thresholdBps = 5000, shingleSize = 3).select(col("id_a"), col("id_b"))
+    val found = Dedup.minHashNearDup(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    gt.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(gt.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_found"),
+        when(col("n_exact") > 0, expr("(n_hits * 10000) div n_exact"))
+          .otherwise(lit(10000L)).as("recall_bp"))
+  }
+
   /** Incremental-ingestion dedup ([[graft.text.Dedup.minHashNearDupAgainst]]):
     * every 4th document plays the arriving increment, the rest the
     * standing corpus. */
@@ -1543,6 +1620,16 @@ object SparkEntry {
         .select(col("doc_id").as("id")),
       rounds = 4)
       .select(col("id").as("doc_id"), col("hops"))
+
+  /** 2-core peeling of the shared-gram document graph
+    * ([[graft.operators.Graph.kCorePeel]], 4 rounds): strips the
+    * tree-like fringe so only documents embedded in CYCLES of near-dup
+    * relations remain — the dense template/boilerplate clusters worth a
+    * human look, vs leaf nodes that merely touch one. peel_round says
+    * WHEN each doc fell (0 = survived). */
+  private def kcoreSharedGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCorePeel(sharedGramEdges(spark, dir), k = 2, rounds = 4)
+      .select(col("id").as("doc_id"), col("peel_round"))
 
   /** C4-style duplicate-block removal with reassembly
     * ([[graft.text.Dedup.blockDedup]], 10-token blocks). */
@@ -3711,6 +3798,7 @@ object SparkEntry {
     "knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
     "ivf_list_stats" -> ((s, dir) => ivfListStats(s, dir)),
     "cluster_balance_sample" -> ((s, dir) => clusterBalanceSample(s, dir)),
+    "index_advisor" -> ((s, dir) => indexAdvisor(s, dir)),
     "knn_exact_window" -> ((s, dir) => knnExactWindow(s, dir)),
     "knn_grouped" -> ((s, dir) => knnGrouped(s, dir)),
     "approx_distinct_parts" -> ((s, dir) => approxDistinctParts(s, dir)),
@@ -3728,6 +3816,7 @@ object SparkEntry {
     "recall_ivf_flat" -> ((s, dir) => recallIvfFlat(s, dir)),
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
+    "pq_code_stats" -> ((s, dir) => pqCodeStats(s, dir)),
     "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
     "knn_ivfpq_part" -> ((s, dir) => knnIvfPqPartitioned(s, dir)),
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
@@ -3778,6 +3867,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
+    "lsh_quality" -> ((s, dir) => lshQuality(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -3803,6 +3893,7 @@ object SparkEntry {
     "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
     "graph_triangles" -> ((s, dir) => graphTriangles(s, dir)),
     "bfs_hops" -> ((s, dir) => bfsHops(s, dir)),
+    "kcore_sharedgrams" -> ((s, dir) => kcoreSharedGrams(s, dir)),
     "block_dedup" -> ((s, dir) => blockDedup(s, dir)),
     "trigram_novelty" -> ((s, dir) => trigramNovelty(s, dir)),
     "setsim_join" -> ((s, dir) => setsimJoin(s, dir)),
@@ -4032,7 +4123,10 @@ object SparkEntry {
       s"list_transform(generate_series(1, length($x)), i -> CAST(unicode($x[i]) AS BIGINT))), " +
       s"(acc, c) -> (acc * $base + c) % $mod)"
 
-  private def minhashOracleWith(candWhere: String, outCols: String): String = {
+  /** CTE prefix replaying the MinHash pipeline through banding:
+    * t → sh (distinct 3-gram shingles) → ph → sig (16 seeded mins) →
+    * bands (4 bands × 4 rows, 31-fold band hash). */
+  private lazy val minhashBandCtes: String = {
     val p = graft.text.Dedup.MinHashMod
     val sigExprs = (0 until 16).map { s =>
       val a = graft.text.Dedup.minHashCoeffA(s)
@@ -4046,13 +4140,17 @@ object SparkEntry {
       }
       s"SELECT doc_id, shingles, $b AS band_idx, $e AS band_hash FROM sig"
     }.mkString("\n", "\nUNION ALL ", "")
-    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS shingles FROM t),
        |ph AS (SELECT doc_id, shingles,
        |  list_transform(shingles, x -> ${duckPolyHash("x", 257L, p)}) AS phs FROM sh),
        |sig AS (SELECT doc_id, shingles, [${sigExprs.mkString(",\n  ")}] AS sig FROM ph),
-       |bands AS ($bandSelects),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private def minhashOracleWith(candWhere: String, outCols: String): String =
+    s"""WITH $minhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band_idx, band_hash) WHERE $candWhere),
        |v AS (SELECT id_a, id_b, len(list_intersect(sa.shingles, sb.shingles)) AS n_int,
@@ -4060,7 +4158,31 @@ object SparkEntry {
        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
        |SELECT $outCols, (n_int * 10000) // (na + nb - n_int) AS jaccard_bp
        |FROM v WHERE (n_int * 10000) // (na + nb - n_int) >= 5000""".stripMargin
-  }
+
+  /** LSH-vs-exact recall: the banded pipeline's verified pairs against
+    * the all-pairs exact Jaccard ≥ 0.5 set on the same shingle domain. */
+  private lazy val lshQualityOracle: String =
+    s"""WITH $minhashBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_hash) WHERE a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, len(list_intersect(sa.shingles, sb.shingles)) AS n_int,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+       |fd AS (SELECT id_a, id_b FROM v
+       |  WHERE (n_int * 10000) // (na + nb - n_int) >= 5000),
+       |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
+       |    len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |gt AS (SELECT id_a, id_b FROM ex
+       |  WHERE (n_int * 10000) // (na + nb - n_int) >= 5000),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN fd USING (id_a, id_b)),
+       |tot AS (SELECT count(*) AS n_exact FROM gt),
+       |nf AS (SELECT count(*) AS n_found FROM fd)
+       |SELECT n_exact, n_found,
+       |  CAST(CASE WHEN n_exact > 0 THEN (n_hits * 10000) // n_exact
+       |    ELSE 10000 END AS BIGINT) AS recall_bp
+       |FROM tot CROSS JOIN nf CROSS JOIN hits""".stripMargin
 
   private val minhashOracle: String =
     minhashOracleWith("a.doc_id < b.doc_id", "id_a, id_b")
@@ -5023,6 +5145,7 @@ object SparkEntry {
         |  saturated
         |FROM g CROSS JOIN agg""".stripMargin,
     "minhash_neardup" -> minhashOracle,
+    "lsh_quality" -> lshQualityOracle,
     "incremental_neardup" -> minhashIncrementalOracle,
     "substring_dedup" ->
       // full replay: 12-token window PolyHashes WITH positions → df-cap 50
@@ -5074,6 +5197,15 @@ object SparkEntry {
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
+    "pq_code_stats" -> (
+      s"""WITH $pqFlatCtes,
+        |sizes AS (SELECT CAST(sub_id AS BIGINT) AS sub_id,
+        |  CAST(code AS BIGINT) AS code, count(*) AS n_vecs FROM enc GROUP BY 1, 2),
+        |tot AS (SELECT sub_id, sum(n_vecs) AS n, sum(n_vecs * n_vecs) AS ss,
+        |  count(*) AS nl FROM sizes GROUP BY 1)
+        |SELECT s.sub_id, s.code, s.n_vecs,
+        |  CAST((t.nl * t.ss * 10000) // (t.n * t.n) AS BIGINT) AS imbalance_bp
+        |FROM sizes s JOIN tot t USING (sub_id)""".stripMargin),
     "knn_ivfpq" -> ivfPqKnnOracle,
     "knn_ivfpq_part" -> ivfPqKnnOracle, // same logical answer, file-pruned plan
     "recall_ivfpq" -> ivfPqRecallOracle,
@@ -5196,6 +5328,17 @@ object SparkEntry {
         |SELECT s.cid, s.n_vecs,
         |  CAST((tot.nl * tot.ss * 10000) // (tot.n * tot.n) AS BIGINT) AS imbalance_bp
         |FROM sizes s CROSS JOIN tot""".stripMargin),
+    "index_advisor" ->
+      """WITH s AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 20 <> 0),
+        |c AS (
+        |  SELECT 'exact' AS strategy, n AS est_comps, n * 256 AS est_bytes FROM s
+        |  UNION ALL SELECT 'ivf_flat', 8 + (n * 2) // 8, 8 * 256 + ((n * 2) // 8) * 256 FROM s
+        |  UNION ALL SELECT 'graph', n // 16 + 1536, (n // 16 + 1536) * 256 FROM s
+        |  UNION ALL SELECT 'bq', n + 100, n * 8 + 100 * 256 FROM s)
+        |SELECT strategy, CAST(est_comps AS BIGINT) AS est_comps,
+        |  CAST(est_bytes AS BIGINT) AS est_bytes,
+        |  est_bytes = (SELECT min(est_bytes) FROM c) AS chosen
+        |FROM c""".stripMargin,
     "cluster_balance_sample" -> (
       s"""WITH $ivfTrainCtes,
         |h AS (SELECT vec_id, cid, vec_id % 4294967296 AS a FROM ab),
@@ -6090,6 +6233,29 @@ object SparkEntry {
         |  SELECT id, hops FROM d3 UNION ALL
         |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d3 d ON d.id = a.src) GROUP BY 1)
         |SELECT id AS doc_id, hops FROM d4""".stripMargin,
+    "kcore_sharedgrams" -> { // 4 unrolled degree-peel rounds at k=2
+      val rounds = (1 to 4).map { r =>
+        val (np, ap) = (s"n${r - 1}", s"adj${r - 1}")
+        s"""dm$r AS MATERIALIZED (SELECT n.id FROM $np n LEFT JOIN (
+           |  SELECT src AS id, count(*) AS c FROM $ap GROUP BY 1) d USING (id)
+           |  WHERE coalesce(d.c, 0) < 2),
+           |n$r AS MATERIALIZED (SELECT id FROM $np
+           |  WHERE id NOT IN (SELECT id FROM dm$r)),
+           |adj$r AS MATERIALIZED (SELECT src, dst FROM $ap
+           |  WHERE src NOT IN (SELECT id FROM dm$r)
+           |    AND dst NOT IN (SELECT id FROM dm$r))""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 4).map(r =>
+        s"SELECT id AS doc_id, CAST($r AS BIGINT) AS peel_round FROM dm$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH $sharedGramEdgeCtes,
+        |adj0 AS MATERIALIZED (SELECT src, dst FROM p
+        |  UNION SELECT dst AS src, src AS dst FROM p),
+        |n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM adj0),
+        |$rounds
+        |$unions
+        |UNION ALL SELECT id AS doc_id, CAST(0 AS BIGINT) AS peel_round FROM n4""".stripMargin
+    },
     "block_dedup" -> // corpus-wide first occurrence by (doc_id, blk_idx)
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS nb FROM t),

@@ -218,4 +218,45 @@ object Graph {
     }
     labels
   }
+
+  /** Fixed-round k-core PEELING over an undirected edge list: each round
+    * removes every node whose current degree is < k together with its
+    * edges (Matula–Beck peeling, bounded to `rounds` synchronized
+    * sweeps — the Pregel-style formulation; the survivors after
+    * convergence are exactly the k-core, and after a fixed budget a
+    * deterministic superset). Output: (id, peel_round) — the round the
+    * node was removed in (1-based), 0 for survivors. Every round is one
+    * degree aggregate + two anti-joins keyed by node id; the edge set
+    * only shrinks, so the per-round cost is monotonically decreasing —
+    * the right shape for the power-law graphs where peeling removes
+    * most of the tail in round 1. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj0 = edges.select(explode(array(
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var live = adj0
+    var nodes = adj0.select(col("src").as("id")).distinct().localCheckpoint()
+    var removed = Seq.empty[(Long, Long)].toDF("id", "peel_round")
+    for (r <- 1 to rounds) {
+      val deg = live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // left join, not inner: a node whose every neighbor was peeled has
+      // NO live edges left — absent from deg, but still must be removed
+      val doomed = nodes.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("id")).localCheckpoint()
+      removed = removed.unionByName(
+        doomed.select(col("id"), lit(r.toLong).as("peel_round")))
+      nodes = nodes.join(doomed, Seq("id"), "left_anti").localCheckpoint()
+      live = live
+        .join(doomed.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(doomed.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint()
+    }
+    removed.unionByName(nodes.select(col("id"), lit(0L).as("peel_round")))
+  }
 }

@@ -193,15 +193,31 @@ object Dedup {
     * window — the 100 TB shape. Output: (id_a, id_b, jaccard_bp) with
     * id_a < id_b and jaccard_bp ≥ thresholdBps. */
   def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
-      thresholdBps: Int = 6000): DataFrame = {
-    // unigram token sets as sorted distinct 60-bit hashes — the same
+      thresholdBps: Int = 6000, shingleSize: Int = 1): DataFrame = {
+    // shingle sets as sorted distinct 60-bit hashes — the same
     // streaming kernel + intersect domain the MinHash verify stage uses
+    // (note the prefix length grows as τ drops: exact low-threshold
+    // joins are inherently heavier, which is the measured trade the
+    // LSH quality query quantifies)
     val base = docs
       .select(col(idCol), graft.functions.GraftFunctions.shingleHashes(
-        TextFunctions.tokens(col(textCol)), 1)("ih").as("__ih"))
+        TextFunctions.tokens(col(textCol)), shingleSize)("ih").as("__ih"))
       .select(col(idCol), array_sort(array_distinct(col("__ih"))).as("ih"))
       .withColumn("n_sh", size(col("ih")))
       .localCheckpoint() // feeds df counts, prefixes, AND the verify join
+    // MEASURED algorithm choice (the cost-based move an engine makes,
+    // not a guess): template/log corpora have tiny alphabets that gut
+    // prefix filtering — every "rare" token still occurs in thousands
+    // of prefixes and the candidate join goes quadratic (measured 24 s
+    // at sf0.1 where the fixture vocabulary is 31 tokens). When the
+    // distinct-shingle alphabet fits in 64 symbols, a token set IS a
+    // 64-bit mask: the exact join collapses to popcount arithmetic
+    // over the distinct masks. take(65) short-circuits the probe —
+    // a real corpus blows past 64 immediately and pays ~nothing.
+    val alphabet = base.select(explode(col("ih")).as("th")).distinct().take(65)
+    if (alphabet.length <= 64)
+      return setSimJoinBitmask(base, idCol, thresholdBps,
+        alphabet.map(_.getLong(0)))
     val toks = base.select(col(idCol).as("id"), col("n_sh").as("n"),
       explode(col("ih")).as("th"))
     val dfCounts = toks.groupBy(col("th")).agg(count(lit(1)).as("df"))
@@ -233,6 +249,49 @@ object Dedup {
       .distinct()
     verifyJaccardSets(base.select(col(idCol), col("ih"), col("n_sh")),
       candidates, idCol, thresholdBps / 10000.0)
+  }
+
+  /** Small-alphabet fast path of [[setSimJoin]]: with ≤ 64 distinct
+    * shingles corpus-wide, each document's shingle set is one int64
+    * BITMASK; |A∩B| = popcount(a AND b) and the exact join runs over
+    * DISTINCT masks only — no explode, no window, no array intersects.
+    * The distinct-mask table is alphabet-bounded (≤ min(docs, 2⁶⁴) and
+    * in template/log corpora orders of magnitude below the doc count),
+    * so it broadcasts and the mask-pair scan is a local
+    * broadcast-nested-loop of integer ops; doc-level pairs come from
+    * two membership equi-joins against the qualifying mask pairs, plus
+    * the intra-mask groups (identical sets, Jaccard exactly 1). */
+  private def setSimJoinBitmask(base: DataFrame, idCol: String,
+      thresholdBps: Int, alphabet: Array[Long]): DataFrame = {
+    // hash → its bit VALUE (1L << index) — the map literal does the shift
+    val bitOf = map(alphabet.sorted.toIndexedSeq.zipWithIndex.flatMap {
+      case (h, i) => Seq(lit(h), lit(1L << i))
+    }: _*)
+    val masks = base
+      .select(col(idCol), aggregate(col("ih"), lit(0L),
+        (acc, h) => acc.bitwiseOR(element_at(bitOf, h)))
+        .as("mask"))
+      .localCheckpoint() // feeds the distinct-mask table AND both expansions
+    val dm = masks.select(col("mask")).distinct()
+      .withColumn("n", bit_count(col("mask")).cast("long"))
+    val maskPairs = dm.as("x").join(broadcast(dm.as("y")),
+        col("x.mask") < col("y.mask"))
+      .select(col("x.mask").as("mask_a"), col("y.mask").as("mask_b"),
+        bit_count(col("x.mask").bitwiseAND(col("y.mask"))).cast("long").as("inter"),
+        col("x.n").as("nx"), col("y.n").as("ny"))
+      .withColumn("jaccard_bp", expr("(inter * 10000L) div (nx + ny - inter)"))
+      .filter(col("jaccard_bp") >= thresholdBps)
+      .select(col("mask_a"), col("mask_b"), col("jaccard_bp"))
+    val cross = maskPairs
+      .join(masks.select(col(idCol).as("__ida"), col("mask").as("mask_a")), Seq("mask_a"))
+      .join(masks.select(col(idCol).as("__idb"), col("mask").as("mask_b")), Seq("mask_b"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("jaccard_bp"))
+    val intra = masks.as("p").join(masks.as("q"),
+        col("p.mask") === col("q.mask") && col(s"p.$idCol") < col(s"q.$idCol"))
+      .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
+        lit(10000L).as("jaccard_bp"))
+    cross.unionByName(intra)
   }
 
   /** Incremental (asymmetric) MinHash near-dup — dedupe an ARRIVING

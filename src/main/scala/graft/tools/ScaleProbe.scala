@@ -55,7 +55,17 @@ object ScaleProbe {
     // linear-path: band join + windows; grouped score + parallel prefix;
     // row-local routing. (incremental_neardup/dedup_keep_list sit on the
     // pair-scan family the quadratic rule excludes.)
-    "attribution_linear", "auc_label_score", "shard_assign")
+    "attribution_linear", "auc_label_score", "shard_assign",
+    // round-10 additions: one keyed aggregate + metadata-sized windows
+    // (token_budget_mix, index_advisor), one window per partition key
+    // (quality_percentile, cluster_balance_sample), one aggregate over
+    // the encoded artifact (pq_code_stats), sketch fold (stream_topk_
+    // freq's batch twin). setsim_join/lsh_quality/mutual_knn_pairs/
+    // kcore_sharedgrams sit on the pair-scan/graph families the
+    // quadratic rule excludes (their scaling subject is the candidate
+    // join, probed via the minhash/pagerank artifacts already).
+    "token_budget_mix", "quality_percentile", "cluster_balance_sample",
+    "index_advisor", "pq_code_stats", "topk_freq_sketch")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

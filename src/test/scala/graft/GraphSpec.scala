@@ -95,6 +95,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(99L -> 0L))
   }
 
+  test("k-core peel: triangle survives, tail peels outward round by round") {
+    // triangle 1-2-3 plus tail 3-4-5: round 1 removes 5 (deg 1),
+    // round 2 removes 4 (its only remaining edge died with 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCorePeel(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("k-core peel: an isolated pair is fully peeled in round 1") {
+    val edges = Seq((10L, 11L)).toDF("src", "dst")
+    val got = Graph.kCorePeel(edges, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L))
+  }
+
   test("orientation and duplicate edges normalize away") {
     val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val b = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")

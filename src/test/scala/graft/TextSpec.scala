@@ -53,24 +53,44 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
-  test("setSimJoin equals brute-force exact Jaccard at every threshold") {
-    // brute force over all pairs of the toy corpus
-    def jacBps(a: String, b: String): Long = {
-      val sa = a.trim.split("\\s+").toSet
-      val sb = b.trim.split("\\s+").toSet
-      val i = (sa & sb).size.toLong
-      i * 10000L / (sa.size + sb.size - i)
-    }
-    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
-    for (bps <- Seq(3000, 6000, 8000)) {
+  private def jacBps(a: String, b: String): Long = {
+    val sa = a.trim.split("\\s+").toSet
+    val sb = b.trim.split("\\s+").toSet
+    val i = (sa & sb).size.toLong
+    i * 10000L / (sa.size + sb.size - i)
+  }
+
+  private def assertSetSimMatchesBruteForce(
+      corpus: org.apache.spark.sql.DataFrame, thresholds: Seq[Int]): Unit = {
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (bps <- thresholds) {
       val expected = (for {
         (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
         j = jacBps(ta, tb) if j >= bps
       } yield (ia, ib, j)).toSet
-      val got = Dedup.setSimJoin(docs, "doc_id", "text", bps)
+      val got = Dedup.setSimJoin(corpus, "doc_id", "text", bps)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == expected, s"threshold $bps")
     }
+  }
+
+  test("setSimJoin (small alphabet: bitmask path) equals brute force") {
+    // the toy corpus has < 64 distinct words → exercises the mask path
+    assertSetSimMatchesBruteForce(docs, Seq(3000, 6000, 8000))
+  }
+
+  test("setSimJoin (large alphabet: prefix-filter path) equals brute force") {
+    // > 64 distinct tokens forces the df-ordered prefix join; overlapping
+    // sliding windows over a 90-token vocabulary plant real near-dups
+    val big = (0 until 30).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i * 3 + j) % 90}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val bigDf = {
+      import spark.implicits._
+      big.toDF("doc_id", "text")
+    }
+    assertSetSimMatchesBruteForce(bigDf, Seq(2000, 5000, 7000))
   }
 
   test("simhash: identical docs have zero hamming distance, near-dups small") {
