@@ -327,6 +327,31 @@ object SparkEntry {
   private def recallIvfFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnIvfFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
+  /** FILTERED IVF search — predicate-composable index serving (the
+    * filtered-ANN feature of the Milvus/FAISS family,
+    * `/root/reference/dynamic_script_milvus.py`'s collection schema
+    * carries exactly such metadata fields): the label predicate prunes
+    * the inverted lists BEFORE any float distance — the probe join scans
+    * selectivity × nprobe/nlist of the corpus. Pre-filtering, not
+    * post-filtering: a k-limit can't recover recall a late filter threw
+    * away. The model is the standard full-corpus one; only serving
+    * composes the predicate. */
+  private def knnIvfFiltered(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("ivf_filtered", dir) {
+      graft.index.IvfFlat.search(ivfFlatModel(spark, dir),
+        Tables.embeddingQueries(spark, dir),
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 20 =!= 0 && col("label").isin(0, 1, 2))
+          .select(col("vec_id"), col("embedding")),
+        KnnK, nprobe = 6)
+    }
+
+  /** Filtered-IVF recall vs the exact FILTERED ground truth
+    * ([[knnFiltered]]) — measures what cell pruning costs under a
+    * predicate, where per-cell survivor counts are thinner. */
+  private def recallIvfFiltered(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnIvfFiltered(spark, dir), knnFiltered(spark, dir), KnnK)
+
   /** Index survives D1 upsert without retrain (the FAISS `add_with_ids`
     * semantics): the coarse quantizer is fit on the 80% pre-insert
     * snapshot; the upserted 20% is assigned to the EXISTING cells at
@@ -3809,6 +3834,8 @@ object SparkEntry {
     "knn_cosine" -> ((s, dir) => knnCosine(s, dir)),
     "knn_label_mrr" -> ((s, dir) => knnLabelMrr(s, dir)),
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
+    "knn_ivf_filtered" -> ((s, dir) => knnIvfFiltered(s, dir)),
+    "recall_ivf_filtered" -> ((s, dir) => recallIvfFiltered(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "knn_ivf_upsert" -> ((s, dir) => knnIvfUpsert(s, dir)),
     "zorder_range_scan" -> ((s, dir) => zorderRangeScan(s, dir)),
@@ -4414,6 +4441,34 @@ object SparkEntry {
   private val ivfCtePieces: (String, String) = ivfCtesFor("true")
   private def ivfTrainCtes: String = ivfCtePieces._1
   private def ivfFlatCtes: String = ivfCtePieces._2
+
+  /** Filtered-serving scored CTE: the standard full-corpus model, the
+    * candidate join restricted to label ∈ {0,1,2} BEFORE ranking. */
+  private val ivfFilteredScoredCtes: String =
+    s"""$ivfFlatCtes,
+       |flt AS (SELECT vec_id FROM embeddings WHERE label IN (0, 1, 2)),
+       |fscored AS (SELECT p.query_id, ab.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), ab.vec_id) AS INTEGER) AS rank
+       |  FROM probes p JOIN ab ON ab.cid = p.cid
+       |  JOIN flt ON flt.vec_id = ab.vec_id
+       |  JOIN b ON b.vec_id = ab.vec_id JOIN q ON q.query_id = p.query_id)""".stripMargin
+
+  private val ivfFilteredKnnOracle: String =
+    s"WITH $ivfFilteredScoredCtes\n" +
+      "SELECT query_id, neighbor_id, rank FROM fscored WHERE rank <= 10"
+
+  private val ivfFilteredRecallOracle: String =
+    s"""WITH $ivfFilteredScoredCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b JOIN flt ON flt.vec_id = b.vec_id) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   /** Index-survives-upsert oracle: centroids trained on the 80% pre-insert
     * snapshot, assignment + probe + rerank over the full post-insert one. */
@@ -5178,6 +5233,8 @@ object SparkEntry {
     "knn_lsh" -> lshKnnOracle,
     "recall_lsh" -> lshRecallOracle,
     "knn_ivf_flat" -> ivfFlatKnnOracle,
+    "knn_ivf_filtered" -> ivfFilteredKnnOracle,
+    "recall_ivf_filtered" -> ivfFilteredRecallOracle,
     "knn_ivf_flat_part" -> ivfFlatKnnOracle, // same logical answer, file-pruned plan
     "knn_ivf_upsert" -> ivfUpsertKnnOracle,
     "zorder_range_scan" ->

@@ -131,4 +131,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
     assert("Join".r.findAllIn(p).size >= 1, p)
   }
+
+  test("setsim_join (bitmask path): no sort-merge join, mask pairs via broadcast NL") {
+    // the fixture alphabet is < 64 symbols → the mask path must engage:
+    // the pair scan is a broadcast nested-loop over distinct masks and
+    // nothing explodes tokens into a sort-merge join
+    val p = planOf("setsim_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("knn_ivf_filtered: label predicate is pushed to the parquet scan") {
+    val p = planOf("knn_ivf_filtered")
+    assert(p.contains("PushedFilters") && p.contains("In(label"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cluster_balance_sample + quality_percentile: one keyed window shuffle each") {
+    for (name <- Seq("cluster_balance_sample", "quality_percentile")) {
+      val p = planOf(name)
+      assert(p.contains("Window"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("token_budget_mix: corpus aggregate shuffles once; windows run on the domain table") {
+    val p = planOf("token_budget_mix")
+    // the only data-sized exchange is the domain groupBy; everything
+    // after operates on the metadata-sized domain table
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+  }
 }
