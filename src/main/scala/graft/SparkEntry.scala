@@ -974,6 +974,27 @@ object SparkEntry {
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** Near-dup-aware (LEAKAGE-SAFE) train/test split: the split unit is
+    * the duplicate CLUSTER, not the document — a test doc whose
+    * near-duplicate sits in train is benchmark contamination by
+    * construction. Every doc takes its component's min-id
+    * representative ([[dedupClusters]]; unclustered docs represent
+    * themselves) and the deterministic Knuth id-hash routes the
+    * REPRESENTATIVE, so an entire cluster lands on one side — asserted
+    * as an invariant in EdgeCaseSpec. Same 80/20 rule as
+    * `train_test_split`, upgraded with the dedup artifact. */
+  private def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClusters(spark, dir)
+      .select(col("id").as("doc_id"), col("component"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(graft.operators.Sampling.idBucket(col("component"), 100) < 80,
+          lit("train")).otherwise(lit("test")))
+  }
+
   /** The practical OUTPUT of the dedup family: a per-document keep/drop
     * decision. Duplicate clusters ([[dedupClusters]] — transitive
     * closure of the ≥0.8-Jaccard pair graph) each elect ONE canonical
@@ -3890,6 +3911,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => docFingerprint(s, dir)),
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+    "leakage_safe_split" -> ((s, dir) => leakageSafeSplit(s, dir)),
     "dedup_keep_list" -> ((s, dir) => dedupKeepList(s, dir)),
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
@@ -5737,6 +5759,29 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src)
         |SELECT id, min(c) AS component FROM reach GROUP BY id""".stripMargin,
+    "leakage_safe_split" -> // cluster replay + representative-hash routing
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM c WHERE (n_int * 10000) // (na + nb - n_int) >= 8000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS c FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src),
+        |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id),
+        |rep AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+        |h AS (SELECT doc_id, component, component % 4294967296 AS a FROM rep)
+        |SELECT doc_id, component,
+        |  CASE WHEN (((a >> 16) * 2654435761) % 65536 * 65536
+        |    + (a & 65535) * 2654435761) % 4294967296 % 100 < 80
+        |  THEN 'train' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "dedup_keep_list" -> // cluster replay + quality-argmax representative
       """WITH RECURSIVE t AS (SELECT doc_id, lang, source, text,
         |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),

@@ -70,6 +70,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    // optional: probe only the named queries (args 3+) — re-timing the
+    // whole list costs ~an hour; incremental rounds probe their delta
+    val only = args.drop(2).toSet
     val outDir = "target/scaleprobe"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -124,9 +127,11 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     // warmup both paths once so codegen/IO caches don't bias either side
-    ProbeQueries.foreach { q => time(q, srcDir); time(q, outDir) }
+    val probed =
+      if (only.isEmpty) ProbeQueries else ProbeQueries.filter(only.contains)
+    probed.foreach { q => time(q, srcDir); time(q, outDir) }
     System.gc()
-    val rows = ProbeQueries.map { q =>
+    val rows = probed.map { q =>
       val t1 = math.min(time(q, srcDir), time(q, srcDir))
       System.gc()
       val tn = math.min(time(q, outDir), time(q, outDir))
@@ -161,7 +166,7 @@ object ScaleProbe {
       System.err.println(f"[probe] $label%-24s 1x=$t1%6.2fs ${n}x=$tn%6.2fs ratio=$ratio%5.2f")
       s""""$label":{"t1":$t1,"tn":$tn,"ratio":$ratio}"""
     }
-    val vecRows = Seq(
+    val vecRows = if (only.nonEmpty) Seq.empty else Seq(
       timeVec("knn_brute_fixedq", dir =>
         graft.operators.Knn.exact(fixedQueries(dir), baseOf(dir), 10)),
       timeVec("knn_ivf_fixedq", { dir =>

@@ -232,4 +232,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(dup.query(0) == 7L && dup.query(499) == 7L)
     assert(dup.n == 500L)
   }
+
+  test("leakage_safe_split: no duplicate cluster straddles the split") {
+    val out = SparkEntry.queries("leakage_safe_split")(spark, "/root/testdata/sf0.001")
+    val straddling = out.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_sides"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_sides") > 1)
+    assert(straddling.count() == 0)
+    // and the split is a real partition: both sides populated
+    val sides = out.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "test"))
+  }
 }
