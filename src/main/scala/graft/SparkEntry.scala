@@ -165,6 +165,52 @@ object SparkEntry {
         sum(when(col("rn") <= 40, col("vec_id")).otherwise(lit(0L))).as("kept_id_sum"))
   }
 
+  /** Embedding-table data-quality gate — the `dq_checks` sibling for
+    * the vector column: zero vectors (dead rows a cosine metric divides
+    * by), dimension drift, and the exact-integer norm range on the
+    * 2²⁰ quantization grid (a float norm would hash differently per
+    * engine; the grid norm is replayable). One map + one aggregate. */
+  private def embeddingDq(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+      .select(size(col("qv")).as("dim"),
+        aggregate(col("qv"), lit(0L), (a, e) => a + e * e).as("nsq"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nsq") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("nsq")).as("min_norm_sq_q"),
+        max(col("nsq")).as("max_norm_sq_q"),
+        sum(when(col("dim") === 64, 0L).otherwise(1L)).as("n_bad_dim"))
+
+  /** Index MAINTENANCE: split the hottest inverted list in two — the
+    * action [[ivfListStats]]' imbalance alarm calls for (FAISS re-trains
+    * wholesale; splitting touches ONLY the fat cell's rows). The
+    * largest cell (ties to the lower cid) trains a deterministic
+    * 2-means on its own members with the same integer-Lloyd trainer as
+    * the parent model, its rows re-assign to the sub-centroids
+    * published as new cids nlist and nlist+1, and the output is the
+    * post-split list census with the new imbalance factor. At 100 TB
+    * this is one partition-pruned scan of the hot list, not a corpus
+    * re-train. */
+  private def ivfSplitHotCell(spark: SparkSession, dir: String): DataFrame = {
+    val cs = ivfFlatModel(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val asg = graft.index.IvfFlat.assignments(base, cs).localCheckpoint()
+    val hot = asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cid")).select(col("cid")).first().getInt(0)
+    val cellBase = base.join(
+      asg.filter(col("cid") === hot).select(col("vec_id")), Seq("vec_id"))
+    val sub = graft.index.IvfFlat.fit(cellBase, nlist = 2)
+    val subAsg = graft.index.IvfFlat.assignments(cellBase, sub)
+      .select(col("vec_id"), (col("cid") + cs.length).as("cid"))
+    val sizes = asg.filter(col("cid") =!= hot).unionByName(subAsg)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).as("n"),
+      sum(col("n_vecs") * col("n_vecs")).as("ss"), count(lit(1)).as("nl"))
+    sizes.crossJoin(tot)
+      .select(col("cid"), col("n_vecs"),
+        expr("(nl * ss * 10000) div (n * n)").as("imbalance_bp"))
+  }
+
   /** Binary (Hamming) kNN — FAISS IndexBinaryFlat over 60-bit simhash
     * signatures: top-10 docs by popcount(xor) distance. Signatures are
     * materialized once (they feed both the broadcast query side and the
@@ -2344,6 +2390,33 @@ object SparkEntry {
   private def recallGraph(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnGraphSearch(spark, dir), groundTruth(spark, dir), KnnK)
 
+  /** Recall LADDER for the graph index — recall@1/5/10 in one query
+    * (the standard ANN evaluation curve; @1 is the "exact hit" serving
+    * bar, @10 the batch-retrieval bar). Re-scores the one memoized
+    * search against the one cached ground truth three times — scoring
+    * is join-aggregate arithmetic, the search is never re-run. */
+  private def recallCurveGraph(spark: SparkSession, dir: String): DataFrame =
+    Seq(1, 5, 10).map { k =>
+      Recall.recallBasisPoints(
+        knnGraphSearch(spark, dir), groundTruth(spark, dir), k)
+        .withColumn("k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * counts and probabilities (bps) of prev_type → type steps — the
+    * product-analytics companion of [[eventPaths]]'s path mining. One
+    * keyed window (user) + one tiny aggregate (|types|² rows). */
+  private def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_bp", expr(
+        "(n * 10000) div sum(n) over (partition by prev_type)"))
+  }
+
   private val graphStoredCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Graph index persisted as a TABLE and served from the stored copy —
@@ -3821,6 +3894,7 @@ object SparkEntry {
     "knn_graph" -> ((s, dir) => knnGraphSearch(s, dir)),
     "knn_graph_stored" -> ((s, dir) => knnGraphStored(s, dir)),
     "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
+    "recall_curve_graph" -> ((s, dir) => recallCurveGraph(s, dir)),
     "nnd_graph_adj" -> ((s, dir) => nndAdj(s, dir)),
     "nnd_graph_quality" -> ((s, dir) => nndGraphQuality(s, dir)),
     "knn_graph_nnd" -> ((s, dir) => knnGraphNnd(s, dir)),
@@ -3857,6 +3931,8 @@ object SparkEntry {
     "knn_ivf_flat" -> ((s, dir) => knnIvfFlat(s, dir)),
     "knn_ivf_filtered" -> ((s, dir) => knnIvfFiltered(s, dir)),
     "recall_ivf_filtered" -> ((s, dir) => recallIvfFiltered(s, dir)),
+    "ivf_split_hot_cell" -> ((s, dir) => ivfSplitHotCell(s, dir)),
+    "embedding_dq" -> ((s, dir) => embeddingDq(s, dir)),
     "knn_ivf_flat_part" -> ((s, dir) => knnIvfFlatPartitioned(s, dir)),
     "knn_ivf_upsert" -> ((s, dir) => knnIvfUpsert(s, dir)),
     "zorder_range_scan" -> ((s, dir) => zorderRangeScan(s, dir)),
@@ -3959,6 +4035,7 @@ object SparkEntry {
     "embedding_gram" -> ((s, dir) => embeddingGram(s, dir)),
     "pca_power_project" -> ((s, dir) => pcaPowerProject(s, dir)),
     "event_paths" -> ((s, dir) => eventPaths(s, dir)),
+    "event_transitions" -> ((s, dir) => eventTransitions(s, dir)),
     "label_prop_communities" -> ((s, dir) => labelPropCommunities(s, dir)),
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
@@ -4491,6 +4568,48 @@ object SparkEntry {
        |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
        |total AS (SELECT count(*) AS n_gt FROM gt)
        |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
+  /** Hot-cell split replay: hot = fattest list, deterministic 2-means
+    * over ITS members (same init/Lloyd/rounding as the parent model —
+    * mirrors ivfCtesFor's stepSql with `ss`-prefixed CTE names), new
+    * cids 8/9, post-split census + imbalance. */
+  private val ivfSplitOracle: String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    def step(n: Int, prev: String): String =
+      s"""ss$n AS (SELECT vec_id, qv, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT cell.vec_id, cell.qv, c.cid, ${idist("cell.qv", "c.cvec")} AS dist FROM cell CROSS JOIN $prev c)),
+         |sa$n AS (SELECT vec_id, qv, cid FROM ss$n WHERE rn = 1),
+         |sg$n AS (SELECT cid, pos, sum(e) AS s, count(*) AS cnt FROM
+         |  (SELECT cid, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM sa$n)
+         |  GROUP BY cid, pos),
+         |sm$n AS (SELECT cid, pos,
+         |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM sg$n),
+         |sc$n AS (SELECT cid, array_agg(c ORDER BY pos) AS cvec FROM sm$n GROUP BY cid
+         |  UNION ALL SELECT cid, cvec FROM $prev WHERE cid NOT IN (SELECT cid FROM sm$n))""".stripMargin
+    s"""WITH $ivfTrainCtes,
+       |hot AS (SELECT cid FROM (SELECT cid, count(*) AS n FROM ab GROUP BY 1
+       |  ORDER BY n DESC, cid LIMIT 1)),
+       |cell AS (SELECT bq.vec_id, bq.qv FROM bq JOIN ab USING (vec_id)
+       |  WHERE ab.cid = (SELECT cid FROM hot)),
+       |smx AS (SELECT vec_id, qv,
+       |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM cell),
+       |sinit AS (SELECT CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid, qv AS cvec
+       |  FROM (SELECT * FROM smx ORDER BY mx, vec_id LIMIT 2)),
+       |${step(1, "sinit")},
+       |${step(2, "sc1")},
+       |sab AS (SELECT vec_id, cid FROM (
+       |  SELECT cell.vec_id, c.cid, row_number() OVER (PARTITION BY cell.vec_id ORDER BY ${idist("cell.qv", "c.cvec")}, c.cid) AS rn
+       |  FROM cell CROSS JOIN sc2 c) WHERE rn = 1),
+       |newab AS (SELECT vec_id, cid FROM ab WHERE cid <> (SELECT cid FROM hot)
+       |  UNION ALL SELECT vec_id, cid + 8 FROM sab),
+       |sizes AS (SELECT cid, count(*) AS n_vecs FROM newab GROUP BY 1),
+       |tot AS (SELECT sum(n_vecs) AS n, sum(n_vecs * n_vecs) AS ss, count(*) AS nl FROM sizes)
+       |SELECT s.cid, s.n_vecs,
+       |  CAST((tot.nl * tot.ss * 10000) // (tot.n * tot.n) AS BIGINT) AS imbalance_bp
+       |FROM sizes s CROSS JOIN tot""".stripMargin
+  }
 
   /** Index-survives-upsert oracle: centroids trained on the 80% pre-insert
     * snapshot, assignment + probe + rerank over the full post-insert one. */
@@ -5150,6 +5269,24 @@ object SparkEntry {
     "knn_graph" -> graphKnnOracle,
     "knn_graph_stored" -> graphKnnOracle, // stored-adjacency replay, same answer
     "recall_graph" -> graphRecallOracle,
+    "recall_curve_graph" ->
+      (s"""WITH $graphBaseCtes,
+          |${beamSearchCtes("gadj", "g")},
+          |gt AS (SELECT query_id, neighbor_id, rank FROM (
+          |  SELECT q.query_id, b.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+          |  FROM q CROSS JOIN b) WHERE rank <= 10),
+          |pr AS (SELECT query_id, neighbor_id, rank FROM gscored WHERE rank <= 10),
+          |ks AS (SELECT unnest([1, 5, 10]) AS k),
+          |j AS (SELECT g.rank AS grank, p.rank AS prank
+          |  FROM gt g JOIN pr p USING (query_id, neighbor_id)),
+          |tot AS (SELECT ks.k, count(*) AS n_gt FROM ks JOIN gt ON gt.rank <= ks.k GROUP BY 1),
+          |h AS (SELECT ks.k, count(*) AS n_hits FROM ks JOIN j
+          |  ON j.grank <= ks.k AND j.prank <= ks.k GROUP BY 1)
+          |SELECT CAST(coalesce(h.n_hits, 0) * 10000 // t.n_gt AS BIGINT) AS recall_bp,
+          |  CAST(t.k AS BIGINT) AS k
+          |FROM tot t LEFT JOIN h ON h.k = t.k""").stripMargin,
     "nnd_graph_adj" -> nndAdjOracle,
     "nnd_graph_quality" -> nndQualityOracle,
     "knn_graph_nnd" -> nndKnnOracle,
@@ -5257,6 +5394,18 @@ object SparkEntry {
     "knn_ivf_flat" -> ivfFlatKnnOracle,
     "knn_ivf_filtered" -> ivfFilteredKnnOracle,
     "recall_ivf_filtered" -> ivfFilteredRecallOracle,
+    "ivf_split_hot_cell" -> ivfSplitOracle,
+    "embedding_dq" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, len(qv) AS dim,
+        |  CAST(list_sum(list_transform(qv, e -> e * e)) AS BIGINT) AS nsq FROM v)
+        |SELECT count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  min(nsq) AS min_norm_sq_q, max(nsq) AS max_norm_sq_q,
+        |  CAST(sum(CASE WHEN dim = 64 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_dim
+        |FROM s""".stripMargin,
     "knn_ivf_flat_part" -> ivfFlatKnnOracle, // same logical answer, file-pruned plan
     "knn_ivf_upsert" -> ivfUpsertKnnOracle,
     "zorder_range_scan" ->
@@ -6224,6 +6373,15 @@ object SparkEntry {
         |  FROM gsym g2 JOIN v1 ON v1.dim = g2.dj GROUP BY 1)
         |SELECT e.vec_id, CAST(sum(e.g * v2.v) AS BIGINT) AS proj
         |FROM e JOIN v2 ON v2.dim = e.dim GROUP BY 1""".stripMargin,
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |g AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER (PARTITION BY prev_type) AS tot FROM g)
+        |SELECT prev_type, event_type, n,
+        |  CAST((n * 10000) // tot AS BIGINT) AS p_bp FROM t""".stripMargin,
     "event_paths" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
         |s AS (SELECT event_type, ms,
