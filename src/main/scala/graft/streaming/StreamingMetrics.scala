@@ -78,6 +78,75 @@ object StreamingMetrics {
     spark.table(sink)
   }
 
+  /** LATE-DATA semantics end-to-end, across a checkpointed RESTART —
+    * the two event-time behaviors the rest of the streaming suite
+    * deliberately sidesteps with generous watermarks:
+    *
+    *   1. phase A streams the on-time 90% of events (one file), the
+    *      append-mode day-window aggregation emits every window the
+    *      watermark (max event time − `delay`) has closed, and state +
+    *      watermark land in the CHECKPOINT;
+    *   2. the query restarts against the same checkpoint with the held-
+    *      back 10% appended as a second file — the recovered watermark
+    *      now drops every late row whose window already closed, while
+    *      rows for still-open windows merge into the recovered state.
+    *
+    * The union of both runs' emissions is the final answer. Everything
+    * is deterministic — the phase split is the Knuth id-hash, file
+    * batching is the checkpoint's processed-file log, the watermark is
+    * exact ms arithmetic — so a SQL oracle replays drop and emission
+    * decisions row for row. Restart recovery (the 100 TB operational
+    * property: a killed job resumes without re-emitting or double-
+    * counting) falls out of the same construction. */
+  def lateDataAudit(spark: SparkSession, events: DataFrame, root: String,
+      windowDur: String = "1 day", delay: String = "36 hours"): DataFrame = {
+    import graft.operators.Sampling
+    val fs = new java.io.File(root)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(fs)
+    }
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    // phase split, all deterministic: the trailing 2 days arrive late
+    // (they land in windows the 36 h watermark still holds open →
+    // ACCEPTED on restart), plus 1-in-50 of the older rows (their
+    // windows closed in phase A → DROPPED on restart). Both behaviors
+    // exercised, both replayable.
+    val maxMs = events.agg(max(unix_millis(col("ts")))).first().getLong(0)
+    val cut = maxMs - 2L * 86400000L
+    val ms = unix_millis(col("ts"))
+    val oldBucket = Sampling.idBucket(col("event_id"), 50)
+    val onTime = events.filter(ms <= cut && oldBucket =!= 0)
+    val late = events.filter(ms > cut || oldBucket === 0)
+    // file sink, not memory: only a durable sink supports restarting
+    // from the checkpoint, and it happens to give the union for free —
+    // both phases append their emissions to the same output directory
+    val outDir = s"$root/out"
+    def runPhase(phase: DataFrame): Unit = {
+      phase.coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val agg = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), windowDur))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPhase(onTime)
+    runPhase(late)
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates on a fingerprint
     * column — the streaming form of [[graft.text.Dedup.exact]] for
     * continuous ingestion (state bounded by the watermark horizon). */
