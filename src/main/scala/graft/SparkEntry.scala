@@ -2551,12 +2551,16 @@ object SparkEntry {
     val ds = events.select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.StreamingMetrics.Ev]
     val sink = "stream_sess_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = graft.streaming.StreamingMetrics.sessionizeStream(ds, gapMs = 1800000L)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // user-keyed state: 8 stores suffice at fixture key cardinality
+    // (see StreamingMetrics.withStatePartitions)
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = graft.streaming.StreamingMetrics.sessionizeStream(ds, gapMs = 1800000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(col("user_id").as("key"), col("event_id"), col("session_id"))
   }
@@ -3824,12 +3828,15 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       .as[graft.streaming.StreamingMetrics.CdcIn]
     val sink = "stream_cdc_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = graft.streaming.StreamingMetrics.cdcApplyStream(changes)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // user-keyed state: 8 stores suffice at fixture key cardinality
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = graft.streaming.StreamingMetrics.cdcApplyStream(changes)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
     spark.table(sink)
@@ -3849,13 +3856,16 @@ object SparkEntry {
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
     val events = Tables.normalizeEventTs(raw)
     val sink = "stream_hop_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = graft.streaming.StreamingMetrics
-      .hoppingWindowAgg(events, "2 hours", "1 hour", "2 hours")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // (window, type)-keyed state: 8 stores suffice at fixture cardinality
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = graft.streaming.StreamingMetrics
+        .hoppingWindowAgg(events, "2 hours", "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 

@@ -60,7 +60,26 @@ object StreamingMetrics {
     * exact pipeline that then keeps running on live data. Complete-mode
     * memory sink: the final state IS the batch answer, which is what the
     * DuckDB oracle checks. */
+  /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the
+    * previous value after. Every stateful streaming operator allocates
+    * one state store PER SHUFFLE PARTITION; at fixture key cardinality
+    * (hundreds of users / a handful of windows) 8 stores cut the fixed
+    * per-query store setup 4× with zero parallelism loss. At real scale
+    * the key space, not the store count, sizes this — which is why it
+    * is a per-query conf, not a global. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def availableNowWindowedAgg(spark: SparkSession, dir: String,
+      windowDur: String, watermark: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      availableNowWindowedAggImpl(spark, dir, windowDur, watermark)
+    }
+
+  private def availableNowWindowedAggImpl(spark: SparkSession, dir: String,
       windowDur: String, watermark: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // glob, not the bare file path: for a non-glob path FileStreamSource
@@ -142,8 +161,10 @@ object StreamingMetrics {
         .start()
       q.awaitTermination()
     }
-    runPhase(onTime)
-    runPhase(late)
+    withStatePartitions(spark, 8) {
+      runPhase(onTime)
+      runPhase(late)
+    }
     spark.read.parquet(outDir)
   }
 
