@@ -3879,6 +3879,55 @@ object SparkEntry {
       spark, Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", scale = 1024L)
 
+  /** RFM segmentation — the classic user-value cut: per user, recency
+    * (days since last event, vs the corpus max day), frequency (event
+    * count) and monetary (summed cents), each quartiled by a
+    * deterministic ntile over (metric, user_id). One aggregate + three
+    * windows over the user table (user-cardinality, not event-
+    * cardinality — the windows run on the aggregate). */
+  private def rfmUsers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary_cents"))
+    val byR = Window.orderBy(col("recency_days"), col("user_id"))
+    val byF = Window.orderBy(col("freq").desc, col("user_id"))
+    val byM = Window.orderBy(col("monetary_cents").desc, col("user_id"))
+    per
+      .withColumn("recency_days",
+        expr("(max(last_ms) over () - last_ms) div 86400000"))
+      .withColumn("r_q", ntile(4).over(byR).cast("long"))
+      .withColumn("f_q", ntile(4).over(byF).cast("long"))
+      .withColumn("m_q", ntile(4).over(byM).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_cents"),
+        concat(lit("R"), col("r_q"), lit("F"), col("f_q"), lit("M"), col("m_q"))
+          .as("segment"))
+  }
+
+  /** DAU/WAU stickiness per day: distinct daily actives over distinct
+    * trailing-7-day actives, in basis points — the engagement ratio
+    * next to [[rolling7dUsers]]' WAU. Reuses the same
+    * count-distinct-over-range shape. */
+  private def dauWauRatio(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct()
+    val dau = days.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    // trailing-7-day actives via a (day, user) range self-join on the
+    // bounded 7-day band — the band is a constant, the join is keyed
+    val wau = days.select(col("day")).distinct().as("a")
+      .join(days.select(col("day").as("d2"), col("user_id")).as("b"),
+        col("b.d2") between (col("a.day") - 6, col("a.day")))
+      .groupBy(col("a.day").as("day"))
+      .agg(countDistinct(col("b.user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+  }
+
   /** Top event-type 3-step paths (path/funnel mining): consecutive
     * per-user triples within a 30-minute step gap, counted corpus-wide.
     * One window pass (lead ×4) + one aggregate — no self-joins; the
@@ -4063,6 +4112,8 @@ object SparkEntry {
     "event_paths" -> ((s, dir) => eventPaths(s, dir)),
     "event_transitions" -> ((s, dir) => eventTransitions(s, dir)),
     "stream_late_data" -> ((s, dir) => streamLateData(s, dir)),
+    "rfm_users" -> ((s, dir) => rfmUsers(s, dir)),
+    "dau_wau_ratio" -> ((s, dir) => dauWauRatio(s, dir)),
     "label_prop_communities" -> ((s, dir) => labelPropCommunities(s, dir)),
     "bitmap_and_count" -> ((s, dir) => bitmapAndCount(s, dir)),
     "topk_freq_sketch" -> ((s, dir) => topkFreqSketch(s, dir)),
@@ -6409,6 +6460,25 @@ object SparkEntry {
         |t AS (SELECT *, sum(n) OVER (PARTITION BY prev_type) AS tot FROM g)
         |SELECT prev_type, event_type, n,
         |  CAST((n * 10000) // tot AS BIGINT) AS p_bp FROM t""".stripMargin,
+    "rfm_users" ->
+      """WITH per AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+        |  CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, (max(last_ms) OVER () - last_ms) // 86400000 AS recency_days FROM per),
+        |q AS (SELECT *, ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+        |  ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+        |  ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q FROM r)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, monetary_cents,
+        |  'R' || r_q || 'F' || f_q || 'M' || m_q AS segment FROM q""".stripMargin,
+    "dau_wau_ratio" ->
+      """WITH d AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM d GROUP BY 1),
+        |ad AS (SELECT DISTINCT day FROM d),
+        |wau AS (SELECT a.day, CAST(count(DISTINCT b.user_id) AS BIGINT) AS wau
+        |  FROM ad a JOIN d b ON b.day BETWEEN a.day - 6 AND a.day GROUP BY 1)
+        |SELECT day, dau, wau, CAST((dau * 10000) // wau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     // full watermark replay: phase split → phase-A watermark → per-row
     // accept/drop → final-watermark emission cut. Exact ms arithmetic;
     // the Spark side's checkpointed restart must land on the same rows.
