@@ -509,6 +509,75 @@ object SparkEntry {
   private def recallPqFlat(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnPqFlat(spark, dir), groundTruth(spark, dir), KnnK)
 
+  // ——— OPQ-lite: variance-balanced dimension permutation for PQ ———
+
+  private val pqPermCache = scala.collection.concurrent.TrieMap.empty[String, Array[Int]]
+
+  /** Variance-BALANCED dimension permutation (the cheap core of OPQ,
+    * Ge et al. 2013: contiguous slicing concentrates high-variance dims
+    * in few subquantizers, wasting codebook entropy elsewhere): rank
+    * dims by an exact-integer dispersion on the coarsened grid
+    * (y = ⌊grid/256⌋ keeps n·Σy² inside int64), snake-deal the ranks
+    * across the 16 subspaces so each gets one dim per variance tier.
+    * The permutation is a 64-entry model artifact — a pure function of
+    * the base, replayed by the oracle. */
+  private def pqPermutation(spark: SparkSession, dir: String): Array[Int] =
+    pqPermCache.getOrElseUpdate(dir, {
+      val st = Tables.embeddingBase(spark, dir)
+        .select(posexplode(graft.index.IvfFlat.quantize(col("embedding")))
+          .as(Seq("pos", "e")))
+        .withColumn("y", expr("(e - ((e % 256 + 256) % 256)) div 256"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+          sum(col("y") * col("y")).as("s2"))
+        .select(col("pos"),
+          (col("n") * col("s2") - col("s1") * col("s1")).as("disp"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val m = 16
+      val ranked = st.sortBy { case (pos, disp) => (-disp, pos) }.map(_._1)
+      ranked.zipWithIndex.map { case (pos, r) =>
+        val rnd = r / m
+        val sub = if (rnd % 2 == 0) r % m else m - 1 - (r % m)
+        (sub, rnd, pos)
+      }.sortBy { case (sub, rnd, _) => (sub, rnd) }.map(_._3)
+    })
+
+  private def permuteVec(vecCol: String, perm: Array[Int]): org.apache.spark.sql.Column =
+    array(perm.toIndexedSeq.map(i => col(vecCol)(i)): _*)
+
+  private val pqPermModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.PqFlat.Model]
+
+  private def pqPermModel(spark: SparkSession, dir: String): graft.index.PqFlat.Model =
+    pqPermModelCache.getOrElseUpdate(dir, {
+      val perm = pqPermutation(spark, dir)
+      graft.index.PqFlat.fit(
+        Tables.embeddingBase(spark, dir)
+          .withColumn("embedding", permuteVec("embedding", perm)),
+        m = 16, ksub = 32, iters = 2)
+    })
+
+  /** PQ search through the variance-permuted layout: both sides permute
+    * (L2 is permutation-invariant when applied to both), so the whole
+    * trained/encode/ADC/rerank path is [[knnPqFlat]]'s unchanged — only
+    * the subspace CONTENTS differ. [[recallPqPerm]] measures what the
+    * balanced codebooks buy over contiguous slicing. */
+  private def knnPqPerm(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("pq_perm", dir) {
+      val perm = pqPermutation(spark, dir)
+      graft.index.PqFlat.searchRerank(
+        pqPermModel(spark, dir),
+        Tables.embeddingQueries(spark, dir)
+          .withColumn("q_embedding", permuteVec("q_embedding", perm)),
+        Tables.embeddingBase(spark, dir)
+          .withColumn("embedding", permuteVec("embedding", perm)),
+        KnnK, 150)
+    }
+
+  /** Permuted-PQ recall vs exact ground truth (⊕). */
+  private def recallPqPerm(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnPqPerm(spark, dir), groundTruth(spark, dir), KnnK)
+
   /** PQ codebook health: per-subquantizer codeword populations and the
     * same FAISS imbalance factor [[ivfListStats]] reports for IVF lists
     * (nl·Σs²/n² in basis points, per sub_id). Dead or hot codewords
@@ -4016,6 +4085,8 @@ object SparkEntry {
     "knn_pq_flat" -> ((s, dir) => knnPqFlat(s, dir)),
     "recall_pq_flat" -> ((s, dir) => recallPqFlat(s, dir)),
     "pq_code_stats" -> ((s, dir) => pqCodeStats(s, dir)),
+    "knn_pq_perm" -> ((s, dir) => knnPqPerm(s, dir)),
+    "recall_pq_perm" -> ((s, dir) => recallPqPerm(s, dir)),
     "knn_ivfpq" -> ((s, dir) => knnIvfPq(s, dir)),
     "knn_ivfpq_part" -> ((s, dir) => knnIvfPqPartitioned(s, dir)),
     "recall_ivfpq" -> ((s, dir) => recallIvfPq(s, dir)),
@@ -4698,7 +4769,10 @@ object SparkEntry {
   /** Shared CTE prefix replaying PqFlat end to end: quantize → subvector
     * rows → joint init → 2 joint Lloyd steps over (sub_id, cid) → encode
     * → per-query ADC tables → shortlist 150 → exact rerank. */
-  private val pqFlatCtes: String = {
+  /** PQ pipeline CTEs WITHOUT the leading q/b split — callers prepend
+    * their own `q`/`b` (plain split, or the variance-permuted views for
+    * the OPQ-lite variant). */
+  private lazy val pqFlatSearchCtes: String = {
     def d4(a: String, b: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 4), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
     def stepSql(n: Int, prev: String): String =
@@ -4717,9 +4791,7 @@ object SparkEntry {
          |    LEFT JOIN (SELECT DISTINCT sub_id AS su, cid AS cu FROM pg$n) u
          |      ON u.su = p.sub_id AND u.cu = p.cid WHERE u.cu IS NULL)""".stripMargin
     val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
-    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
-       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-       |bq AS (SELECT vec_id, $quant AS qv FROM b),
+    s"""bq AS (SELECT vec_id, $quant AS qv FROM b),
        |sr0 AS (SELECT vec_id, qv, unnest(generate_series(0, 15)) AS sub_id FROM bq),
        |sr AS (SELECT vec_id, sub_id, qv[sub_id*4+1 : sub_id*4+4] AS sv FROM sr0),
        |pmx AS (SELECT vec_id,
@@ -4753,6 +4825,49 @@ object SparkEntry {
 
   private val pqFlatKnnOracle: String =
     s"WITH $pqFlatCtes\nSELECT query_id, neighbor_id, rank FROM pq_scored WHERE rank <= 10"
+
+  /** The plain (contiguous-dims) PQ CTE chain — q/b split + search. */
+  private lazy val pqFlatCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |$pqFlatSearchCtes""".stripMargin
+
+  /** Variance-permuted PQ chain: dispersion ranks → snake permutation →
+    * q/b REDEFINED as permuted views → the identical search pipeline.
+    * `pos` from generate_subscripts is 1-based, which is exactly what
+    * list_select wants; the Scala side's 0-based perm selects the same
+    * source dims in the same order. */
+  private lazy val pqPermCtes: String = {
+    val quant = "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+    s"""q0 AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |pel0 AS (SELECT CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e
+       |  FROM (SELECT $quant AS qv FROM b0)),
+       |pel AS (SELECT pos, (e - ((e % 256 + 256) % 256)) // 256 AS y FROM pel0),
+       |pst AS (SELECT pos, count(*) AS n, sum(y) AS s1, sum(y*y) AS s2 FROM pel GROUP BY 1),
+       |prk AS (SELECT pos, row_number() OVER (ORDER BY n*s2 - s1*s1 DESC, pos) - 1 AS r FROM pst),
+       |psb AS (SELECT pos, r // 16 AS rnd,
+       |  CASE WHEN (r // 16) % 2 = 0 THEN r % 16 ELSE 15 - (r % 16) END AS sub FROM prk),
+       |permc AS (SELECT list(pos ORDER BY sub, rnd) AS p FROM psb),
+       |q AS (SELECT query_id, list_select(embedding, (SELECT p FROM permc)) AS embedding FROM q0),
+       |b AS (SELECT vec_id, list_select(embedding, (SELECT p FROM permc)) AS embedding FROM b0),
+       |$pqFlatSearchCtes""".stripMargin
+  }
+
+  private lazy val pqPermKnnOracle: String =
+    s"WITH $pqPermCtes\nSELECT query_id, neighbor_id, rank FROM pq_scored WHERE rank <= 10"
+
+  private lazy val pqPermRecallOracle: String =
+    s"""WITH $pqPermCtes,
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q0.query_id, b0.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q0.query_id
+       |      ORDER BY list_distance(CAST(q0.embedding AS DOUBLE[]), CAST(b0.embedding AS DOUBLE[])), b0.vec_id) AS rank
+       |  FROM q0 CROSS JOIN b0) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM pq_scored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   private val pqFlatRecallOracle: String =
     s"""WITH $pqFlatCtes,
@@ -5503,6 +5618,8 @@ object SparkEntry {
     "recall_ivf_flat" -> ivfFlatRecallOracle,
     "knn_pq_flat" -> pqFlatKnnOracle,
     "recall_pq_flat" -> pqFlatRecallOracle,
+    "knn_pq_perm" -> pqPermKnnOracle,
+    "recall_pq_perm" -> pqPermRecallOracle,
     "pq_code_stats" -> (
       s"""WITH $pqFlatCtes,
         |sizes AS (SELECT CAST(sub_id AS BIGINT) AS sub_id,
