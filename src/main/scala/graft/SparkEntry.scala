@@ -1089,6 +1089,30 @@ object SparkEntry {
     graft.text.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
   }
 
+  /** Threshold-tuning profile: the distribution of exact pair Jaccard
+    * over the memoized ≥0.5 candidate scan, bucketed at 500 bp — the
+    * histogram an operator reads BEFORE choosing a dedup cutoff (a τ in
+    * a valley keeps clusters stable; a τ on a mode makes borderline
+    * pairs flap between runs). Zero new pair scans. */
+  private def jaccardThresholdProfile(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir)
+      .select(expr("(jaccard_bp div 500) * 500").as("bucket_bp"))
+      .groupBy(col("bucket_bp")).agg(count(lit(1)).as("n_pairs"))
+
+  /** Duplication provenance: near-dup pair counts by (source, source)
+    * — which feeds copy from which (mirror sites, syndication). Sources
+    * are unordered in a pair, so the key is (lo, hi). */
+  private def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    ngramPairs(spark, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Near-dup-aware (LEAKAGE-SAFE) train/test split: the split unit is
     * the duplicate CLUSTER, not the document — a test doc whose
     * near-duplicate sits in train is benchmark contamination by
@@ -4134,6 +4158,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "leakage_safe_split" -> ((s, dir) => leakageSafeSplit(s, dir)),
+    "jaccard_threshold_profile" -> ((s, dir) => jaccardThresholdProfile(s, dir)),
+    "dedup_rate_by_source" -> ((s, dir) => dedupRateBySource(s, dir)),
     "dedup_keep_list" -> ((s, dir) => dedupKeepList(s, dir)),
     "ngram_jaccard_pairs" -> ((s, dir) => ngramJaccardPairs(s, dir)),
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
@@ -6103,6 +6129,26 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst AS id, reach.c FROM reach JOIN edges e ON reach.id = e.src)
         |SELECT id, min(c) AS component FROM reach GROUP BY id""".stripMargin,
+    "jaccard_threshold_profile" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |p AS (SELECT (n_int * 10000) // (na + nb - n_int) AS jaccard_bp FROM c)
+        |SELECT (jaccard_bp // 500) * 500 AS bucket_bp,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p WHERE jaccard_bp >= 5000 GROUP BY 1""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS sa, b.source AS sb,
+        |  len(list_intersect(a.sh, b.sh)) AS n_int, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        |p AS (SELECT sa, sb FROM c WHERE (n_int * 10000) // (na + nb - n_int) >= 5000)
+        |SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "leakage_safe_split" -> // cluster replay + representative-hash routing
       """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
         |  list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
