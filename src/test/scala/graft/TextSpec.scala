@@ -79,6 +79,19 @@ class TextSpec extends AnyFunSuite {
     assertSetSimMatchesBruteForce(docs, Seq(3000, 6000, 8000))
   }
 
+  test("setSimJoin path boundary: alphabets of exactly 64 and 65 symbols agree with brute force") {
+    // 64 → last corpus the bitmask path accepts; 65 → first one the
+    // prefix path takes. Same answers either way.
+    for (vocab <- Seq(64, 65)) {
+      val docs = (0 until 20).map { i =>
+        val toks = (0 until 10).map(j => s"v${(i * 4 + j) % vocab}")
+        (i.toLong, toks.mkString(" "))
+      }
+      val df = { import spark.implicits._; docs.toDF("doc_id", "text") }
+      assertSetSimMatchesBruteForce(df, Seq(4000, 7000))
+    }
+  }
+
   test("setSimJoin (large alphabet: prefix-filter path) equals brute force") {
     // > 64 distinct tokens forces the df-ordered prefix join; overlapping
     // sliding windows over a 90-token vocabulary plant real near-dups
