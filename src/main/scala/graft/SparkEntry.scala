@@ -1250,10 +1250,19 @@ object SparkEntry {
     * exact-verified); recall is what the 16-hash/4-band config actually
     * buys — the "measure, don't guess" number that justifies (or
     * indicts) a banding schedule before it runs on 100 TB. */
+  /** Exact Jaccard ≥ 0.5 pairs on the 3-gram domain, memoized per dir —
+    * the shared ground truth both banding-quality queries
+    * ([[lshQuality]], [[simhashQuality]]) score against; computed once
+    * per session like the kNN ground truth. */
+  private def setSimGt3(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("setsim_gt3", dir) {
+      Dedup.setSimJoin(Tables.documents(spark, dir), "doc_id", "text",
+        thresholdBps = 5000, shingleSize = 3).select(col("id_a"), col("id_b"))
+    }
+
   private def lshQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val gt = Dedup.setSimJoin(docs, "doc_id", "text",
-      thresholdBps = 5000, shingleSize = 3).select(col("id_a"), col("id_b"))
+    val gt = setSimGt3(spark, dir)
     val found = Dedup.minHashNearDup(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
       .select(col("id_a"), col("id_b"))
@@ -4052,6 +4061,186 @@ object SparkEntry {
     graft.operators.Graph.minLabelPropagation(sharedGramEdges(spark, dir), rounds = 3)
       .select(col("id").as("doc_id"), col("label"))
 
+  /** Bigram-LM quality scoring
+    * ([[graft.text.ImportanceScoring.bigramDigitScore]]) — the
+    * order-sensitive n=2 member of the CCNet/KenLM filter family next to
+    * `unigram_logprob`'s n=1. */
+  private def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    graft.text.ImportanceScoring.bigramDigitScore(
+      Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Feature-hashed document cosine top-k
+    * ([[graft.text.HashEmbed.cosineTopK]]) — similarity search over
+    * embeddings DERIVED from the corpus text itself (hashing trick), no
+    * trained model, sparse dot-product join. */
+  private def knnTextHashembed(spark: SparkSession, dir: String): DataFrame =
+    graft.text.HashEmbed.cosineTopK(Tables.documents(spark, dir), "doc_id", "text",
+      isQuery = col("doc_id") % 100 === 0, dim = 256, k = 5)
+
+  /** SimHash banding quality vs the exact Jaccard ≥ 0.5 ground truth on
+    * the shared 3-gram domain — the measured companion of
+    * `lsh_quality` for the OTHER near-dup family: how many exact
+    * near-dup pairs the 15-bit-chunk banding surfaces. */
+  private def simhashQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gt = setSimGt3(spark, dir)
+    val found = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    gt.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(gt.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_found"),
+        when(col("n_exact") > 0, expr("(n_hits * 10000) div n_exact"))
+          .otherwise(lit(10000L)).as("recall_bp"))
+  }
+
+  /** Recall-vs-nprobe ladder for the deterministic IVF — §4's
+    * `nprobe` knob (the reference trains once and sweeps search-time
+    * params, multi_tenant_script.py:94-99) measured as ONE query: the
+    * base→cell assignment is built once and reused across all four
+    * probe depths, so the ladder costs 4 probe joins, not 4 index
+    * builds. Recall must be non-decreasing in nprobe (spec-asserted). */
+  private def ivfNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFlatModel(spark, dir)
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val assign = graft.index.IvfFlat.assignBase(base, model).localCheckpoint()
+    val gt = groundTruth(spark, dir)
+    Seq(1, 2, 4, 6).map { np =>
+      Recall.recallBasisPoints(
+        graft.index.IvfFlat.searchAssigned(model, queries, base, assign, KnnK, np),
+        gt, KnnK).select(lit(np).as("nprobe"), col("recall_bp"))
+    }.reduce(_.union(_))
+  }
+
+  /** Exact median + deterministic mode per event type — §2.7 central
+    * tendency without interpolation drift: the median is carried as the
+    * SUM of the two middle order statistics (×2 for odd n), so it stays
+    * int64; the mode breaks count ties to the smallest value. One
+    * keyed window shuffle for the median, one groupBy for the mode. */
+  private def medianModeStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val med = ranked
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("cents") * when(col("n") % 2 === 1, 2L).otherwise(1L))
+          .as("median_x2_cents"))
+    val mode = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mrn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("cents"))))
+      .filter(col("mrn") === 1)
+      .select(col("event_type"), col("cents").as("mode_cents"), col("cnt").as("mode_count"))
+    med.join(mode, Seq("event_type"))
+  }
+
+  /** Date/interval scalar breadth (§2.7): truncation, month arithmetic
+    * with end-of-month clamping, day diffs, day-of-year — grouped to a
+    * quarterly profile so the whole surface replays as integers. */
+  private def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(date_trunc("week", col("o_orderdate"))).as("n_weeks"),
+        sum(datediff(last_day(col("o_orderdate")), col("o_orderdate")))
+          .as("days_to_eom"),
+        sum(dayofyear(col("o_orderdate")).cast("long")).as("sum_doy"),
+        sum(when(month(add_months(col("o_orderdate"), 3)) === 2, 1L)
+          .otherwise(0L)).as("n_land_feb"))
+
+  /** String scalar breadth (§2.7): regex strip, first-occurrence
+    * search, reverse, first-word split — per-brand integer profile. */
+  private def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(regexp_replace(lower(col("p_name")), "[aeiou]", "")))
+          .cast("long").as("consonant_chars"),
+        sum(locate(" ", col("p_name")).cast("long")).as("sum_first_space"),
+        sum(length(element_at(split(col("p_type"), " "), 1)).cast("long"))
+          .as("first_word_chars"),
+        sum(when(reverse(col("p_brand")) === col("p_brand"), 1L).otherwise(0L))
+          .as("n_palindrome_brand"))
+
+  /** Null-semantics probe (§2.7): null-safe equality (`<=>` / IS NOT
+    * DISTINCT FROM), NULLIF null injection, COALESCE defaults — the
+    * three-valued-logic corners that silently diverge between engines
+    * unless pinned. */
+  private def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val a = nullif(pmod(col("user_id"), lit(7L)), lit(0L))
+    val b = nullif(pmod(col("event_id"), lit(7L)), lit(0L))
+    Tables.events(spark, dir)
+      .select(col("event_type"), a.as("a"), b.as("b"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") <=> col("b"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_plain_eq"),
+        sum(coalesce(col("a"), lit(7L))).as("sum_coalesce"),
+        sum(col("a").isNull.cast("long")).as("n_null_a"))
+  }
+
+  /** CCNet-style perplexity-bucket mixing: documents terciled per
+    * language by the unigram-LM average (head = most in-distribution),
+    * then sampled head-heavy (100%/50%/20%) by the deterministic id
+    * hash — the bucketed-quality data-mix step of the CCNet pipeline
+    * (Wenzek et al. 2020 §4.4) with the digit-log surrogate. One
+    * corpus scoring pass + one lang-keyed window + one map-side hash
+    * filter; no RNG, identical keep set on any engine. */
+  private def pplBucketMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.text.ImportanceScoring
+      .unigramDigitScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val bucketed = scored.withColumn("bucket",
+      ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("avg_digit_bp").desc, col("doc_id"))))
+      .withColumn("keep_bps",
+        when(col("bucket") === 1, 10000L).when(col("bucket") === 2, 5000L)
+          .otherwise(2000L))
+    bucketed
+      .withColumn("kept",
+        graft.operators.Sampling.idBucket(col("doc_id"), 10000) < col("keep_bps"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("kept").cast("long")).as("n_kept"))
+  }
+
+  /** Sampled join-cardinality estimation — the optimizer-statistics
+    * move behind join reordering: UNIVERSE sampling (both sides keep
+    * exactly the keys whose shared hash bucket is 0, Vengerov et al.
+    * VLDB'15), so the sample join is the true join restricted to a
+    * 1/16 key universe and scaling by 16 is unbiased even under FK
+    * fan-out — independent Bernoulli rows would miss matching pairs at
+    * rate p². Emits estimate vs exact with the error in bp; the
+    * estimate side touches 1/16 of each input. */
+  private def joinCardinalityEst(spark: SparkSession, dir: String): DataFrame = {
+    val p = 16
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val exact = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    val os = o.filter(graft.operators.Sampling.idBucket(col("o_orderkey"), p) === 0)
+    val ls = li.filter(graft.operators.Sampling.idBucket(col("l_orderkey"), p) === 0)
+    val est = os.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .agg((count(lit(1)) * p).as("est_rows"))
+    exact.crossJoin(est)
+      .select(col("exact_rows"), col("est_rows"),
+        expr("abs(est_rows - exact_rows) * 10000 div exact_rows").as("err_bp"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -4165,6 +4354,16 @@ object SparkEntry {
     "substring_dedup" -> ((s, dir) => substringDedup(s, dir)),
     "minhash_neardup" -> ((s, dir) => minhashNearDup(s, dir)),
     "lsh_quality" -> ((s, dir) => lshQuality(s, dir)),
+    "simhash_quality" -> ((s, dir) => simhashQuality(s, dir)),
+    "ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
+    "bigram_logprob" -> ((s, dir) => bigramLogprob(s, dir)),
+    "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
+    "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
+    "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
+    "string_funcs" -> ((s, dir) => stringFuncs(s, dir)),
+    "null_semantics" -> ((s, dir) => nullSemantics(s, dir)),
+    "ppl_bucket_mix" -> ((s, dir) => pplBucketMix(s, dir)),
+    "join_cardinality_est" -> ((s, dir) => joinCardinalityEst(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -4527,6 +4726,85 @@ object SparkEntry {
        |    ORDER BY bit_count(xor(qs, simhash)), b.doc_id) AS INTEGER) AS rank
        |  FROM q CROSS JOIN b)
        |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10""".stripMargin
+
+  /** SimHash-vs-exact recall: the 15-bit-chunk banding's verified pairs
+    * against the all-pairs exact Jaccard ≥ 0.5 set on the same 3-gram
+    * domain (the simhash sibling of [[lshQualityOracle]]). */
+  private lazy val simhashQualityOracle: String =
+    s"""WITH $simhashSigCtes,
+       |ch AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_idx FROM sg),
+       |ch2 AS (SELECT doc_id, simhash, chunk_idx,
+       |  (simhash >> (chunk_idx * 15)) & 32767 AS chunk FROM ch),
+       |fd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ch2 a JOIN ch2 b USING (chunk_idx, chunk)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS shingles FROM t),
+       |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_int,
+       |    len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |gt AS (SELECT id_a, id_b FROM ex
+       |  WHERE (n_int * 10000) // (na + nb - n_int) >= 5000),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN fd USING (id_a, id_b)),
+       |tot AS (SELECT count(*) AS n_exact FROM gt),
+       |nf AS (SELECT count(*) AS n_found FROM fd)
+       |SELECT n_exact, n_found,
+       |  CAST(CASE WHEN n_exact > 0 THEN (n_hits * 10000) // n_exact
+       |    ELSE 10000 END AS BIGINT) AS recall_bp
+       |FROM tot CROSS JOIN nf CROSS JOIN hits""".stripMargin
+
+  /** Recall ladder over nprobe ∈ {1,2,4,6}: probe ranks computed once,
+    * each ladder level filters rn ≤ nprobe — the training prefix is the
+    * standard IVF replay verbatim. */
+  private lazy val ivfNprobeCurveOracle: String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    s"""WITH $ivfTrainCtes,
+       |pr AS (SELECT qq.query_id, c.cid,
+       |    row_number() OVER (PARTITION BY qq.query_id
+       |      ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS prn
+       |  FROM qq CROSS JOIN c2 c),
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |lv AS (SELECT unnest([1, 2, 4, 6]) AS nprobe),
+       |cand AS (SELECT l.nprobe, p.query_id, ab.vec_id
+       |  FROM lv l JOIN pr p ON p.prn <= l.nprobe JOIN ab ON ab.cid = p.cid),
+       |scored AS (SELECT c.nprobe, c.query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY c.nprobe, c.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), c.vec_id) AS rank
+       |  FROM cand c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |pred AS (SELECT nprobe, query_id, neighbor_id FROM scored WHERE rank <= 10),
+       |hits AS (SELECT nprobe, count(*) AS n_hits FROM pred
+       |  JOIN gt USING (query_id, neighbor_id) GROUP BY 1),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT h.nprobe, CAST((h.n_hits * 10000) // t.n_gt AS BIGINT) AS recall_bp
+       |FROM hits h CROSS JOIN total t""".stripMargin
+  }
+
+  /** Feature-hashed cosine top-k replay: PolyHash mod 256 buckets,
+    * sparse dot join, exact int64 dots/norms, one shared fixed-shape
+    * double ppm expression. */
+  private lazy val hashEmbedKnnOracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       |sv AS (SELECT doc_id, ${duckPolyHash("tok", 257L, 1000000007L)} % 256 AS bucket,
+       |  count(*) AS cnt FROM t GROUP BY 1, 2),
+       |nr AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS nrm FROM sv GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id, bucket, cnt AS qcnt FROM sv WHERE doc_id % 100 = 0),
+       |b AS (SELECT * FROM sv WHERE doc_id % 100 <> 0),
+       |d AS (SELECT q.query_id, b.doc_id, CAST(sum(q.qcnt * b.cnt) AS BIGINT) AS dot
+       |  FROM q JOIN b USING (bucket) GROUP BY 1, 2),
+       |sc AS (SELECT d.query_id, d.doc_id AS neighbor_id,
+       |    CAST(floor(1000000.0 * d.dot / sqrt(CAST(qn.nrm * bn.nrm AS DOUBLE))) AS BIGINT) AS cos_ppm
+       |  FROM d JOIN nr qn ON qn.doc_id = d.query_id JOIN nr bn ON bn.doc_id = d.doc_id),
+       |r AS (SELECT query_id, neighbor_id, cos_ppm,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, rank, cos_ppm FROM r WHERE rank <= 5""".stripMargin
 
   private val winnowOracle: String = {
     val p = 4294967291L // must match Dedup.winnowFingerprints
@@ -5579,6 +5857,104 @@ object SparkEntry {
         |FROM g CROSS JOIN agg""".stripMargin,
     "minhash_neardup" -> minhashOracle,
     "lsh_quality" -> lshQualityOracle,
+    "simhash_quality" -> simhashQualityOracle,
+    "ivf_nprobe_curve" -> ivfNprobeCurveOracle,
+    // bigram twin of unigram_logprob: row-local bigram build, corpus
+    // count, digit-log sum — fully replayed
+    "bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS a FROM documents),
+        |i AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |  FROM t WHERE len(a) >= 2),
+        |g AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg FROM i),
+        |c AS (SELECT bg, count(*) AS cnt FROM g GROUP BY 1),
+        |j AS (SELECT doc_id, CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS d
+        |  FROM g JOIN c USING (bg))
+        |SELECT doc_id, count(*) AS n_bigram, CAST(sum(d) AS BIGINT) AS lm2_digit_score,
+        |  CAST((10000 * CAST(sum(d) AS BIGINT)) // count(*) AS BIGINT) AS avg2_digit_bp
+        |FROM j GROUP BY 1""".stripMargin,
+    "knn_text_hashembed" -> hashEmbedKnnOracle,
+    "date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  count(*) AS n,
+        |  count(DISTINCT date_trunc('week', o_orderdate)) AS n_weeks,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |    last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS days_to_eom,
+        |  CAST(sum(dayofyear(o_orderdate)) AS BIGINT) AS sum_doy,
+        |  CAST(sum(CASE WHEN month(o_orderdate + INTERVAL 3 MONTH) = 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_land_feb
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(length(regexp_replace(lower(p_name), '[aeiou]', '', 'g'))) AS BIGINT)
+        |    AS consonant_chars,
+        |  CAST(sum(strpos(p_name, ' ')) AS BIGINT) AS sum_first_space,
+        |  CAST(sum(length(split_part(p_type, ' ', 1))) AS BIGINT) AS first_word_chars,
+        |  CAST(sum(CASE WHEN reverse(p_brand) = p_brand THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_palindrome_brand
+        |FROM part GROUP BY 1""".stripMargin,
+    "null_semantics" ->
+      """WITH e AS (SELECT event_type,
+        |  nullif(user_id % 7, 0) AS a, nullif(event_id % 7, 0) AS b FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullsafe_eq,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+        |  CAST(sum(coalesce(a, 7)) AS BIGINT) AS sum_coalesce,
+        |  CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a
+        |FROM e GROUP BY 1""".stripMargin,
+    // unigram scoring replay + per-lang tercile + Knuth-mix keep rule
+    "ppl_bucket_mix" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |j AS (SELECT doc_id, CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS d
+        |  FROM t JOIN c USING (tok)),
+        |u AS (SELECT doc_id, count(*) AS n_tok,
+        |  CAST((10000 * CAST(sum(d) AS BIGINT)) // count(*) AS BIGINT) AS avg_bp
+        |  FROM j GROUP BY 1),
+        |l AS (SELECT u.doc_id, dd.lang, u.n_tok, u.avg_bp
+        |  FROM u JOIN documents dd USING (doc_id)),
+        |b AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_bp DESC, doc_id) AS INTEGER) AS bucket FROM l),
+        |k AS (SELECT *, CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 2000 END AS keep_bps,
+        |  (((doc_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+        |    + (doc_id % 4294967296 & 65535) * 2654435761) % 4294967296 % 10000 AS mixed
+        |  FROM b)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN mixed < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1, 2""".stripMargin,
+    // universe key-sampling replay: same Knuth mix on both join sides
+    "join_cardinality_est" ->
+      """WITH ex AS (SELECT count(*) AS exact_rows
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |os AS (SELECT o_orderkey FROM orders WHERE
+        |  (((o_orderkey % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+        |    + (o_orderkey % 4294967296 & 65535) * 2654435761) % 4294967296 % 16 = 0),
+        |ls AS (SELECT l_orderkey FROM lineitem WHERE
+        |  (((l_orderkey % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+        |    + (l_orderkey % 4294967296 & 65535) * 2654435761) % 4294967296 % 16 = 0),
+        |es AS (SELECT CAST(count(*) * 16 AS BIGINT) AS est_rows
+        |  FROM os JOIN ls ON os.o_orderkey = ls.l_orderkey)
+        |SELECT CAST(exact_rows AS BIGINT) AS exact_rows, est_rows,
+        |  CAST(abs(est_rows - exact_rows) * 10000 // exact_rows AS BIGINT) AS err_bp
+        |FROM ex CROSS JOIN es""".stripMargin,
+    "median_mode_stats" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  event_id FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(cents * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)) AS BIGINT)
+        |      AS median_x2_cents
+        |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |c AS (SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, cents AS mode_cents, CAST(cnt AS BIGINT) AS mode_count,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, cents) AS mrn
+        |  FROM c)
+        |SELECT med.event_type, med.n, med.median_x2_cents, m.mode_cents, m.mode_count
+        |FROM med JOIN m USING (event_type) WHERE m.mrn = 1""".stripMargin,
     "incremental_neardup" -> minhashIncrementalOracle,
     "substring_dedup" ->
       // full replay: 12-token window PolyHashes WITH positions → df-cap 50

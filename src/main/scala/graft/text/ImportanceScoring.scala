@@ -42,6 +42,31 @@ object ImportanceScoring {
         expr("(10000 * lm_digit_score) div n_tok").as("avg_digit_bp"))
   }
 
+  /** Per-document bigram-LM score — the order-sensitive sibling of
+    * [[unigramDigitScore]] (a KenLM-style n-gram filter truncated to
+    * n=2): Σ_bigrams digitlog(corpus_count(bigram)), plus the per-bigram
+    * average in basis points. Bigrams are built ROW-LOCALLY
+    * (zip_with over the token array and its shift — no positional
+    * self-join), so the corpus pass stays one explode + one map-combined
+    * groupBy + one equi-join at any scale. Documents with fewer than two
+    * tokens have no bigrams and drop out, exactly as in the oracle. */
+  def bigramDigitScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+    val bi = arr.select(col(idCol),
+      explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bg"))
+    val lm = bi.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bi.join(lm, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigram"),
+        sum(digitLog(col("cnt"))).as("lm2_digit_score"))
+      .select(col(idCol), col("n_bigram"), col("lm2_digit_score"),
+        expr("(10000 * lm2_digit_score) div n_bigram").as("avg2_digit_bp"))
+  }
+
   /** DSIR importance weight per document, target vs raw distribution over
     * hashed unigram buckets: w = Σ_tokens [digitlog(tgt_cnt(b)+1) −
     * digitlog(raw_cnt(b)+1)], b = PolyHash(tok) mod `buckets`. Documents

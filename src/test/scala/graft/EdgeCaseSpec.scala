@@ -233,6 +233,69 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(dup.n == 500L)
   }
 
+  test("median_x2 and mode: odd/even groups and count ties") {
+    // odd group: median_x2 = 2 × middle; even group: sum of the two
+    // middle values; mode ties break to the SMALLER value
+    val ev = Seq(
+      ("odd", 1.0, 1L), ("odd", 3.0, 2L), ("odd", 9.0, 3L),
+      ("even", 1.0, 4L), ("even", 2.0, 5L), ("even", 4.0, 6L), ("even", 8.0, 7L),
+      ("tie", 5.0, 8L), ("tie", 5.0, 9L), ("tie", 2.0, 10L), ("tie", 2.0, 11L)
+    ).toDF("event_type", "value", "event_id")
+    val ranked = ev
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+    val med = ranked
+      .withColumn("rn", row_number().over(w.orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("event_type")
+      .agg(sum(col("cents") * when(col("n") % 2 === 1, 2L).otherwise(1L)).as("m2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(med == Map("odd" -> 600L, "even" -> 600L, "tie" -> 700L))
+    val mode = ranked.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mrn", row_number().over(w.orderBy(col("cnt").desc, col("cents"))))
+      .filter(col("mrn") === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mode("tie") == 200L, "mode count tie must break to the smaller value")
+  }
+
+  test("universe sampling: sample join == full join restricted to sampled keys") {
+    import graft.operators.Sampling
+    val left = (1L to 400L).toDF("k")
+    // fan-out join: key k appears (k % 3 + 1) times on the right
+    val right = (1L to 400L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)).toDF("k2")
+    val sampledKeys = left.filter(Sampling.idBucket(col("k"), 16) === 0)
+      .collect().map(_.getLong(0)).toSet
+    val sampleJoin = left.filter(Sampling.idBucket(col("k"), 16) === 0)
+      .join(right.filter(Sampling.idBucket(col("k2"), 16) === 0),
+        col("k") === col("k2")).count()
+    val restricted = left.join(right, col("k") === col("k2"))
+      .filter(col("k").isin(sampledKeys.toSeq: _*)).count()
+    assert(sampleJoin == restricted,
+      "universe sampling must capture every pair of a sampled key")
+    val out = SparkEntry.queries("join_cardinality_est")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(out.getLong(0) > 0 && out.getLong(2) ==
+      math.abs(out.getLong(1) - out.getLong(0)) * 10000 / out.getLong(0))
+  }
+
+  test("ppl bucket mix: head tercile keeps everything, tail keeps a subset") {
+    val rows = SparkEntry.queries("ppl_bucket_mix")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((lang, bucket), (nDocs, nKept)) =>
+      if (bucket == 1) assert(nKept == nDocs, s"head bucket must keep all: $lang")
+      else assert(nKept <= nDocs)
+    }
+    // the 20%-keep tail must actually drop documents somewhere
+    val tail = rows.collect { case ((_, 3), (nDocs, nKept)) => (nDocs, nKept) }
+    assert(tail.map(_._1).sum > tail.map(_._2).sum, "tail bucket must drop docs")
+  }
+
   test("leakage_safe_split: no duplicate cluster straddles the split") {
     val out = SparkEntry.queries("leakage_safe_split")(spark, "/root/testdata/sf0.001")
     val straddling = out.groupBy(col("component"))

@@ -225,4 +225,19 @@ class KnnSpec extends AnyFunSuite {
     val rWide = recallOf(BqIndex.search(queries, base, 10, shortlist = 400))
     assert(rWide >= r)
   }
+
+  test("IVF nprobe recall ladder is non-decreasing and tops out at the serving config") {
+    // probing more cells can only add candidates → recall is monotone
+    // in nprobe; the nprobe=6 rung must equal the registered serving
+    // config's recall (same model, same assignment)
+    val curve = SparkEntry.queries("ivf_nprobe_curve")(spark, "/root/testdata/sf0.001")
+      .orderBy("nprobe").collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 6))
+    assert(curve.map(_._2).toSeq == curve.map(_._2).toSeq.sorted,
+      s"recall ladder must be non-decreasing: ${curve.toSeq}")
+    val serving = SparkEntry.queries("recall_ivf_flat")(spark, "/root/testdata/sf0.001")
+      .collect()(0).getLong(0)
+    assert(curve.last._2 == serving,
+      "nprobe=6 ladder rung must match recall_ivf_flat")
+  }
 }
