@@ -4075,7 +4075,7 @@ object SparkEntry {
     * trained model, sparse dot-product join. */
   private def knnTextHashembed(spark: SparkSession, dir: String): DataFrame =
     graft.text.HashEmbed.cosineTopK(Tables.documents(spark, dir), "doc_id", "text",
-      isQuery = col("doc_id") % 100 === 0, dim = 256, k = 5)
+      isQuery = col("doc_id") % 100 === 0, dim = 4096, k = 5)
 
   /** SimHash banding quality vs the exact Jaccard ≥ 0.5 ground truth on
     * the shared 3-gram domain — the measured companion of
@@ -4241,6 +4241,39 @@ object SparkEntry {
         expr("abs(est_rows - exact_rows) * 10000 div exact_rows").as("err_bp"))
   }
 
+  /** TF-IDF-weighted cosine retrieval
+    * ([[graft.text.HashEmbed.tfidfCosineTopK]]) — the vector-space
+    * model next to `bm25_topk`'s probabilistic ranking; token-space
+    * sparse join with integer digit-log idf. */
+  private def knnTextTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.text.HashEmbed.tfidfCosineTopK(Tables.documents(spark, dir),
+      "doc_id", "text", isQuery = col("doc_id") % 100 === 0, k = 5)
+
+  /** Generator breadth (§2.7): posexplode (1-based in the output so the
+    * ordinal replays), explode_outer null-row preservation, sequence
+    * ranges — aggregated per language so the whole surface is one
+    * integer profile. */
+  private def generatorFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+    val g1 = docs
+      .select(col("lang"),
+        posexplode(slice(col("toks"), lit(1), lit(5))).as(Seq("p", "tok")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tok_rows"),
+        sum(((col("p") + 1) * length(col("tok"))).cast("long")).as("pos_len_sum"))
+    val g2 = docs
+      .select(col("lang"),
+        explode_outer(when(col("doc_id") % 5 === 0, lit(null).cast("array<bigint>"))
+          .otherwise(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))))
+          .as("s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_seq_rows"),
+        sum(coalesce(col("s"), lit(0L))).as("seq_sum"),
+        sum(col("s").isNull.cast("long")).as("n_null_rows"))
+    g1.join(g2, Seq("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact" -> ((s, dir) => knnExact(s, dir)),
@@ -4364,6 +4397,8 @@ object SparkEntry {
     "null_semantics" -> ((s, dir) => nullSemantics(s, dir)),
     "ppl_bucket_mix" -> ((s, dir) => pplBucketMix(s, dir)),
     "join_cardinality_est" -> ((s, dir) => joinCardinalityEst(s, dir)),
+    "knn_text_tfidf" -> ((s, dir) => knnTextTfidf(s, dir)),
+    "generator_funcs" -> ((s, dir) => generatorFuncs(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -4786,12 +4821,12 @@ object SparkEntry {
        |FROM hits h CROSS JOIN total t""".stripMargin
   }
 
-  /** Feature-hashed cosine top-k replay: PolyHash mod 256 buckets,
+  /** Feature-hashed cosine top-k replay: PolyHash mod 4096 buckets,
     * sparse dot join, exact int64 dots/norms, one shared fixed-shape
     * double ppm expression. */
   private lazy val hashEmbedKnnOracle: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-       |sv AS (SELECT doc_id, ${duckPolyHash("tok", 257L, 1000000007L)} % 256 AS bucket,
+       |sv AS (SELECT doc_id, ${duckPolyHash("tok", 257L, 1000000007L)} % 4096 AS bucket,
        |  count(*) AS cnt FROM t GROUP BY 1, 2),
        |nr AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS nrm FROM sv GROUP BY 1),
        |q AS (SELECT doc_id AS query_id, bucket, cnt AS qcnt FROM sv WHERE doc_id % 100 = 0),
@@ -5924,6 +5959,46 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN mixed < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY 1, 2""".stripMargin,
+    // TF-IDF VSM replay: tf aggregate, df prune at half the corpus,
+    // digit-log idf, token-space dot join, double-space norm product
+    "knn_text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dfp AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |dff AS (SELECT tok, df FROM dfp, n WHERE df * 2 < nd),
+        |wt AS (SELECT tf.doc_id, tf.tok,
+        |  CAST(tf.tf * (1 + length(CAST(n.nd AS VARCHAR))
+        |    - length(CAST(dff.df AS VARCHAR))) AS BIGINT) AS w
+        |  FROM tf JOIN dff USING (tok) CROSS JOIN n),
+        |nr AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm FROM wt GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, tok, w AS qw FROM wt WHERE doc_id % 100 = 0),
+        |b AS (SELECT * FROM wt WHERE doc_id % 100 <> 0),
+        |d AS (SELECT q.query_id, b.doc_id, CAST(sum(q.qw * b.w) AS BIGINT) AS dot
+        |  FROM q JOIN b USING (tok) GROUP BY 1, 2),
+        |sc AS (SELECT d.query_id, d.doc_id AS neighbor_id,
+        |    CAST(floor(1000000.0 * d.dot
+        |      / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(bn.nrm AS DOUBLE))) AS BIGINT) AS cos_ppm
+        |  FROM d JOIN nr qn ON qn.doc_id = d.query_id JOIN nr bn ON bn.doc_id = d.doc_id),
+        |r AS (SELECT query_id, neighbor_id, cos_ppm,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, rank, cos_ppm FROM r WHERE rank <= 5""".stripMargin,
+    // generator replay: 1-based ordinal via generate_series indexing,
+    // explode_outer's null row as unnest([NULL])
+    "generator_funcs" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS a FROM documents),
+        |i AS (SELECT lang, a, unnest(generate_series(1, least(len(a), 5))) AS p FROM d),
+        |g1 AS (SELECT lang, count(*) AS n_tok_rows,
+        |  CAST(sum(p * length(a[p])) AS BIGINT) AS pos_len_sum FROM i GROUP BY 1),
+        |j AS (SELECT lang, unnest(CASE WHEN doc_id % 5 = 0 THEN [NULL]::BIGINT[]
+        |  ELSE generate_series(1, 1 + doc_id % 3) END) AS s FROM documents),
+        |g2 AS (SELECT lang, count(*) AS n_seq_rows,
+        |  CAST(sum(coalesce(s, 0)) AS BIGINT) AS seq_sum,
+        |  CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
+        |  FROM j GROUP BY 1)
+        |SELECT g1.lang, n_tok_rows, pos_len_sum, n_seq_rows, seq_sum, n_null_rows
+        |FROM g1 JOIN g2 USING (lang)""".stripMargin,
     // universe key-sampling replay: same Knuth mix on both join sides
     "join_cardinality_est" ->
       """WITH ex AS (SELECT count(*) AS exact_rows

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * Representation is SPARSE — (doc, bucket, cnt) rows, never a dense
   * width-`dim` array — so storage scales with corpus tokens, not
   * docs × dim, and similarity is the classic sparse dot-product join:
-  * shared-bucket equi-join + Σ products. At fixture scale (dim 256) the
-  * posting lists are dense and the join degenerates to brute force; at
-  * 100 TB the same plan runs with dim 2¹⁸, where each bucket's posting
-  * list holds corpus_tokens/dim entries and the join IS the pruning —
+  * shared-bucket equi-join + Σ products. At fixture scale (dim 4096)
+  * the posting lists are still corpus-sized fractions; at 100 TB the
+  * same plan runs with dim 2¹⁸, where each bucket's posting list holds
+  * corpus_tokens/dim entries and the join IS the pruning —
   * no separate index structure needed. All arithmetic is exact int64
   * until one shared fixed-shape double expression (mul, div, sqrt,
   * floor — each correctly rounded in IEEE, so any engine replays the
@@ -62,6 +62,51 @@ object HashEmbed {
     // per-query candidates are bounded by the posting-list intersection
     // (≈ corpus_tokens/dim per bucket), so the window partition is small
     // by construction at real dim — the heap aggregate isn't needed here
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_ppm").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos_ppm"))
+  }
+
+  /** TF-IDF-weighted cosine top-k over the RAW token space — the
+    * classic vector-space-model retrieval next to BM25's probabilistic
+    * ranking: w(doc, tok) = tf · idf, idf as the integer digit-log
+    * surrogate (1 + digits(N) − digits(df), ≥ 1 — frozen, exactly
+    * replayable). The sparse join key is the token itself (the corpus
+    * vocabulary IS the dimension space); tokens appearing in more than
+    * half the corpus are pruned BEFORE the join (their idf weight is
+    * noise and their posting lists are the join's only unbounded rows —
+    * champion-list pruning, Manning et al. IIR §7). Norms stay int64
+    * (w ≤ tf·maxIdf keeps Σw² < 2⁶³); the norm PRODUCT crosses 2⁶³ so
+    * it multiplies in double space — exact per IEEE since each factor
+    * is < 2⁵³. */
+  def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 < lit(nDocs))
+    val digitsN = nDocs.toString.length.toLong
+    val weighted = tf.join(df, Seq("tok"))
+      .withColumn("w",
+        col("tf") * (lit(1L + digitsN) - length(col("df").cast("string"))))
+    val norms = weighted.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("nrm"))
+    val q = weighted.filter(isQuery)
+      .select(col(idCol).as("query_id"), col("tok"), col("w").as("qw"))
+    val dots = q.join(weighted.filter(!isQuery), Seq("tok"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+    val qn = norms.filter(isQuery).select(col(idCol).as("query_id"), col("nrm").as("qnrm"))
+    val bn = norms.filter(!isQuery).select(col(idCol), col("nrm").as("bnrm"))
+    val scored = dots
+      .join(broadcast(qn), Seq("query_id"))
+      .join(bn, Seq(idCol))
+      .withColumn("cos_ppm",
+        floor(lit(1000000.0) * col("dot")
+          / sqrt(col("qnrm").cast("double") * col("bnrm").cast("double"))).cast("long"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_ppm").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)

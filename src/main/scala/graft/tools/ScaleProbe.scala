@@ -65,7 +65,16 @@ object ScaleProbe {
     // quadratic rule excludes (their scaling subject is the candidate
     // join, probed via the minhash/pagerank artifacts already).
     "token_budget_mix", "quality_percentile", "cluster_balance_sample",
-    "index_advisor", "pq_code_stats", "topk_freq_sketch")
+    "index_advisor", "pq_code_stats", "topk_freq_sketch",
+    // round-11 additions: bigram/ppl scoring are explode + keyed
+    // aggregates; median/mode, date/string/null breadth are one keyed
+    // window or groupBy; join_cardinality_est probes 1/16 of each side
+    // plus one exact join. knn_text_hashembed is excluded by the
+    // quadratic rule at fixture dim (query count AND posting length both
+    // grow with the corpus — its scale path is dim 2^18, which caps
+    // posting lists); simhash_quality sits on the pair-scan family.
+    "bigram_logprob", "ppl_bucket_mix", "median_mode_stats", "date_funcs",
+    "string_funcs", "null_semantics", "join_cardinality_est")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

@@ -37,6 +37,24 @@ class HashEmbedSpec extends AnyFunSuite {
     assert(last.forall(_.getLong(3) == 0L) || last.isEmpty)
   }
 
+  test("tfidf cosine: rare-term overlap outranks common-term overlap") {
+    // query shares "zebra" (rare, df=2) with doc 3 and "the" (common,
+    // df>half) with doc 5; the common term is pruned, so doc 3 must
+    // rank first and doc 5 must not appear at all
+    val docs = Seq(
+      (0L, "zebra the alpha"),
+      (3L, "zebra notes"), (5L, "the the the notes"),
+      (6L, "filler words here"), (7L, "other filler text"),
+      (8L, "more the filler"), (9L, "the last filler")
+    ).toDF("doc_id", "text")
+    val out = HashEmbed.tfidfCosineTopK(docs, "doc_id", "text",
+      isQuery = col("doc_id") % 100 === 0, k = 5).collect()
+    assert(out.nonEmpty && out.head.getLong(1) == 3L,
+      s"rare-term doc must rank first: ${out.mkString(",")}")
+    assert(!out.exists(_.getLong(1) == 5L),
+      "doc sharing only a pruned common term must not be a candidate")
+  }
+
   test("ranking is deterministic under row order permutation") {
     val docs = Seq((0L, "a b c"), (3L, "a b x"), (5L, "a y z"), (6L, "q r s"))
     val a = HashEmbed.cosineTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
