@@ -1356,6 +1356,24 @@ object SparkEntry {
       .select(col("media_id"), posexplode(col("features")).as(Seq("dim_idx", "feature")))
       .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"), col("feature"))
 
+  /** Audio-style VAD over text-as-payload media
+    * ([[graft.multimodal.Multimodal.audioWindows]]): 128-byte
+    * non-overlapping windows, active = mean sample ≥ 64; per-media
+    * window census + activity share (ASCII-sanitized as in the other
+    * multimodal queries so the per-codepoint oracle equals the
+    * byte-level pass). */
+  private def multimodalAudioVad(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.audioWindows(
+      graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(spark, dir)
+          .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
+        "doc_id", "text", "text/plain"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("active").cast("long")).as("n_active"),
+        expr("sum(CAST(active AS BIGINT)) * 10000 div count(1)").as("active_bp"),
+        sum(col("energy")).as("total_energy"))
+
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
     * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
@@ -4399,6 +4417,7 @@ object SparkEntry {
     "join_cardinality_est" -> ((s, dir) => joinCardinalityEst(s, dir)),
     "knn_text_tfidf" -> ((s, dir) => knnTextTfidf(s, dir)),
     "generator_funcs" -> ((s, dir) => generatorFuncs(s, dir)),
+    "multimodal_audio_vad" -> ((s, dir) => multimodalAudioVad(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -6686,6 +6705,21 @@ object SparkEntry {
         |SELECT sc.doc_id AS media_id, CAST(sc.j AS BIGINT) AS dim_idx,
         |  CAST(coalesce(g.s, 0) AS BIGINT) AS feature
         |FROM scaffold sc LEFT JOIN g ON g.doc_id = sc.doc_id AND g.j = sc.j""".stripMargin,
+    // windowed-energy VAD replay: char windows == byte windows after
+    // sanitize; energy = Σ codepoint; active compared cross-multiplied
+    "multimodal_audio_vad" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+        |m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM d WHERE length(text) > 0),
+        |w AS (SELECT media_id, text, n, unnest(generate_series(0, (n - 1) // 128)) AS win_idx FROM m),
+        |e AS (SELECT media_id, win_idx, substring(text, win_idx * 128 + 1, 128) AS wt FROM w),
+        |g AS (SELECT media_id, win_idx, length(wt) AS wb,
+        |  CAST(list_sum(list_transform(generate_series(1, length(wt)),
+        |    i -> ascii(substring(wt, i, 1)))) AS BIGINT) AS energy FROM e)
+        |SELECT media_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS active_bp,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy
+        |FROM g GROUP BY 1""".stripMargin,
     // non-ASCII sanitized to '?' on both sides → byte windows == char windows
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),

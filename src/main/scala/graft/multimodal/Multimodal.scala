@@ -119,6 +119,42 @@ object Multimodal {
         md5(col("frame")).as("frame_digest"))
   }
 
+  /** Audio-style fixed-window energy analysis — the VAD
+    * (voice-activity-detection) shape over a sample stream: the payload
+    * strides into NON-overlapping windows ([[frameSample]] strides
+    * overlapping frames), each emitting its exact int64 energy (Σ
+    * sample value) and an active verdict (mean sample ≥ threshold,
+    * compared cross-multiplied in integers — no division). Row-local
+    * flatMap, no shuffle, constant memory per window; a real build
+    * swaps byte values for decoded PCM samples and keeps the plumbing. */
+  def audioWindows(media: DataFrame, windowBytes: Int = 128,
+      meanThreshold: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("win_bytes", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("active", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val n = p.length
+          val nw = (n + windowBytes - 1) / windowBytes
+          (0 until nw).iterator.map { w =>
+            val from = w * windowBytes
+            val until = math.min(n, from + windowBytes)
+            var energy = 0L
+            var i = from
+            while (i < until) { energy += (p(i) & 0xFF).toLong; i += 1 }
+            Row(r.getLong(0), w, until - from, energy,
+              energy >= meanThreshold.toLong * (until - from))
+          }
+        }
+      }(enc)
+  }
+
   /** Metadata pass (fully oracle-checkable — no stub involved): payload
     * size + content digest per media row. */
   def mediaMeta(media: DataFrame): DataFrame =

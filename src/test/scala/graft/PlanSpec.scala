@@ -162,4 +162,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("text retrieval (tfidf + hashembed): sparse joins stay hash joins, no cartesian") {
+    for (name <- Seq("knn_text_tfidf", "knn_text_hashembed")) {
+      val p = planOf(name)
+      // similarity is the shared-key dot-product join — never a
+      // cross/nested-loop product of the corpus with itself
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(p.contains("HashAggregate"), s"$name:\n$p")
+    }
+  }
+
+  test("multimodal_audio_vad: row-local windows, exactly one keyed exchange") {
+    val p = planOf("multimodal_audio_vad")
+    // the flatMap emits windows without shuffling; only the per-media
+    // census aggregates across partitions
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ppl_bucket_mix: scoring joins hash, one lang-keyed window") {
+    val p = planOf("ppl_bucket_mix")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
