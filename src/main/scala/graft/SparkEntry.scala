@@ -1374,6 +1374,47 @@ object SparkEntry {
         expr("sum(CAST(active AS BIGINT)) * 10000 div count(1)").as("active_bp"),
         sum(col("energy")).as("total_energy"))
 
+  /** JSON function breadth (§2.7): typed `from_json` struct extraction
+    * next to the stringly `get_json_object` path, missing-key null
+    * behavior — both pinned to the same integer profile. */
+  private def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("j"),
+        get_json_object(col("props"), "$.k").as("ks"),
+        get_json_object(col("props"), "$.missing").as("ms"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("j.k")).as("sum_k"),
+        sum(col("j.k").isNotNull.cast("long")).as("n_parsed"),
+        sum(col("ks").cast("long")).as("sum_k_str"),
+        sum(col("ms").isNull.cast("long")).as("n_missing"))
+  }
+
+  /** NOT IN vs NOT EXISTS under nulls (§2.7) — the classic
+    * three-valued-logic trap: one NULL in the NOT IN subquery makes the
+    * whole predicate UNKNOWN for every row (zero survivors), while NOT
+    * EXISTS keeps its anti-join semantics. Both authored as SQL so
+    * Catalyst plans the real subquery rewrites; the counts pin the
+    * divergence. */
+  private def notInVsNotExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("__orders_nn")
+    Tables.customer(spark, dir).createOrReplaceTempView("__customer_nn")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM __orders_nn WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 1000 = 7 THEN NULL ELSE c_custkey END
+        |      FROM __customer_nn)) AS n_not_in_with_null,
+        |  (SELECT count(*) FROM __orders_nn o WHERE NOT EXISTS
+        |     (SELECT 1 FROM __customer_nn c
+        |      WHERE CASE WHEN c.c_custkey % 1000 = 7 THEN NULL
+        |            ELSE c.c_custkey END = o.o_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM __orders_nn WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM __customer_nn WHERE c_custkey % 1000 <> 7))
+        |    AS n_not_in_no_null""".stripMargin)
+  }
+
   /** TPC-H Q3-shaped: top-10 orders by revenue. orders/customer GROW with
     * scale factor — no broadcast hint (a forced broadcast of a fact-sized
     * table OOMs executors at 100 TB); AQE still picks broadcast-hash at
@@ -4418,6 +4459,8 @@ object SparkEntry {
     "knn_text_tfidf" -> ((s, dir) => knnTextTfidf(s, dir)),
     "generator_funcs" -> ((s, dir) => generatorFuncs(s, dir)),
     "multimodal_audio_vad" -> ((s, dir) => multimodalAudioVad(s, dir)),
+    "json_funcs" -> ((s, dir) => jsonFuncs(s, dir)),
+    "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
     "embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
@@ -6705,6 +6748,27 @@ object SparkEntry {
         |SELECT sc.doc_id AS media_id, CAST(sc.j AS BIGINT) AS dim_idx,
         |  CAST(coalesce(g.s, 0) AS BIGINT) AS feature
         |FROM scaffold sc LEFT JOIN g ON g.doc_id = sc.doc_id AND g.j = sc.j""".stripMargin,
+    "json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_str,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM events GROUP BY 1""".stripMargin,
+    "not_in_vs_not_exists" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 1000 = 7 THEN NULL ELSE c_custkey END
+        |      FROM customer)) AS n_not_in_with_null,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c
+        |      WHERE CASE WHEN c.c_custkey % 1000 = 7 THEN NULL
+        |            ELSE c.c_custkey END = o.o_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey % 1000 <> 7))
+        |    AS n_not_in_no_null""".stripMargin,
     // windowed-energy VAD replay: char windows == byte windows after
     // sanitize; energy = Σ codepoint; active compared cross-multiplied
     "multimodal_audio_vad" ->
