@@ -1362,17 +1362,52 @@ object SparkEntry {
     * window census + activity share (ASCII-sanitized as in the other
     * multimodal queries so the per-codepoint oracle equals the
     * byte-level pass). */
-  private def multimodalAudioVad(spark: SparkSession, dir: String): DataFrame =
+  /** Per-media VAD census over sanitized text-as-payload rows — shared
+    * by the batch query and the streaming twin (aggregation is per
+    * media row, so micro-batch splits cannot change it). */
+  private def vadCensus(docs: DataFrame): DataFrame =
     graft.multimodal.Multimodal.audioWindows(
       graft.multimodal.Multimodal.asMediaTable(
-        Tables.documents(spark, dir)
-          .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
+        docs.withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")),
         "doc_id", "text", "text/plain"))
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(col("active").cast("long")).as("n_active"),
         expr("sum(CAST(active AS BIGINT)) * 10000 div count(1)").as("active_bp"),
         sum(col("energy")).as("total_energy"))
+
+  private def multimodalAudioVad(spark: SparkSession, dir: String): DataFrame =
+    vadCensus(Tables.documents(spark, dir))
+
+  /** The VAD pass as CONTINUOUS media ingestion (the C1 background-loop
+    * shape applied to multimodal payloads): media rows stream in, each
+    * micro-batch runs the row-local window pass + per-media census and
+    * appends to an executor-side parquet sink — no driver collect. A
+    * media row is never split across micro-batches, so the streamed
+    * union IS the batch answer and shares its oracle. */
+  private def streamAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+    val outDir = new java.io.File(
+      s"target/stream_vad/${java.lang.Integer.toHexString(dir.hashCode)}")
+    deleteRecursively(outDir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        vadCensus(batch).write.mode("append").parquet(outDir.getPath)
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readSinkOrEmpty(spark, outDir, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_windows", LongType),
+      StructField("n_active", LongType),
+      StructField("active_bp", LongType),
+      StructField("total_energy", LongType))))
+  }
 
   /** JSON function breadth (§2.7): typed `from_json` struct extraction
     * next to the stringly `get_json_object` path, missing-key null
@@ -3172,6 +3207,50 @@ object SparkEntry {
           .otherwise(expr("ap_num_micro div r_ideal")).as("ap_micro"))
   }
 
+  /** MRR@10 — reciprocal rank of the first label-relevant neighbor in
+    * integer micro-units (floor(1e6/rank), 0 when nothing relevant in
+    * the top-10), over the memoized cosine search — completes the IR
+    * metric family next to MAP and nDCG. */
+  private def mrrAt10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val firstRel = cosineHits(spark, dir)
+      .join(qLab, Seq("query_id")).join(bLab, Seq("neighbor_id"))
+      .filter(col("q_label") === col("b_label"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rel_rank"))
+    qLab.join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rel_rank"), lit(0)).cast("long").as("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rel_rank")).as("rr_micro"))
+  }
+
+  /** Precision@10 / Recall@10 in basis points per query (recall against
+    * the UNCAPPED relevant pool — the quantity MAP's r_ideal caps). */
+  private def prAt10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qLab = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val bLab = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("b_label"))
+    val hits = cosineHits(spark, dir)
+      .join(qLab, Seq("query_id")).join(bLab, Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum((col("q_label") === col("b_label")).cast("long")).as("n_hits"))
+    val pool = qLab
+      .join(bLab.groupBy(col("b_label")).agg(count(lit(1)).as("n_rel")),
+        qLab("q_label") === col("b_label"), "left")
+      .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+    hits.join(pool, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"), col("n_rel"),
+        expr("(n_hits * 10000) div 10").as("p_bp"),
+        when(col("n_rel") === 0, lit(0L))
+          .otherwise(expr("(n_hits * 10000) div n_rel")).as("r_bp"))
+  }
+
   /** k-NN majority-vote classification over the cosine top-10:
     * predicted label = most-voted neighbor label (ties to the smaller
     * label), scored against the query's own label — the classification
@@ -4554,6 +4633,8 @@ object SparkEntry {
     "postings_stats" -> ((s, dir) => postingsStats(s, dir)),
     "phrase_search" -> ((s, dir) => phraseSearchQ(s, dir)),
     "map_at_10" -> ((s, dir) => mapAt10(s, dir)),
+    "mrr_at_10" -> ((s, dir) => mrrAt10(s, dir)),
+    "pr_at_10" -> ((s, dir) => prAt10(s, dir)),
     "knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "top_words_per_lang" -> ((s, dir) => topWordsPerLang(s, dir)),
     "pareto_parts" -> ((s, dir) => paretoParts(s, dir)),
@@ -4593,6 +4674,7 @@ object SparkEntry {
     "stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
     "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
+    "stream_audio_vad" -> ((s, dir) => streamAudioVad(s, dir)),
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
     "stream_minhash_neardup" -> ((s, dir) => streamMinhashNearDup(s, dir)),
@@ -4882,6 +4964,23 @@ object SparkEntry {
        |SELECT h.nprobe, CAST((h.n_hits * 10000) // t.n_gt AS BIGINT) AS recall_bp
        |FROM hits h CROSS JOIN total t""".stripMargin
   }
+
+  /** Windowed-energy VAD replay (shared by the batch query and its
+    * streamed twin): char windows == byte windows after the ASCII
+    * sanitize; energy = Σ codepoint; active compared cross-multiplied. */
+  private val streamAudioVadOracle: String =
+    """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+      |m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM d WHERE length(text) > 0),
+      |w AS (SELECT media_id, text, n, unnest(generate_series(0, (n - 1) // 128)) AS win_idx FROM m),
+      |e AS (SELECT media_id, win_idx, substring(text, win_idx * 128 + 1, 128) AS wt FROM w),
+      |g AS (SELECT media_id, win_idx, length(wt) AS wb,
+      |  CAST(list_sum(list_transform(generate_series(1, length(wt)),
+      |    i -> ascii(substring(wt, i, 1)))) AS BIGINT) AS energy FROM e)
+      |SELECT media_id, count(*) AS n_windows,
+      |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS active_bp,
+      |  CAST(sum(energy) AS BIGINT) AS total_energy
+      |FROM g GROUP BY 1""".stripMargin
 
   /** Feature-hashed cosine top-k replay: PolyHash mod 4096 buckets,
     * sparse dot join, exact int64 dots/norms, one shared fixed-shape
@@ -6771,19 +6870,7 @@ object SparkEntry {
         |    AS n_not_in_no_null""".stripMargin,
     // windowed-energy VAD replay: char windows == byte windows after
     // sanitize; energy = Σ codepoint; active compared cross-multiplied
-    "multimodal_audio_vad" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
-        |m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM d WHERE length(text) > 0),
-        |w AS (SELECT media_id, text, n, unnest(generate_series(0, (n - 1) // 128)) AS win_idx FROM m),
-        |e AS (SELECT media_id, win_idx, substring(text, win_idx * 128 + 1, 128) AS wt FROM w),
-        |g AS (SELECT media_id, win_idx, length(wt) AS wb,
-        |  CAST(list_sum(list_transform(generate_series(1, length(wt)),
-        |    i -> ascii(substring(wt, i, 1)))) AS BIGINT) AS energy FROM e)
-        |SELECT media_id, count(*) AS n_windows,
-        |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
-        |  CAST(sum(CASE WHEN energy >= 64 * wb THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS active_bp,
-        |  CAST(sum(energy) AS BIGINT) AS total_energy
-        |FROM g GROUP BY 1""".stripMargin,
+    "multimodal_audio_vad" -> streamAudioVadOracle,
     // non-ASCII sanitized to '?' on both sides → byte windows == char windows
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
@@ -7589,6 +7676,42 @@ object SparkEntry {
         |  CAST(CASE WHEN p.r_ideal = 0 THEN 0
         |    ELSE a.ap_num_micro // p.r_ideal END AS BIGINT) AS ap_micro
         |FROM ap a JOIN pool p USING (query_id)""".stripMargin,
+    "mrr_at_10" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |fr AS (SELECT s.query_id, min(s.rank) AS frr
+        |  FROM scored s JOIN ql USING (query_id) JOIN bl USING (neighbor_id)
+        |  WHERE s.rank <= 10 AND ql.q_label = bl.b_label GROUP BY 1)
+        |SELECT ql.query_id,
+        |  CAST(coalesce(fr.frr, 0) AS BIGINT) AS first_rel_rank,
+        |  CAST(CASE WHEN fr.frr IS NULL THEN 0 ELSE 1000000 // fr.frr END AS BIGINT) AS rr_micro
+        |FROM ql LEFT JOIN fr USING (query_id)""".stripMargin,
+    "pr_at_10" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id % 20 = 0),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |h AS (SELECT s.query_id,
+        |    CAST(sum(CASE WHEN ql.q_label = bl.b_label THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM scored s JOIN ql USING (query_id) JOIN bl USING (neighbor_id)
+        |  WHERE s.rank <= 10 GROUP BY 1),
+        |pool AS (SELECT ql.query_id, CAST(count(bl.neighbor_id) AS BIGINT) AS n_rel
+        |  FROM ql LEFT JOIN bl ON bl.b_label = ql.q_label GROUP BY 1)
+        |SELECT h.query_id, h.n_hits, p.n_rel,
+        |  CAST((h.n_hits * 10000) // 10 AS BIGINT) AS p_bp,
+        |  CAST(CASE WHEN p.n_rel = 0 THEN 0
+        |    ELSE (h.n_hits * 10000) // p.n_rel END AS BIGINT) AS r_bp
+        |FROM h JOIN pool p USING (query_id)""".stripMargin,
     "knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
@@ -7910,6 +8033,9 @@ object SparkEntry {
     "tokenizer_fertility" -> bpeFertilityOracle(6),
     "stream_minhash_neardup" -> minhashOracle, // stream pairs == batch pairs
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
+    // streamed per-media censuses union to the batch answer (a media
+    // row never splits across micro-batches) → shares the batch oracle
+    "stream_audio_vad" -> streamAudioVadOracle,
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label AS q_label
         |  FROM embeddings WHERE vec_id % 20 = 0),
