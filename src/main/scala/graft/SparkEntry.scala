@@ -2451,12 +2451,41 @@ object SparkEntry {
     * before a single distance is computed — pre-filtering, not
     * post-filtering, which k-limits can't recover from. */
   private def knnFiltered(spark: SparkSession, dir: String): DataFrame =
-    Knn.exact(
-      Tables.embeddingQueries(spark, dir),
-      Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % 20 =!= 0 && col("label").isin(0, 1, 2))
-        .select(col("vec_id"), col("embedding")),
-      KnnK)
+    // memoized: the exact filtered answer doubles as the ground truth
+    // for the filtered index-serving recall queries
+    memoSearch("filtered_exact", dir) {
+      Knn.exact(
+        Tables.embeddingQueries(spark, dir),
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 20 =!= 0 && col("label").isin(0, 1, 2))
+          .select(col("vec_id"), col("embedding")),
+        KnnK)
+    }
+
+  /** FILTERED graph search ([[graft.index.GraphIndex.searchFiltered]]):
+    * the beam traverses the FULL adjacency (pruning disallowed nodes
+    * from expansion disconnects the graph under selective predicates —
+    * the ACORN observation), only the final rerank restricts to the
+    * allowed set. Same model as `knn_graph`; only serving composes the
+    * predicate, and the beam widens by ~1/selectivity (32 → 96 for the
+    * ~30% label slice) so the visited set carries enough ALLOWED
+    * candidates — the filtered-search knob ACORN turns. */
+  private def knnGraphFiltered(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("graph_filtered", dir) {
+      graft.index.GraphIndex.searchFiltered(
+        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+        graphAdj(spark, dir),
+        Tables.embeddings(spark, dir)
+          .filter(col("label").isin(0, 1, 2)).select(col("vec_id")),
+        KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 96)
+    }
+
+  /** Filtered-graph recall vs the exact FILTERED ground truth — what
+    * traversal-preserving post-rerank costs under a ~30%-selectivity
+    * predicate. */
+  private def recallGraphFiltered(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphFiltered(spark, dir),
+      knnFiltered(spark, dir), KnnK)
 
   /** Correlated scalar subquery, given to Spark AS SQL so Catalyst's
     * decorrelation (RewriteCorrelatedScalarSubquery) does the planning:
@@ -4421,6 +4450,8 @@ object SparkEntry {
     "mutual_knn_pairs" -> ((s, dir) => mutualKnnPairs(s, dir)),
     "knn_graph" -> ((s, dir) => knnGraphSearch(s, dir)),
     "knn_graph_stored" -> ((s, dir) => knnGraphStored(s, dir)),
+    "knn_graph_filtered" -> ((s, dir) => knnGraphFiltered(s, dir)),
+    "recall_graph_filtered" -> ((s, dir) => recallGraphFiltered(s, dir)),
     "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
     "recall_curve_graph" -> ((s, dir) => recallCurveGraph(s, dir)),
     "nnd_graph_adj" -> ((s, dir) => nndAdj(s, dir)),
@@ -5600,7 +5631,7 @@ object SparkEntry {
     * expand-score-prune (beam 32), exact rerank over everything visited
     * — the same batched beam as [[graft.index.GraphIndex.search]]. */
   private def beamSearchCtes(adjCte: String, p: String,
-      qCte: String = "q", bCte: String = "b"): String = {
+      qCte: String = "q", bCte: String = "b", beam: Int = 32): String = {
     val qdist = "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     val hops = 3
     val sb = new StringBuilder
@@ -5623,7 +5654,7 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY c.query_id
            |      ORDER BY $qdist, c.vec_id) AS rn
            |  FROM ${p}cand$h c JOIN $qCte q USING (query_id)
-           |    JOIN $bCte b ON b.vec_id = c.vec_id) WHERE rn <= 32),
+           |    JOIN $bCte b ON b.vec_id = c.vec_id) WHERE rn <= $beam),
            |${p}vis$h AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}vis${h - 1}
            |  UNION SELECT query_id, vec_id FROM ${p}cand$h)""")
     }
@@ -5644,6 +5675,39 @@ object SparkEntry {
     (s"""WITH $graphBaseCtes,
         |${beamSearchCtes("gadj", "g")}
         |SELECT query_id, neighbor_id, rank FROM gscored WHERE rank <= 10""").stripMargin
+
+  /** Filtered-graph serving replay: the full beam CTEs verbatim, then
+    * the allowed-set semi join + re-rank (rank order preserved — the
+    * unfiltered rank is already distance-ordered). */
+  private lazy val graphFilteredKnnOracle: String =
+    s"""WITH $graphBaseCtes,
+       |${beamSearchCtes("gadj", "gf", beam = 96)},
+       |flt AS (SELECT vec_id FROM embeddings WHERE label IN (0, 1, 2)),
+       |ff AS (SELECT s.query_id, s.neighbor_id, s.rank AS orank
+       |  FROM gfscored s JOIN flt f ON f.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY orank) AS INTEGER) AS rank
+       |  FROM ff) WHERE rank <= 10""".stripMargin
+
+  private lazy val graphFilteredRecallOracle: String =
+    s"""WITH $graphBaseCtes,
+       |${beamSearchCtes("gadj", "gf", beam = 96)},
+       |flt AS (SELECT vec_id FROM embeddings WHERE label IN (0, 1, 2)),
+       |ff AS (SELECT s.query_id, s.neighbor_id, s.rank AS orank
+       |  FROM gfscored s JOIN flt f ON f.vec_id = s.neighbor_id),
+       |pr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY orank) AS rn
+       |  FROM ff) WHERE rn <= 10),
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b JOIN flt ON flt.vec_id = b.vec_id) WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   private val graphRecallOracle: String =
     s"""WITH $graphBaseCtes,
@@ -5961,6 +6025,8 @@ object SparkEntry {
           |WHERE a.node_id < a.neighbor_id""".stripMargin),
     "knn_graph" -> graphKnnOracle,
     "knn_graph_stored" -> graphKnnOracle, // stored-adjacency replay, same answer
+    "knn_graph_filtered" -> graphFilteredKnnOracle,
+    "recall_graph_filtered" -> graphFilteredRecallOracle,
     "recall_graph" -> graphRecallOracle,
     "recall_curve_graph" ->
       (s"""WITH $graphBaseCtes,

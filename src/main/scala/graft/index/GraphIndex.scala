@@ -201,7 +201,27 @@ object GraphIndex {
     * Output: `(query_id, neighbor_id, rank)`, rank ∈ [1, k]. */
   def search(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
       k: Int, seedMod: Int = 16, seedK: Int = 8, hops: Int = 3,
-      beam: Int = 32): DataFrame = {
+      beam: Int = 32): DataFrame =
+    searchImpl(queries, base, adjacency, None, k, seedMod, seedK, hops, beam)
+
+  /** FILTERED graph search — the predicate-composable serving mode of
+    * the HNSW-class backends (Milvus/Weaviate expose exactly this on
+    * their HNSW collections). The beam TRAVERSES the full graph —
+    * pruning disallowed nodes from expansion would disconnect it under
+    * selective predicates (the ACORN observation, Patel et al.
+    * SIGMOD'24) — and only the final rerank restricts to the allowed id
+    * set, so recall degrades with selectivity instead of collapsing.
+    * `allowed` is one id column (`vec_id`); the restriction is a
+    * left-semi hash join on the visited set, never a scan-side filter
+    * of the adjacency. */
+  def searchFiltered(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
+      allowed: DataFrame, k: Int, seedMod: Int = 16, seedK: Int = 8,
+      hops: Int = 3, beam: Int = 32): DataFrame =
+    searchImpl(queries, base, adjacency, Some(allowed), k, seedMod, seedK, hops, beam)
+
+  private def searchImpl(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
+      allowed: Option[DataFrame], k: Int, seedMod: Int, seedK: Int, hops: Int,
+      beam: Int): DataFrame = {
     val entry = base.filter(col("vec_id") % seedMod === 0)
     val seeds = graft.operators.Knn.exact(queries, entry, seedK)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
@@ -236,7 +256,11 @@ object GraphIndex {
         (topOf(score(cand), beam).localCheckpoint(), vis.union(cand))
     }
     val topk = topKByDist(col("vec_id"), col("dist"), k)
-    score(visited)
+    val rerankSet = allowed match {
+      case Some(ok) => visited.join(ok.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => visited
+    }
+    score(rerankSet)
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))

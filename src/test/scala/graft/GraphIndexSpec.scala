@@ -99,6 +99,23 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(pred.filter(col("neighbor_id") % 5 === 4).count() == 0)
   }
 
+  test("filtered search: only allowed ids returned; trivial filter == unfiltered") {
+    val allowedEven = base.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val pred = GraphIndex.searchFiltered(queries, base, exactAdj, allowedEven,
+      k = 10, seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    assert(pred.filter(col("neighbor_id") % 2 =!= 0).count() == 0,
+      "a disallowed id must never be returned")
+    // allowing everything must reproduce the unfiltered search exactly
+    val all = base.select(col("vec_id"))
+    val filteredAll = GraphIndex.searchFiltered(queries, base, exactAdj, all,
+      k = 10, seedMod = 16, seedK = 8, hops = 3, beam = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = GraphIndex.search(queries, base, exactAdj, k = 10,
+      seedMod = 16, seedK = 8, hops = 3, beam = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(filteredAll == plain)
+  }
+
   test("beam widening is monotone in recall") {
     def rec(beam: Int, hops: Int): Double = {
       val pred = GraphIndex.search(queries, base, exactAdj, k = 10,
