@@ -2487,6 +2487,43 @@ object SparkEntry {
     Recall.recallBasisPoints(knnGraphFiltered(spark, dir),
       knnFiltered(spark, dir), KnnK)
 
+  /** Cell-blocked adjacency ([[graft.index.GraphIndex.buildCellBlocked]]
+    * over the shared IvfFlat coarse model) — the 100 TB build artifact,
+    * memoized like the exact graph. */
+  private def cellBlockedAdj(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("cell_adj", dir) {
+      graft.index.GraphIndex.buildCellBlocked(
+        Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir),
+        degree = 16, nassign = 3)
+    }
+
+  /** Edge recall of the cell-blocked build vs the exact degree-16
+    * graph — the measured cost of never running the all-pairs pass. */
+  private def graphCellBlockedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graphAdj(spark, dir).select(col("node_id"), col("neighbor_id"))
+    val blocked = cellBlockedAdj(spark, dir).select(col("node_id"), col("neighbor_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(blocked.agg(count(lit(1)).as("n_blocked")))
+      .crossJoin(exact.join(blocked, Seq("node_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_blocked"),
+        expr("(n_hits * 10000) div n_exact").as("edge_recall_bp"))
+  }
+
+  /** Beam search served from the cell-blocked adjacency — the full
+    * scale pipeline (coarse model → blocked build → batched beam) end
+    * to end, with recall vs exact ground truth measured next. */
+  private def knnGraphCellBlocked(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("graph_cell", dir) {
+      graft.index.GraphIndex.search(
+        Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+        cellBlockedAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    }
+
+  private def recallGraphCellBlocked(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphCellBlocked(spark, dir),
+      groundTruth(spark, dir), KnnK)
+
   /** Correlated scalar subquery, given to Spark AS SQL so Catalyst's
     * decorrelation (RewriteCorrelatedScalarSubquery) does the planning:
     * orders beating 1.5× their customer's average land in one aggregate
@@ -4452,6 +4489,9 @@ object SparkEntry {
     "knn_graph_stored" -> ((s, dir) => knnGraphStored(s, dir)),
     "knn_graph_filtered" -> ((s, dir) => knnGraphFiltered(s, dir)),
     "recall_graph_filtered" -> ((s, dir) => recallGraphFiltered(s, dir)),
+    "graph_cellblocked_quality" -> ((s, dir) => graphCellBlockedQuality(s, dir)),
+    "knn_graph_cellblocked" -> ((s, dir) => knnGraphCellBlocked(s, dir)),
+    "recall_graph_cellblocked" -> ((s, dir) => recallGraphCellBlocked(s, dir)),
     "recall_graph" -> ((s, dir) => recallGraph(s, dir)),
     "recall_curve_graph" -> ((s, dir) => recallCurveGraph(s, dir)),
     "nnd_graph_adj" -> ((s, dir) => nndAdj(s, dir)),
@@ -5676,6 +5716,62 @@ object SparkEntry {
         |${beamSearchCtes("gadj", "g")}
         |SELECT query_id, neighbor_id, rank FROM gscored WHERE rank <= 10""").stripMargin
 
+  /** Cell-blocked adjacency replay: the IVF training prefix verbatim,
+    * 3-nearest-cell multi-assignment, per-cell DISTINCT candidate
+    * pairs, float rerank to degree 16 (the heap's (dist, id) dedup on
+    * the Spark side ≡ the DISTINCT here). */
+  private lazy val cellAdjCtes: String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    s"""$ivfTrainCtes,
+       |cba AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id
+       |    ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
+       |  FROM bq CROSS JOIN c2 c) WHERE rn <= 3),
+       |cadj AS MATERIALIZED (SELECT node_id, neighbor_id, rank FROM (
+       |  SELECT p.node_id, p.cand_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY p.node_id
+       |      ORDER BY list_distance(CAST(ba.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])), p.cand_id) AS INTEGER) AS rank
+       |  FROM (SELECT DISTINCT a.vec_id AS node_id, b2.vec_id AS cand_id
+       |        FROM cba a JOIN cba b2 USING (cid) WHERE a.vec_id <> b2.vec_id) p
+       |  JOIN b ba ON ba.vec_id = p.node_id
+       |  JOIN b bb ON bb.vec_id = p.cand_id) WHERE rank <= 16)""".stripMargin
+  }
+
+  private lazy val cellBlockedQualityOracle: String =
+    s"""WITH $cellAdjCtes,
+       |xadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+       |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
+       |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+       |he AS (SELECT count(*) AS n_hits FROM xadj
+       |  JOIN (SELECT node_id, neighbor_id FROM cadj) ca USING (node_id, neighbor_id)),
+       |te AS (SELECT count(*) AS n_exact FROM xadj),
+       |tb AS (SELECT count(*) AS n_blocked FROM cadj)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_blocked AS BIGINT) AS n_blocked,
+       |  CAST((n_hits * 10000) // n_exact AS BIGINT) AS edge_recall_bp
+       |FROM te CROSS JOIN tb CROSS JOIN he""".stripMargin
+
+  private lazy val cellBlockedKnnOracle: String =
+    s"""WITH $cellAdjCtes,
+       |${beamSearchCtes("cadj", "cb")}
+       |SELECT query_id, neighbor_id, rank FROM cbscored WHERE rank <= 10""".stripMargin
+
+  private lazy val cellBlockedRecallOracle: String =
+    s"""WITH $cellAdjCtes,
+       |${beamSearchCtes("cadj", "cb")},
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM cbscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
+
   /** Filtered-graph serving replay: the full beam CTEs verbatim, then
     * the allowed-set semi join + re-rank (rank order preserved — the
     * unfiltered rank is already distance-ordered). */
@@ -6027,6 +6123,9 @@ object SparkEntry {
     "knn_graph_stored" -> graphKnnOracle, // stored-adjacency replay, same answer
     "knn_graph_filtered" -> graphFilteredKnnOracle,
     "recall_graph_filtered" -> graphFilteredRecallOracle,
+    "graph_cellblocked_quality" -> cellBlockedQualityOracle,
+    "knn_graph_cellblocked" -> cellBlockedKnnOracle,
+    "recall_graph_cellblocked" -> cellBlockedRecallOracle,
     "recall_graph" -> graphRecallOracle,
     "recall_curve_graph" ->
       (s"""WITH $graphBaseCtes,

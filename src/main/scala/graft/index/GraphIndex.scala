@@ -199,6 +199,35 @@ object GraphIndex {
     * 100 TB path. With (seedK=8, beam=32, hops=3) on the fixtures this
     * clears the BASELINE graph ladder (recall@10 ≈ 0.98).
     * Output: `(query_id, neighbor_id, rank)`, rank ∈ [1, k]. */
+  /** Cell-blocked approximate build — the 100 TB build path the exact
+    * all-pairs pass cannot take: candidate pairs come from coarse-cell
+    * CO-MEMBERSHIP (each node is assigned to its `nassign` nearest IVF
+    * cells — multi-assignment captures border edges a single-cell
+    * blocking would miss), so pair generation is a co-partitioned
+    * equi-join on cell id, |cell|² per cell instead of |base|². The
+    * bounded heap ranks each node's candidates; a pair sharing both
+    * cells is absorbed by the heap's (dist, id) dedup. Edge recall vs
+    * the exact graph is a measured query (`graph_cellblocked_quality`),
+    * not a guess. */
+  def buildCellBlocked(base: DataFrame, centroids: Array[Array[Long]],
+      degree: Int, nassign: Int = 2): DataFrame = {
+    val qq = base.select(col("vec_id"), IvfFlat.quantize(col("embedding")).as("qv"))
+    val cells = IvfFlat.probeCells(qq, centroids, nassign)
+      .select(col("query_id").as("vec_id"), col("cid"))
+    val nodes = cells.join(base, Seq("vec_id")).localCheckpoint()
+    val pairs = nodes.alias("na")
+      .join(nodes.alias("nb"), col("na.cid") === col("nb.cid"))
+      .filter(col("na.vec_id") =!= col("nb.vec_id"))
+      .select(col("na.vec_id").as("node_id"),
+        col("nb.vec_id").as("cand_id"),
+        l2sq(col("na.embedding"), col("nb.embedding")).as("dist"))
+    pairs.groupBy(col("node_id"))
+      .agg(topKByDist(col("cand_id"), col("dist"), degree).as("nn"))
+      .select(col("node_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("node_id"), col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def search(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
       k: Int, seedMod: Int = 16, seedK: Int = 8, hops: Int = 3,
       beam: Int = 32): DataFrame =

@@ -116,6 +116,17 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(filteredAll == plain)
   }
 
+  test("cell-blocked build with all cells assigned equals the exact graph") {
+    // when every node is assigned to every cell, per-cell co-membership
+    // is all-pairs and the blocked build must reproduce buildExact
+    val model = graft.index.IvfFlat.fit(base, nlist = 4)
+    val blockedAll = GraphIndex.buildCellBlocked(base, model, degree = 8, nassign = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = exactAdj
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blockedAll == exact)
+  }
+
   test("beam widening is monotone in recall") {
     def rec(beam: Int, hops: Int): Double = {
       val pred = GraphIndex.search(queries, base, exactAdj, k = 10,
