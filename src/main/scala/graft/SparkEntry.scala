@@ -2956,6 +2956,41 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType))))
   }
 
+  /** The background search loop served from the GRAPH index — completes
+    * the streaming-serving trio (exact `stream_knn_search`, IVF
+    * `stream_ivf_search`, graph here): the adjacency is built once
+    * before the stream (the served index), each micro-batch of queries
+    * beam-searches it, results append to an executor-side parquet sink.
+    * Per-micro-batch work is independent of base size after seeding
+    * (the graph-search property that makes it the serving index). */
+  private def streamGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val base = Tables.embeddingBase(spark, dir)
+    val adj = graphAdj(spark, dir)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val qStream = spark.readStream.schema(schema).parquet(s"$dir/embeddings*.parquet")
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val outDir = new java.io.File(
+      s"target/stream_graph/${java.lang.Integer.toHexString(dir.hashCode)}")
+    deleteRecursively(outDir)
+    val q = qStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.index.GraphIndex.search(batch, base, adj, KnnK,
+          seedMod = 16, seedK = 8, hops = 3, beam = 32)
+          .write.mode("append").parquet(outDir.getPath)
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readSinkOrEmpty(spark, outDir, StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("rank", IntegerType))))
+  }
+
   // ——— Retrieval/IR metric: nDCG@10 ———
 
   private val NdcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
@@ -4746,6 +4781,7 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) => bpeEncode(s, dir)),
     "stream_ivf_search" -> ((s, dir) => streamIvfSearch(s, dir)),
     "stream_audio_vad" -> ((s, dir) => streamAudioVad(s, dir)),
+    "stream_graph_search" -> ((s, dir) => streamGraphSearch(s, dir)),
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
     "stream_minhash_neardup" -> ((s, dir) => streamMinhashNearDup(s, dir)),
@@ -8201,6 +8237,10 @@ object SparkEntry {
     // streamed per-media censuses union to the batch answer (a media
     // row never splits across micro-batches) → shares the batch oracle
     "stream_audio_vad" -> streamAudioVadOracle,
+    // graph-served loop: per-micro-batch beam over the standing
+    // adjacency; query batches union to the batch beam answer (each
+    // query's whole beam lives in its own micro-batch)
+    "stream_graph_search" -> graphKnnOracle,
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding, label AS q_label
         |  FROM embeddings WHERE vec_id % 20 = 0),
