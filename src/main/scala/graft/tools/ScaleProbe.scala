@@ -74,7 +74,14 @@ object ScaleProbe {
     // grow with the corpus — its scale path is dim 2^18, which caps
     // posting lists); simhash_quality sits on the pair-scan family.
     "bigram_logprob", "ppl_bucket_mix", "median_mode_stats", "date_funcs",
-    "string_funcs", "null_semantics", "join_cardinality_est")
+    "string_funcs", "null_semantics", "join_cardinality_est",
+    // VAD is a row-local flatMap + one keyed census; generator/json
+    // breadth are explode + keyed aggregates; the NOT IN probe is two
+    // subquery anti-join shapes. (The retrieval-metric family rides the
+    // memoized cosine artifact; stream_* carry state-store setup cost,
+    // not data cost.)
+    "multimodal_audio_vad", "generator_funcs", "json_funcs",
+    "not_in_vs_not_exists")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
