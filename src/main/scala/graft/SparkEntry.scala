@@ -1427,6 +1427,22 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Regexp function breadth (§2.7): match-all extraction counts,
+    * group extraction, containment — the simple character-class subset
+    * where Java and RE2 regex dialects provably agree. */
+  private def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long"))
+          .as("n_digit_runs"),
+        sum(size(regexp_extract_all(col("text"), lit("[A-Za-z]{4,}"), lit(0))).cast("long"))
+          .as("n_long_words"),
+        sum(length(regexp_extract(col("text"), "([A-Za-z]+)", 1)).cast("long"))
+          .as("sum_first_alpha_len"),
+        sum(col("text").rlike("[0-9]").cast("long")).as("n_with_digit"))
+
   /** NOT IN vs NOT EXISTS under nulls (§2.7) — the classic
     * three-valued-logic trap: one NULL in the NOT IN subquery makes the
     * whole predicate UNKNOWN for every row (zero survivors), while NOT
@@ -4645,6 +4661,7 @@ object SparkEntry {
     "generator_funcs" -> ((s, dir) => generatorFuncs(s, dir)),
     "multimodal_audio_vad" -> ((s, dir) => multimodalAudioVad(s, dir)),
     "json_funcs" -> ((s, dir) => jsonFuncs(s, dir)),
+    "regexp_funcs" -> ((s, dir) => regexpFuncs(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
@@ -7057,6 +7074,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_digit_runs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{4,}'))) AS BIGINT) AS n_long_words,
+        |  CAST(sum(length(regexp_extract(text, '([A-Za-z]+)', 1))) AS BIGINT) AS sum_first_alpha_len,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digit
+        |FROM documents GROUP BY 1""".stripMargin,
     "not_in_vs_not_exists" ->
       """SELECT
         |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
