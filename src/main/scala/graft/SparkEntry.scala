@@ -1427,6 +1427,39 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Char-trigram language ID (Cavnar–Trenkle n-gram profiles) — the
+    * second language-ID method next to `lang_id`'s stopword argmax:
+    * per-language top-50 trigram profiles trained on the corpus (one
+    * explode-aggregate), each document scored by DISTINCT-trigram
+    * overlap, argmax with lexicographic ties. Emits the
+    * labeled-vs-predicted confusion matrix. All integer counts,
+    * deterministic — full DuckDB replay. */
+  private def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    val tg = expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+    val trigrams = docs.select(col("doc_id"), col("lang"), explode(tg).as("g"))
+    val profile = trigrams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rn") <= 50)
+      .select(col("lang").as("p_lang"), col("g"))
+    val docGrams = docs.select(col("doc_id"), explode(array_distinct(tg)).as("g"))
+    val scoredLang = docGrams.join(profile, Seq("g"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("overlap").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scoredLang, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("p_lang"), lit("unknown")).as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Regexp function breadth (§2.7): match-all extraction counts,
     * group extraction, containment — the simple character-class subset
     * where Java and RE2 regex dialects provably agree. */
@@ -4662,6 +4695,7 @@ object SparkEntry {
     "multimodal_audio_vad" -> ((s, dir) => multimodalAudioVad(s, dir)),
     "json_funcs" -> ((s, dir) => jsonFuncs(s, dir)),
     "regexp_funcs" -> ((s, dir) => regexpFuncs(s, dir)),
+    "lang_id_ngram" -> ((s, dir) => langIdNgram(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
@@ -7074,6 +7108,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    // Cavnar–Trenkle replay: trigram profiles (top-50 per lang), distinct
+    // overlap score, argmax with lexicographic ties, confusion matrix
+    "lang_id_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |tg AS (SELECT doc_id, lang,
+        |  unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+        |    i -> substring(t, i, 3))) AS g FROM d),
+        |prof AS (SELECT lang AS p_lang, g FROM (
+        |  SELECT lang, g, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+        |  FROM tg GROUP BY lang, g) WHERE rn <= 50),
+        |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(length(t) - 2, 0)),
+        |    i -> substring(t, i, 3)))) AS g FROM d),
+        |sc AS (SELECT doc_id, p_lang FROM (
+        |  SELECT dg.doc_id, prof.p_lang, count(*) AS overlap,
+        |    row_number() OVER (PARTITION BY dg.doc_id
+        |      ORDER BY count(*) DESC, prof.p_lang) AS rn
+        |  FROM dg JOIN prof USING (g) GROUP BY dg.doc_id, prof.p_lang) WHERE rn = 1)
+        |SELECT d.lang, coalesce(sc.p_lang, 'unknown') AS predicted_lang,
+        |  count(*) AS n
+        |FROM d LEFT JOIN sc USING (doc_id) GROUP BY 1, 2""".stripMargin,
     "regexp_funcs" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_digit_runs,
