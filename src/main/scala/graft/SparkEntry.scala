@@ -1427,6 +1427,42 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** k-anonymity audit over quasi-identifiers (lang, source, length
+    * band) — the privacy-side curation check next to `pii_redact`: a
+    * released corpus slice whose quasi-identifier group has fewer than
+    * k members re-identifies its authors. Emits per (lang, source) the
+    * group census and the rows at risk under k=5. One keyed aggregate
+    * over the grouped census. */
+  private def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 500").as("len_band"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
+  /** χ² contingency table for event_type × ISO weekday — §2.7 stats
+    * breadth beyond moments: per-cell observed counts and the χ² term
+    * in ppm. The deviation (obs·N − row·col) stays exact int64; only
+    * its square and the denominator cross 2⁶³, so both move to double
+    * through one fixed-shape expression (single multiply + divide +
+    * floor — correctly rounded identically in any IEEE engine). */
+  private def contingencyStats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("row_n"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("obs")).as("col_n"))
+    val n = cells.agg(sum(col("obs")).as("n_total"))
+    cells.join(rowT, Seq("event_type")).join(colT, Seq("dow")).crossJoin(broadcast(n))
+      .withColumn("dev", col("obs") * col("n_total") - col("row_n") * col("col_n"))
+      .select(col("event_type"), col("dow"), col("obs"),
+        floor(lit(1000000.0) * (col("dev").cast("double") * col("dev").cast("double"))
+          / (col("row_n").cast("double") * col("col_n").cast("double")
+            * col("n_total").cast("double"))).cast("long").as("chi2_term_ppm"))
+  }
+
   /** Char-trigram language ID (Cavnar–Trenkle n-gram profiles) — the
     * second language-ID method next to `lang_id`'s stopword argmax:
     * per-language top-50 trigram profiles trained on the corpus (one
@@ -4696,6 +4732,8 @@ object SparkEntry {
     "json_funcs" -> ((s, dir) => jsonFuncs(s, dir)),
     "regexp_funcs" -> ((s, dir) => regexpFuncs(s, dir)),
     "lang_id_ngram" -> ((s, dir) => langIdNgram(s, dir)),
+    "k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
+    "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
     "simhash_neardup" -> ((s, dir) => simhashNearDup(s, dir)),
@@ -7108,6 +7146,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 500 AS len_band,
+        |  count(*) AS sz FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    // χ² cells: dev exact int64, square/denominator through one
+    // fixed-shape double expression (identical in any IEEE engine)
+    "contingency_stats" ->
+      """WITH c AS (SELECT event_type, isodow(ts) AS dow, count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n FROM c GROUP BY 1),
+        |k AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM c),
+        |j AS (SELECT c.event_type, c.dow, c.obs,
+        |    c.obs * n.n_total - r.row_n * k.col_n AS dev,
+        |    r.row_n, k.col_n, n.n_total
+        |  FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN n)
+        |SELECT event_type, CAST(dow AS INTEGER) AS dow, obs,
+        |  CAST(floor(1000000.0 * (CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
+        |    / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |      * CAST(n_total AS DOUBLE))) AS BIGINT) AS chi2_term_ppm
+        |FROM j""".stripMargin,
     // Cavnar–Trenkle replay: trigram profiles (top-50 per lang), distinct
     // overlap score, argmax with lexicographic ties, confusion matrix
     "lang_id_ngram" ->
