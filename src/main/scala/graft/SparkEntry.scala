@@ -1427,6 +1427,42 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Rocchio nearest-centroid classification — the prototype method
+    * next to `knn_classify`'s majority vote: per-label centroids on the
+    * 2²⁰ integer grid (exact int64 sums, the same floor-div mean as
+    * IvfFlat's Lloyd step, so any engine replays them), queries
+    * assigned to the nearest centroid by exact integer distance, ties
+    * to the smaller label. Emits the labeled-vs-predicted confusion
+    * matrix. Centroids are model-parameter-sized (10 rows) and
+    * broadcast; classification is a map over the query stream. */
+  private def rocchioClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2sq
+    val emb = Tables.embeddings(spark, dir)
+    val bq = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("label"), graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+    val cents = bq
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("e")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        expr("(2*s + cnt - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) div (2*cnt)").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cvec"))
+      .select(col("label").as("p_label"), col("cvec"))
+    val qq = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+    qq.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_label"), col("p_label"),
+        l2sq(col("qv"), col("cvec")).as("dist"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("p_label"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("q_label"), col("p_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** k-anonymity audit over quasi-identifiers (lang, source, length
     * band) — the privacy-side curation check next to `pii_redact`: a
     * released corpus slice whose quasi-identifier group has fewer than
@@ -4733,6 +4769,7 @@ object SparkEntry {
     "regexp_funcs" -> ((s, dir) => regexpFuncs(s, dir)),
     "lang_id_ngram" -> ((s, dir) => langIdNgram(s, dir)),
     "k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
+    "rocchio_classify" -> ((s, dir) => rocchioClassify(s, dir)),
     "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
@@ -7146,6 +7183,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    // Rocchio replay: grid quantization, per-label floor-div mean
+    // centroids, exact integer distances, ties to the smaller label
+    "rocchio_classify" ->
+      """WITH bq AS (SELECT label,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |g AS (SELECT label, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos,
+        |  unnest(qv) AS e FROM bq),
+        |gm AS (SELECT label, pos, sum(e) AS s, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |m AS (SELECT label, pos,
+        |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM gm),
+        |cl AS (SELECT label AS p_label, array_agg(c ORDER BY pos) AS cvec FROM m GROUP BY 1),
+        |qq AS (SELECT vec_id AS query_id, label AS q_label,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |sc AS (SELECT query_id, q_label, p_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CAST(list_sum(list_transform(generate_series(1, 64),
+        |        ii -> (qq.qv[ii] - cl.cvec[ii]) * (qq.qv[ii] - cl.cvec[ii]))) AS BIGINT),
+        |      p_label) AS rn
+        |  FROM qq CROSS JOIN cl)
+        |SELECT q_label, p_label, count(*) AS n FROM sc WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     "k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 500 AS len_band,
         |  count(*) AS sz FROM documents GROUP BY 1, 2, 3)
