@@ -1427,6 +1427,29 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Spearman rank correlation (value vs event time, per event type) —
+    * §2.7 stats breadth beyond `metrics_correlation`'s Pearson: ordinal
+    * ranks via row_number with event_id ties (deterministic), Σd²
+    * exact int64, ρ = 1 − 6Σd²/(n(n²−1)) in ppm through one
+    * fixed-shape double expression. Both rankings share one
+    * event_type-keyed exchange. */
+  private def spearmanValueTs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+    e.withColumn("r1", row_number().over(w.orderBy(col("cents"), col("event_id"))))
+      .withColumn("r2", row_number().over(w.orderBy(col("ms"), col("event_id"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")).cast("long") * (col("r1") - col("r2")).cast("long"))
+          .as("d2_sum"))
+      .select(col("event_type"), col("n"), col("d2_sum"),
+        floor(lit(1000000.0) * (lit(1.0) - lit(6.0) * col("d2_sum").cast("double")
+          / (col("n") * (col("n") * col("n") - 1)).cast("double"))).cast("long")
+          .as("rho_ppm"))
+  }
+
   /** Rocchio nearest-centroid classification — the prototype method
     * next to `knn_classify`'s majority vote: per-label centroids on the
     * 2²⁰ integer grid (exact int64 sums, the same floor-div mean as
@@ -4770,6 +4793,7 @@ object SparkEntry {
     "lang_id_ngram" -> ((s, dir) => langIdNgram(s, dir)),
     "k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
     "rocchio_classify" -> ((s, dir) => rocchioClassify(s, dir)),
+    "spearman_value_ts" -> ((s, dir) => spearmanValueTs(s, dir)),
     "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
@@ -7183,6 +7207,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "spearman_value_ts" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events),
+        |r AS (SELECT event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r1,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ms, event_id) AS r2
+        |  FROM e),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2_sum FROM r GROUP BY 1)
+        |SELECT event_type, n, d2_sum,
+        |  CAST(floor(1000000.0 * (1.0 - 6.0 * CAST(d2_sum AS DOUBLE)
+        |    / CAST(n * (n * n - 1) AS DOUBLE))) AS BIGINT) AS rho_ppm
+        |FROM a""".stripMargin,
     // Rocchio replay: grid quantization, per-label floor-div mean
     // centroids, exact integer distances, ties to the smaller label
     "rocchio_classify" ->
