@@ -1427,6 +1427,48 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Benford first-digit profile of order totals — the fraud-analytics
+    * screen: observed first-digit shares vs Benford's law, both in ppm
+    * (expected values are FROZEN integer constants, round(1e6·log10(1
+    * + 1/d)) — the NdcgW pattern), deviation exact. One scan + one
+    * 9-group aggregate. */
+  private def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val benford = map(Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+      .flatMap { case (d, p) => Seq(lit(d), lit(p)) }: _*)
+    Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div n_total").as("obs_ppm"),
+        element_at(benford, col("digit")).cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
+  /** Gini concentration of customer spend — exact-integer inequality
+    * measure over the sorted prefix weighting: G = (2Σi·xᵢ − (n+1)Σx)
+    * / (nΣx), ranks ascending with custkey ties (Σi·xᵢ is invariant
+    * under tie order). Numerator exact int64; the final ratio is one
+    * fixed-shape double in ppm. */
+  private def giniCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    spend
+      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        sum(col("i").cast("long") * col("x")).as("six"))
+      .select(col("n_customers"), col("total_cents"),
+        floor(lit(1000000.0)
+          * (lit(2L) * col("six") - (col("n_customers") + 1) * col("total_cents")).cast("double")
+          / (col("n_customers") * col("total_cents")).cast("double")).cast("long")
+          .as("gini_ppm"))
+  }
+
   /** Spearman rank correlation (value vs event time, per event type) —
     * §2.7 stats breadth beyond `metrics_correlation`'s Pearson: ordinal
     * ranks via row_number with event_id ties (deterministic), Σd²
@@ -4794,6 +4836,8 @@ object SparkEntry {
     "k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
     "rocchio_classify" -> ((s, dir) => rocchioClassify(s, dir)),
     "spearman_value_ts" -> ((s, dir) => spearmanValueTs(s, dir)),
+    "benford_digits" -> ((s, dir) => benfordDigits(s, dir)),
+    "gini_customer_spend" -> ((s, dir) => giniCustomerSpend(s, dir)),
     "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
     "incremental_neardup" -> ((s, dir) => incrementalNearDup(s, dir)),
@@ -7207,6 +7251,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "benford_digits" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE round(o_totalprice * 100) > 0),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n, CAST((n * 1000000) // n_total AS BIGINT) AS obs_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+        |    WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS benford_ppm,
+        |  CAST(abs((n * 1000000) // n_total
+        |    - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+        |      WHEN 8 THEN 51153 ELSE 45757 END) AS BIGINT) AS dev_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
+    "gini_customer_spend" ->
+      """WITH s AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM s),
+        |a AS (SELECT count(*) AS n_customers, CAST(sum(x) AS BIGINT) AS total_cents,
+        |  CAST(sum(i * x) AS BIGINT) AS six FROM r)
+        |SELECT n_customers, total_cents,
+        |  CAST(floor(1000000.0
+        |    * CAST(2 * six - (n_customers + 1) * total_cents AS DOUBLE)
+        |    / CAST(n_customers * total_cents AS DOUBLE)) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
     "spearman_value_ts" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
         |  CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events),
