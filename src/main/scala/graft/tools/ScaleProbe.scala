@@ -81,7 +81,13 @@ object ScaleProbe {
     // memoized cosine artifact; stream_* carry state-store setup cost,
     // not data cost.)
     "multimodal_audio_vad", "generator_funcs", "json_funcs",
-    "not_in_vs_not_exists")
+    "not_in_vs_not_exists",
+    // stats/curation batch: keyed aggregates and windows over one scan;
+    // rocchio classifies against 10 broadcast prototypes; lang_id_ngram
+    // is two explode-aggregates + a vocabulary-sized profile join
+    "k_anonymity", "contingency_stats", "spearman_value_ts",
+    "benford_digits", "gini_customer_spend", "rocchio_classify",
+    "lang_id_ngram")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
