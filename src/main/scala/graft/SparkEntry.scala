@@ -1427,6 +1427,31 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Lag-1 autocorrelation of daily revenue — the time-series
+    * persistence diagnostic next to the EWMA/anomaly family: daily
+    * sums quantized to 10³-cent units (keeps every co-moment exact
+    * int64 at any SF), Pearson over (xₜ, xₜ₊₁) from the six exact
+    * sums, ρ in ppm via one fixed-shape double. The day grid is
+    * metadata-sized, so the single-partition lead() window is fine by
+    * design (the same regime as the equi-depth histogram). */
+  private def autocorrDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
+    daily
+      .withColumn("y", lead(col("x"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("y").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("long").as("r1_ppm"))
+  }
+
   /** Benford first-digit profile of order totals — the fraud-analytics
     * screen: observed first-digit shares vs Benford's law, both in ppm
     * (expected values are FROZEN integer constants, round(1e6·log10(1
@@ -4837,6 +4862,7 @@ object SparkEntry {
     "rocchio_classify" -> ((s, dir) => rocchioClassify(s, dir)),
     "spearman_value_ts" -> ((s, dir) => spearmanValueTs(s, dir)),
     "benford_digits" -> ((s, dir) => benfordDigits(s, dir)),
+    "autocorr_daily_revenue" -> ((s, dir) => autocorrDailyRevenue(s, dir)),
     "gini_customer_spend" -> ((s, dir) => giniCustomerSpend(s, dir)),
     "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
@@ -7251,6 +7277,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "autocorr_daily_revenue" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT day, CAST(sum(cents) AS BIGINT) // 100000 AS x FROM o GROUP BY 1),
+        |p AS (SELECT x, lead(x) OVER (ORDER BY day) AS y FROM d),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM q)
+        |SELECT n, CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r1_ppm
+        |FROM a""".stripMargin,
     "benford_digits" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders WHERE round(o_totalprice * 100) > 0),
