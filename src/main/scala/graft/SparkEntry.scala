@@ -1427,6 +1427,46 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Cumulative distinct users by day — exact running adoption without
+    * a running set: each user collapses to a first-seen day (one keyed
+    * aggregate), the metadata-sized day grid carries a prefix sum. */
+  private def cumulativeDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Pareto 80/20 concentration: revenue share of the top-20% customers
+    * (ceil(n/5) by spend, deterministic ties) in bp — the census
+    * companion to [[giniCustomerSpend]]'s index. */
+  private def pareto8020(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val ranked = spend.withColumn("rn",
+      row_number().over(Window.orderBy(col("x").desc, col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .agg(max(col("n")).as("n_customers"),
+        expr("max(n + 4) div 5").as("top20_customers"),
+        sum(when(col("rn") <= expr("(n + 4) div 5"), col("x")).otherwise(0L))
+          .as("top20_cents"),
+        sum(col("x")).as("total_cents"))
+      .withColumn("share_bp", expr("(top20_cents * 10000) div total_cents"))
+  }
+
+  /** Weekly seasonality index: per-ISO-weekday revenue vs the uniform
+    * share, cross-multiplied integers (rev·7·10⁴ div total). */
+  private def weeklySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.orders(spark, dir)
+      .groupBy(expr("weekday(o_orderdate) + 1").as("dow"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    byDow.withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .select(col("dow"), col("cents"),
+        expr("(cents * 7 * 10000) div total").as("index_bp"))
+  }
+
   /** Lag-1 autocorrelation of daily revenue — the time-series
     * persistence diagnostic next to the EWMA/anomaly family: daily
     * sums quantized to 10³-cent units (keeps every co-moment exact
@@ -4863,6 +4903,9 @@ object SparkEntry {
     "spearman_value_ts" -> ((s, dir) => spearmanValueTs(s, dir)),
     "benford_digits" -> ((s, dir) => benfordDigits(s, dir)),
     "autocorr_daily_revenue" -> ((s, dir) => autocorrDailyRevenue(s, dir)),
+    "cumulative_distinct_users" -> ((s, dir) => cumulativeDistinctUsers(s, dir)),
+    "pareto_80_20" -> ((s, dir) => pareto8020(s, dir)),
+    "weekly_seasonality" -> ((s, dir) => weeklySeasonality(s, dir)),
     "gini_customer_spend" -> ((s, dir) => giniCustomerSpend(s, dir)),
     "contingency_stats" -> ((s, dir) => contingencyStats(s, dir)),
     "not_in_vs_not_exists" -> ((s, dir) => notInVsNotExists(s, dir)),
@@ -7277,6 +7320,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "cumulative_distinct_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+    "pareto_80_20" ->
+      """WITH s AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rn,
+        |  count(*) OVER () AS n FROM s),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(max(n + 4) // 5 AS BIGINT) AS top20_customers,
+        |  CAST(sum(CASE WHEN rn <= (n + 4) // 5 THEN x ELSE 0 END) AS BIGINT) AS top20_cents,
+        |  CAST(sum(x) AS BIGINT) AS total_cents FROM r)
+        |SELECT n_customers, top20_customers, top20_cents, total_cents,
+        |  CAST((top20_cents * 10000) // total_cents AS BIGINT) AS share_bp
+        |FROM a""".stripMargin,
+    "weekly_seasonality" ->
+      """WITH d AS (SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM d)
+        |SELECT dow, cents, CAST((cents * 7 * 10000) // total AS BIGINT) AS index_bp
+        |FROM d CROSS JOIN t""".stripMargin,
     "autocorr_daily_revenue" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
