@@ -87,7 +87,11 @@ object ScaleProbe {
     // is two explode-aggregates + a vocabulary-sized profile join
     "k_anonymity", "contingency_stats", "spearman_value_ts",
     "benford_digits", "gini_customer_spend", "rocchio_classify",
-    "lang_id_ngram")
+    "lang_id_ngram",
+    // adoption/concentration/seasonality: keyed aggregates + windows on
+    // metadata-sized grids (days, weekdays, the ranked customer census)
+    "autocorr_daily_revenue", "cumulative_distinct_users", "pareto_80_20",
+    "weekly_seasonality")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
