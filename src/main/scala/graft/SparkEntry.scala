@@ -1427,6 +1427,33 @@ object SparkEntry {
         sum(col("ms").isNull.cast("long")).as("n_missing"))
   }
 
+  /** Order-to-first-ship cycle time per priority class — the
+    * operational-latency profile: one fact aggregate to each order's
+    * first ship day, one FK join, integer day arithmetic. */
+  private def orderCycleTime(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("ship_day"))
+    Tables.orders(spark, dir)
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship_day"), to_date(col("o_orderdate"))).cast("long").as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("lag_days")).as("sum_lag_days"),
+        min(col("lag_days")).as("min_lag"), max(col("lag_days")).as("max_lag"))
+  }
+
+  /** Repeat-purchase census: customers by order multiplicity, repeat
+    * share in bp — one keyed aggregate plus a scalar census. */
+  private def repeatPurchaseRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        max(col("n_orders")).as("max_orders"),
+        sum(col("n_orders")).as("total_orders"))
+      .withColumn("repeat_bp", expr("(n_repeat * 10000) div n_customers"))
+
   /** Cumulative distinct users by day — exact running adoption without
     * a running set: each user collapses to a first-seen day (one keyed
     * aggregate), the metadata-sized day grid carries a prefix sum. */
@@ -4904,6 +4931,8 @@ object SparkEntry {
     "benford_digits" -> ((s, dir) => benfordDigits(s, dir)),
     "autocorr_daily_revenue" -> ((s, dir) => autocorrDailyRevenue(s, dir)),
     "cumulative_distinct_users" -> ((s, dir) => cumulativeDistinctUsers(s, dir)),
+    "order_cycle_time" -> ((s, dir) => orderCycleTime(s, dir)),
+    "repeat_purchase_rate" -> ((s, dir) => repeatPurchaseRate(s, dir)),
     "pareto_80_20" -> ((s, dir) => pareto8020(s, dir)),
     "weekly_seasonality" -> ((s, dir) => weeklySeasonality(s, dir)),
     "gini_customer_spend" -> ((s, dir) => giniCustomerSpend(s, dir)),
@@ -7320,6 +7349,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY 1""".stripMargin,
+    "order_cycle_time" ->
+      """WITH fs AS (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_day
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), ship_day)) AS BIGINT)
+        |    AS sum_lag_days,
+        |  CAST(min(date_diff('day', CAST(o_orderdate AS DATE), ship_day)) AS BIGINT)
+        |    AS min_lag,
+        |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), ship_day)) AS BIGINT)
+        |    AS max_lag
+        |FROM orders JOIN fs ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "repeat_purchase_rate" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |  CAST(max(n_orders) AS BIGINT) AS max_orders,
+        |  CAST(sum(n_orders) AS BIGINT) AS total_orders,
+        |  CAST((sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*) AS BIGINT) AS repeat_bp
+        |FROM c""".stripMargin,
     "cumulative_distinct_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
