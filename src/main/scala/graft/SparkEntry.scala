@@ -1471,12 +1471,16 @@ object SparkEntry {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
-    val ranked = spend.withColumn("rn",
-      row_number().over(Window.orderBy(col("x").desc, col("o_custkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    ranked
+    // the customer census is data-sized, so the descending spend rank is
+    // a range-partitioned parallel prefix count (Eval.withGlobalRowNumber),
+    // never a single-partition row_number window; n rides back in as a
+    // 1-row broadcast (max rank = census size)
+    val ranked = graft.operators.Eval.withGlobalRowNumber(
+      spend, Seq(negate(col("x")), col("o_custkey")), "rn")
+    val census = ranked.agg(max(col("rn")).as("n"))
+    ranked.crossJoin(broadcast(census))
       .agg(max(col("n")).as("n_customers"),
-        expr("max(n + 4) div 5").as("top20_customers"),
+        expr("max((n + 4) div 5)").as("top20_customers"),
         sum(when(col("rn") <= expr("(n + 4) div 5"), col("x")).otherwise(0L))
           .as("top20_cents"),
         sum(col("x")).as("total_cents"))
@@ -1549,11 +1553,13 @@ object SparkEntry {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
-    spend
-      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+    // ascending spend rank as a range-partitioned parallel prefix count —
+    // same de-globalized shape as pareto8020 (Σi·xᵢ only needs the rank)
+    graft.operators.Eval.withGlobalRowNumber(
+        spend, Seq(col("x"), col("o_custkey")), "i")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("x")).as("total_cents"),
-        sum(col("i").cast("long") * col("x")).as("six"))
+        sum(col("i") * col("x")).as("six"))
       .select(col("n_customers"), col("total_cents"),
         floor(lit(1000000.0)
           * (lit(2L) * col("six") - (col("n_customers") + 1) * col("total_cents")).cast("double")
@@ -1658,23 +1664,31 @@ object SparkEntry {
 
   /** Char-trigram language ID (Cavnar–Trenkle n-gram profiles) — the
     * second language-ID method next to `lang_id`'s stopword argmax:
-    * per-language top-50 trigram profiles trained on the corpus (one
-    * explode-aggregate), each document scored by DISTINCT-trigram
-    * overlap, argmax with lexicographic ties. Emits the
-    * labeled-vs-predicted confusion matrix. All integer counts,
-    * deterministic — full DuckDB replay. */
+    * per-language top-50 trigram profiles trained on a DETERMINISTIC
+    * 1-in-4 id-hash sample of the corpus (Sampling.idBucket — profiles
+    * are a per-language statistic, so at 100 TB they train on a sample,
+    * never the full corpus; the explode-aggregate is the query's cost
+    * center and now touches a quarter of the text). Every document is
+    * still scored corpus-wide by DISTINCT-trigram overlap, argmax with
+    * lexicographic ties. Texts under 3 chars build no trigrams on either
+    * side (sequence(1, 0) would otherwise emit a descending [1, 0] and
+    * two bogus substrings). Emits the labeled-vs-predicted confusion
+    * matrix. All integer counts, deterministic — full DuckDB replay. */
   private def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-    val tg = expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
-    val trigrams = docs.select(col("doc_id"), col("lang"), explode(tg).as("g"))
+    val eligible = docs.filter(length(col("t")) >= 3)
+    val tg = expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+    val trigrams = eligible
+      .filter(graft.operators.Sampling.idBucket(col("doc_id"), 4) === 0)
+      .select(col("doc_id"), col("lang"), explode(tg).as("g"))
     val profile = trigrams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("g"))))
       .filter(col("rn") <= 50)
       .select(col("lang").as("p_lang"), col("g"))
-    val docGrams = docs.select(col("doc_id"), explode(array_distinct(tg)).as("g"))
+    val docGrams = eligible.select(col("doc_id"), explode(array_distinct(tg)).as("g"))
     val scoredLang = docGrams.join(profile, Seq("g"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(count(lit(1)).as("overlap"))
@@ -2484,8 +2498,11 @@ object SparkEntry {
     val glob = perMin.agg(
       count(lit(1)).as("n"), sum(col("x")).as("t"),
       sum(col("x") * col("x")).as("sx2"))
-    val lhs = pow((col("n") * col("x") - col("t")).cast("double"), 2) *
-      (col("n") - 1).cast("double")
+    // self-multiply, not pow(·, 2): IEEE multiplication is correctly
+    // rounded in every engine, while pow's y=2 path is a per-library
+    // special case — the one construct that broke oracle portability
+    val dev = (col("n") * col("x") - col("t")).cast("double")
+    val lhs = dev * dev * (col("n") - 1).cast("double")
     val rhs = lit(9.0) * col("n").cast("double") *
       (col("n").cast("double") * col("sx2").cast("double") -
         col("t").cast("double") * col("t").cast("double"))
@@ -3845,17 +3862,27 @@ object SparkEntry {
       .agg(countDistinct(col("user_id")).as("users_7d"))
   }
 
-  /** Exact equi-depth histogram (8 quantile bins of cents, ntile over
-    * the (cents, event_id) total order). Exactness costs a global sort —
-    * the approx_percentile path (metrics_quantiles) is the one-pass
-    * sketch alternative at 100 TB; this is the exact companion for
-    * bounded slices. */
+  /** Exact equi-depth histogram (8 quantile bins of cents over the
+    * (cents, event_id) total order). ntile's bucket arithmetic is
+    * replayed in closed form from a range-partitioned parallel global
+    * rank (Eval.withGlobalRowNumber) — the global sort Spark plans
+    * anyway, but the rank/bin assignment runs per partition in parallel
+    * instead of funneling the corpus through one ntile window task.
+    * With q = n div 8 and r = n mod 8, the first r buckets hold q+1
+    * rows: bin = (rn+q) div (q+1) inside them, r + ceil((rn−r(q+1))/q)
+    * after — exactly SQL ntile(8). */
   private def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cents"), col("event_id"))
-    Tables.events(spark, dir)
+    val c = Tables.events(spark, dir)
       .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"), col("event_id"))
-      .withColumn("bin", ntile(8).over(w))
+    val ranked = graft.operators.Eval.withGlobalRowNumber(
+      c, Seq(col("cents"), col("event_id")), "rn")
+    val census = ranked.agg(max(col("rn")).as("n"))
+    ranked.crossJoin(broadcast(census))
+      .withColumn("bin",
+        when(col("rn") <= expr("(n % 8) * (n div 8 + 1)"),
+          expr("(rn + n div 8) div (n div 8 + 1)"))
+          .otherwise(expr("n % 8 + (rn - (n % 8) * (n div 8 + 1) + n div 8 - 1) div (n div 8)"))
+          .cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("cents")).as("lo_cents"),
@@ -4763,8 +4790,11 @@ object SparkEntry {
     * model next to `bm25_topk`'s probabilistic ranking; token-space
     * sparse join with integer digit-log idf. */
   private def knnTextTfidf(spark: SparkSession, dir: String): DataFrame =
+    // 9000 bp df cut: the fixture corpus is stopword-dense (30 of 31
+    // vocabulary tokens sit near df 77%), so the classic half-corpus
+    // prune would empty the vocabulary and the query would be vacuous
     graft.text.HashEmbed.tfidfCosineTopK(Tables.documents(spark, dir),
-      "doc_id", "text", isQuery = col("doc_id") % 100 === 0, k = 5)
+      "doc_id", "text", isQuery = col("doc_id") % 100 === 0, k = 5, maxDfBps = 9000)
 
   /** Generator breadth (§2.7): posexplode (1-based in the output so the
     * ordinal replays), explode_outer null-row preservation, sequence
@@ -5394,7 +5424,8 @@ object SparkEntry {
        |d AS (SELECT q.query_id, b.doc_id, CAST(sum(q.qcnt * b.cnt) AS BIGINT) AS dot
        |  FROM q JOIN b USING (bucket) GROUP BY 1, 2),
        |sc AS (SELECT d.query_id, d.doc_id AS neighbor_id,
-       |    CAST(floor(1000000.0 * d.dot / sqrt(CAST(qn.nrm * bn.nrm AS DOUBLE))) AS BIGINT) AS cos_ppm
+       |    CAST(floor(1000000.0 * d.dot
+       |      / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(bn.nrm AS DOUBLE))) AS BIGINT) AS cos_ppm
        |  FROM d JOIN nr qn ON qn.doc_id = d.query_id JOIN nr bn ON bn.doc_id = d.doc_id),
        |r AS (SELECT query_id, neighbor_id, cos_ppm,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -6613,14 +6644,15 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN mixed < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY 1, 2""".stripMargin,
-    // TF-IDF VSM replay: tf aggregate, df prune at half the corpus,
+    // TF-IDF VSM replay: tf aggregate, df prune at 9000 bp of the
+    // corpus (the fixture is stopword-dense — see knnTextTfidf),
     // digit-log idf, token-space dot join, double-space norm product
     "knn_text_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
         |n AS (SELECT count(*) AS nd FROM documents),
         |dfp AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |dff AS (SELECT tok, df FROM dfp, n WHERE df * 2 < nd),
+        |dff AS (SELECT tok, df FROM dfp, n WHERE df * 10000 < nd * 9000),
         |wt AS (SELECT tf.doc_id, tf.tok,
         |  CAST(tf.tf * (1 + length(CAST(n.nd AS VARCHAR))
         |    - length(CAST(dff.df AS VARCHAR))) AS BIGINT) AS w
@@ -7500,16 +7532,19 @@ object SparkEntry {
     // overlap score, argmax with lexicographic ties, confusion matrix
     "lang_id_ngram" ->
       """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |el AS (SELECT * FROM d WHERE length(t) >= 3),
         |tg AS (SELECT doc_id, lang,
-        |  unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
-        |    i -> substring(t, i, 3))) AS g FROM d),
+        |  unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> substring(t, i, 3))) AS g FROM el
+        |  WHERE (((doc_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+        |    + (doc_id % 4294967296 & 65535) * 2654435761) % 4294967296 % 4 = 0),
         |prof AS (SELECT lang AS p_lang, g FROM (
         |  SELECT lang, g, count(*) AS cnt,
         |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
         |  FROM tg GROUP BY lang, g) WHERE rn <= 50),
         |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(length(t) - 2, 0)),
-        |    i -> substring(t, i, 3)))) AS g FROM d),
+        |    generate_series(1, length(t) - 2),
+        |    i -> substring(t, i, 3)))) AS g FROM el),
         |sc AS (SELECT doc_id, p_lang FROM (
         |  SELECT dg.doc_id, prof.p_lang, count(*) AS overlap,
         |    row_number() OVER (PARTITION BY dg.doc_id
@@ -7829,12 +7864,15 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, cents, ms AS last_ms FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
     "range_frame_total" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      // the RANGE frame replayed as an explicit band self-join: engine-
+      // version-proof (integer RANGE BETWEEN frames are dialect-fragile),
+      // and identical semantics — peers at equal ms are all included
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        |SELECT user_id, event_id,
-        |  sum(cents) OVER (PARTITION BY user_id ORDER BY ms
-        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS trailing_hour_cents
-        |FROM e""".stripMargin,
+        |SELECT e.user_id, e.event_id, sum(e2.cents) AS trailing_hour_cents
+        |FROM e JOIN e e2 ON e2.user_id = e.user_id
+        |  AND e2.ms BETWEEN e.ms - 3600000 AND e.ms
+        |GROUP BY e.user_id, e.event_id""".stripMargin,
     "late_interaction" -> {
       import graft.text.LateInteraction.{DimA, DimB}
       val ph = duckPolyHash("tk", 257L, 1000000007L)
@@ -8177,7 +8215,7 @@ object SparkEntry {
         |SELECT bucket_ms, x AS cents_sum,
         |  CASE WHEN x * n > t THEN 'high' ELSE 'low' END AS direction
         |FROM pm, g
-        |WHERE CAST(n * x - t AS DOUBLE) ^ 2 * CAST(n - 1 AS DOUBLE)
+        |WHERE CAST(n * x - t AS DOUBLE) * CAST(n * x - t AS DOUBLE) * CAST(n - 1 AS DOUBLE)
         |    > 9.0 * CAST(n AS DOUBLE)
         |      * (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))""".stripMargin,
     "metrics_correlation" ->
@@ -8201,14 +8239,19 @@ object SparkEntry {
         |    count(*) AS n_events,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS bucket_sum
         |  FROM events GROUP BY 1),
-        |grid AS (SELECT unnest(range((SELECT min(bucket_ms) FROM b),
-        |    (SELECT max(bucket_ms) FROM b) + 1, 60000)) AS bucket_ms)
-        |SELECT g.bucket_ms,
-        |  coalesce(b.n_events, 0) AS n_events,
-        |  last_value(b.bucket_sum IGNORE NULLS) OVER (
-        |    ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS filled_sum
-        |FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms""".stripMargin,
+        |ext AS (SELECT min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM b),
+        |grid AS (SELECT unnest(generate_series(lo, hi, 60000)) AS bucket_ms FROM ext),
+        |-- portable LOCF: the running non-null count is a fill-group id
+        |-- whose single non-null value max() recovers (the null-skipping
+        |-- last_value window modifier is dialect-fragile)
+        |f AS (SELECT g.bucket_ms,
+        |    coalesce(b.n_events, 0) AS n_events, b.bucket_sum,
+        |    count(b.bucket_sum) OVER (
+        |      ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms)
+        |SELECT bucket_ms, n_events,
+        |  max(bucket_sum) OVER (PARTITION BY grp) AS filled_sum
+        |FROM f""".stripMargin,
     "pivot_events" ->
       """SELECT user_id % 10 AS cohort,
         |  count(*) FILTER (event_type = 'click') AS click,

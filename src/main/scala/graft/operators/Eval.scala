@@ -53,6 +53,21 @@ object Eval {
       .drop("__pid")
   }
 
+  /** 1-based global row_number over a UNIQUE total order, without the
+    * single-partition window `row_number().over(Window.orderBy(...))`
+    * plans: the order tuple becomes one orderable struct, rows
+    * range-repartition on it, and the rank is the exclusive
+    * prefix-count-of-rows plus one — per-partition parallel windows with
+    * driver-held offsets (one long per partition), the same machinery as
+    * [[aucBps]]. The order must be unique (include a tiebreaker column)
+    * or ranks at a range boundary would be ambiguous. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], outCol: String): DataFrame =
+    withExclusivePrefixSum(
+      df.withColumn("__ord", struct(order: _*)).withColumn("__one", lit(1L)),
+      "__ord", "__one", outCol)
+      .withColumn(outCol, col(outCol) + lit(1L))
+      .drop("__ord", "__one")
+
   /** Exact AUC from integer scores: Mann–Whitney with tie credit.
     * u2 = 2·#\{(pos, neg): score_pos > score_neg\} + #\{ties\} — an
     * integer, so auc = u2 / (2·nPos·nNeg) needs no floats until the

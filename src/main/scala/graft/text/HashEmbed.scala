@@ -57,8 +57,11 @@ object HashEmbed {
       .join(broadcast(qn), Seq("query_id"))
       .join(bn, Seq(idCol))
       .withColumn("cos_ppm",
-        floor(lit(1000000.0) * col("dot") / sqrt((col("qnrm") * col("bnrm")).cast("double")))
-          .cast("long"))
+        // norms multiply in DOUBLE space: each factor is < 2⁵³ so the
+        // product is IEEE-exact, while the int64 product would silently
+        // wrap past ~55k-token documents (tfidfCosineTopK's rule)
+        floor(lit(1000000.0) * col("dot")
+          / sqrt(col("qnrm").cast("double") * col("bnrm").cast("double"))).cast("long"))
     // per-query candidates are bounded by the posting-list intersection
     // (≈ corpus_tokens/dim per bucket), so the window partition is small
     // by construction at real dim — the heap aggregate isn't needed here
@@ -73,22 +76,24 @@ object HashEmbed {
     * ranking: w(doc, tok) = tf · idf, idf as the integer digit-log
     * surrogate (1 + digits(N) − digits(df), ≥ 1 — frozen, exactly
     * replayable). The sparse join key is the token itself (the corpus
-    * vocabulary IS the dimension space); tokens appearing in more than
-    * half the corpus are pruned BEFORE the join (their idf weight is
-    * noise and their posting lists are the join's only unbounded rows —
-    * champion-list pruning, Manning et al. IIR §7). Norms stay int64
-    * (w ≤ tf·maxIdf keeps Σw² < 2⁶³); the norm PRODUCT crosses 2⁶³ so
-    * it multiplies in double space — exact per IEEE since each factor
-    * is < 2⁵³. */
+    * vocabulary IS the dimension space); tokens whose document
+    * frequency exceeds `maxDfBps`/10000 of the corpus are pruned BEFORE
+    * the join (their idf weight is noise and their posting lists are
+    * the join's only unbounded rows — champion-list pruning, Manning et
+    * al. IIR §7; 5000 bp = the classic "more than half the corpus"
+    * rule, but a stopword-dense corpus needs a looser cut to retain any
+    * vocabulary at all). Norms stay int64 (w ≤ tf·maxIdf keeps
+    * Σw² < 2⁶³); the norm PRODUCT crosses 2⁶³ so it multiplies in
+    * double space — exact per IEEE since each factor is < 2⁵³. */
   def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
-      isQuery: Column, k: Int): DataFrame = {
+      isQuery: Column, k: Int, maxDfBps: Int = 5000): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val nDocs = docs.select(col(idCol)).distinct().count()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * 2 < lit(nDocs))
+      .filter(col("df") * 10000 < lit(nDocs) * maxDfBps)
     val digitsN = nDocs.toString.length.toLong
     val weighted = tf.join(df, Seq("tok"))
       .withColumn("w",

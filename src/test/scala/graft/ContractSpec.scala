@@ -27,6 +27,28 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly.isEmpty, s"rows-only queries crept in: $rowsOnly")
   }
 
+  test("oracle SQL stays inside the version-portable DuckDB subset") {
+    // The oracle dialect is an external dependency: the driver's DuckDB
+    // version is not ours, and round 4 lost 3 queries to constructs whose
+    // semantics drifted between releases. Pin the subset we use — each
+    // rejected pattern names its portable replacement.
+    val banned: Seq[(String, String, String)] = Seq(
+      // caret power operator (regex [^...] classes are fine)
+      ("""(?<!\[)\^""", "power operator ^", "multiply the expression by itself"),
+      ("""(?i)IGNORE\s+NULLS""", "IGNORE NULLS",
+        "running count(x) OVER as a fill-group id + max() per group"),
+      ("""(?i)RANGE\s+BETWEEN""", "RANGE BETWEEN frame",
+        "explicit band self-join (t2.k BETWEEN t.k - w AND t.k) + GROUP BY"),
+      ("""(?i)unnest\s*\(\s*range\s*\(""", "unnest(range(...))",
+        "unnest(generate_series(lo, hi, step)) — inclusive bounds"))
+    val hits = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      (pat, label, fix) <- banned
+      if pat.r.findFirstIn(sql).isDefined
+    } yield s"$name uses $label — use $fix instead"
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
   test("every registered query runs and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
