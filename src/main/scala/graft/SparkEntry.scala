@@ -1299,9 +1299,7 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .as[graft.streaming.StreamingMetrics.DocIn]
     val sink = "stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
       val q = graft.streaming.StreamingMetrics
         .nearDupStream(ds, shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
         .writeStream.format("memory").queryName(sink)
@@ -1309,7 +1307,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(sink).distinct()
   }
 
@@ -1392,15 +1390,17 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_vad/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    val q = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        vadCensus(batch).write.mode("append").parquet(outDir.getPath)
-        (): Unit
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          vadCensus(batch).write.mode("append").parquet(outDir.getPath)
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     readSinkOrEmpty(spark, outDir, StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_windows", LongType),
@@ -3199,13 +3199,17 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_knn/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
-      (res, _) =>
-        res.select(col("query_id"), col("neighbor_id"), col("rank"))
-          .write.mode("append").parquet(outDir.getPath)
+    // per-micro-batch search shuffles are batch-sized, not corpus-sized:
+    // 8 partitions cut fixed task overhead per batch (shared streaming rule)
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
+        (res, _) =>
+          res.select(col("query_id"), col("neighbor_id"), col("rank"))
+            .write.mode("append").parquet(outDir.getPath)
+      }
+      q.processAllAvailable()
+      q.stop()
     }
-    q.processAllAvailable()
-    q.stop()
     readSinkOrEmpty(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
@@ -3235,16 +3239,18 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_ivf/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    val q = qStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.index.IvfFlat.searchAssigned(model, batch, base, baseAssign, KnnK, nprobe = 6)
-          .write.mode("append").parquet(outDir.getPath)
-        (): Unit
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = qStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.index.IvfFlat.searchAssigned(model, batch, base, baseAssign, KnnK, nprobe = 6)
+            .write.mode("append").parquet(outDir.getPath)
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     readSinkOrEmpty(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
@@ -3269,17 +3275,19 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_graph/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    val q = qStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.index.GraphIndex.search(batch, base, adj, KnnK,
-          seedMod = 16, seedK = 8, hops = 3, beam = 32)
-          .write.mode("append").parquet(outDir.getPath)
-        (): Unit
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = qStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.index.GraphIndex.search(batch, base, adj, KnnK,
+            seedMod = 16, seedK = 8, hops = 3, beam = 32)
+            .write.mode("append").parquet(outDir.getPath)
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     readSinkOrEmpty(spark, outDir, StructType(Seq(
       StructField("query_id", LongType),
       StructField("neighbor_id", LongType),
@@ -3939,16 +3947,14 @@ object SparkEntry {
     // per shuffle partition; the key space is user×type (hundreds), so 8
     // partitions cut the fixed store setup 4× with zero parallelism loss.
     // At real scale the key cardinality, not the store count, sizes this.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
       val q = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .writeStream.format("memory").queryName(sink)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(sink)
   }
 
@@ -4412,16 +4418,18 @@ object SparkEntry {
       .select(round(col("value") * 100).cast("long").as("cents"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.QuantileSketch.Sketch.empty(256))
-    val q = cents.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val sk = graft.operators.QuantileSketch.summarize(batch, "cents", 256)
-          acc.updateAndGet(s => s.merge(sk)); ()
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = cents.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val sk = graft.operators.QuantileSketch.summarize(batch, "cents", 256)
+            acc.updateAndGet(s => s.merge(sk)); ()
+          }
         }
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     graft.operators.QuantileSketch.checkedAgainst(
       spark,
       Tables.events(spark, dir)
@@ -4443,16 +4451,18 @@ object SparkEntry {
     val keys = Tables.normalizeEventTs(raw).select(col("user_id"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.SpaceSaving.Summary.empty(64))
-    val q = keys.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val sk = graft.operators.SpaceSaving.summarize(batch, "user_id", 64)
-          acc.updateAndGet(s => s.merge(sk)); ()
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+      val q = keys.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val sk = graft.operators.SpaceSaving.summarize(batch, "user_id", 64)
+            acc.updateAndGet(s => s.merge(sk)); ()
+          }
         }
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     graft.operators.SpaceSaving.checkedAgainst(
       spark, Tables.events(spark, dir).select(col("user_id")), "user_id",
       acc.get, k = 10)
@@ -4645,17 +4655,38 @@ object SparkEntry {
     * base→cell assignment is built once and reused across all four
     * probe depths, so the ladder costs 4 probe joins, not 4 index
     * builds. Recall must be non-decreasing in nprobe (spec-asserted). */
-  private def ivfNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
-    val model = ivfFlatModel(spark, dir)
-    val queries = Tables.embeddingQueries(spark, dir)
-    val base = Tables.embeddingBase(spark, dir)
-    val assign = graft.index.IvfFlat.assignBase(base, model).localCheckpoint()
-    val gt = groundTruth(spark, dir)
-    Seq(1, 2, 4, 6).map { np =>
-      Recall.recallBasisPoints(
-        graft.index.IvfFlat.searchAssigned(model, queries, base, assign, KnnK, np),
-        gt, KnnK).select(lit(np).as("nprobe"), col("recall_bp"))
-    }.reduce(_.union(_))
+  private def ivfNprobeCurve(spark: SparkSession, dir: String): DataFrame =
+    // memoized: the closed-loop autotune query (ivf_autotune) walks the
+    // same measured ladder — the 4 probe joins must not run twice
+    memoSearch("ivf_nprobe_curve", dir) {
+      val model = ivfFlatModel(spark, dir)
+      val queries = Tables.embeddingQueries(spark, dir)
+      val base = Tables.embeddingBase(spark, dir)
+      val assign = graft.index.IvfFlat.assignBase(base, model).localCheckpoint()
+      val gt = groundTruth(spark, dir)
+      Seq(1, 2, 4, 6).map { np =>
+        Recall.recallBasisPoints(
+          graft.index.IvfFlat.searchAssigned(model, queries, base, assign, KnnK, np),
+          gt, KnnK).select(lit(np).as("nprobe"), col("recall_bp"))
+      }.reduce(_.union(_))
+    }
+
+  /** The reference's closed-loop autotune (`build_autotune_sample
+    * (target_recall=0.9)`, /root/reference/dynamic_script_mrpt.py:44-47)
+    * as a CHECKED query: walk the measured recall-vs-nprobe ladder
+    * (shared with `ivf_nprobe_curve` via the memo — the ladder is
+    * computed once) and emit the smallest nprobe whose measured recall
+    * meets the 0.9 target, falling back to the deepest rung if none
+    * does. Fully replayable: the "sweep" is a closed-form argmin over
+    * the measured rungs, no iterative re-measurement. */
+  private def ivfAutotune(spark: SparkSession, dir: String): DataFrame = {
+    val curve = ivfNprobeCurve(spark, dir)
+    val chosen = curve.agg(
+      coalesce(
+        min(when(col("recall_bp") >= lit(9000L), col("nprobe"))),
+        max(col("nprobe"))).as("nprobe"))
+    broadcast(chosen).join(curve, Seq("nprobe"))
+      .select(lit(9000L).as("target_bp"), col("nprobe"), col("recall_bp"))
   }
 
   /** Exact median + deterministic mode per event type — §2.7 central
@@ -4941,6 +4972,7 @@ object SparkEntry {
     "lsh_quality" -> ((s, dir) => lshQuality(s, dir)),
     "simhash_quality" -> ((s, dir) => simhashQuality(s, dir)),
     "ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
+    "ivf_autotune" -> ((s, dir) => ivfAutotune(s, dir)),
     "bigram_logprob" -> ((s, dir) => bigramLogprob(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
@@ -5147,15 +5179,13 @@ object SparkEntry {
     // (hundreds at fixture scale), so 8 partitions cut the fixed store
     // setup 4× with zero parallelism loss. At real scale key cardinality,
     // not store count, sizes this — the conf is per-query, not global.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(sink)
   }
 
@@ -5366,10 +5396,13 @@ object SparkEntry {
   /** Recall ladder over nprobe ∈ {1,2,4,6}: probe ranks computed once,
     * each ladder level filters rn ≤ nprobe — the training prefix is the
     * standard IVF replay verbatim. */
-  private lazy val ivfNprobeCurveOracle: String = {
+  /** The recall-vs-nprobe ladder as a reusable CTE chain ending in
+    * `curve(nprobe, recall_bp)` — shared by the curve dump and the
+    * closed-loop autotune oracle. */
+  private lazy val ivfNprobeCurveCtes: String = {
     def idist(a: String, b: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
-    s"""WITH $ivfTrainCtes,
+    s"""$ivfTrainCtes,
        |pr AS (SELECT qq.query_id, c.cid,
        |    row_number() OVER (PARTITION BY qq.query_id
        |      ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS prn
@@ -5389,10 +5422,23 @@ object SparkEntry {
        |pred AS (SELECT nprobe, query_id, neighbor_id FROM scored WHERE rank <= 10),
        |hits AS (SELECT nprobe, count(*) AS n_hits FROM pred
        |  JOIN gt USING (query_id, neighbor_id) GROUP BY 1),
-       |total AS (SELECT count(*) AS n_gt FROM gt)
-       |SELECT h.nprobe, CAST((h.n_hits * 10000) // t.n_gt AS BIGINT) AS recall_bp
-       |FROM hits h CROSS JOIN total t""".stripMargin
+       |total AS (SELECT count(*) AS n_gt FROM gt),
+       |curve AS (SELECT h.nprobe, CAST((h.n_hits * 10000) // t.n_gt AS BIGINT) AS recall_bp
+       |  FROM hits h CROSS JOIN total t)""".stripMargin
   }
+
+  private lazy val ivfNprobeCurveOracle: String =
+    s"""WITH $ivfNprobeCurveCtes
+       |SELECT nprobe, recall_bp FROM curve""".stripMargin
+
+  /** Closed-loop knob replay: the smallest measured rung meeting the
+    * 0.9 recall target, falling back to the deepest rung. */
+  private lazy val ivfAutotuneOracle: String =
+    s"""WITH $ivfNprobeCurveCtes
+       |SELECT CAST(9000 AS BIGINT) AS target_bp, nprobe, recall_bp FROM curve
+       |WHERE nprobe = coalesce(
+       |  (SELECT min(nprobe) FROM curve WHERE recall_bp >= 9000),
+       |  (SELECT max(nprobe) FROM curve))""".stripMargin
 
   /** Windowed-energy VAD replay (shared by the batch query and its
     * streamed twin): char windows == byte windows after the ASCII
@@ -6579,6 +6625,7 @@ object SparkEntry {
     "lsh_quality" -> lshQualityOracle,
     "simhash_quality" -> simhashQualityOracle,
     "ivf_nprobe_curve" -> ivfNprobeCurveOracle,
+    "ivf_autotune" -> ivfAutotuneOracle,
     // bigram twin of unigram_logprob: row-local bigram build, corpus
     // count, digit-log sum — fully replayed
     "bigram_logprob" ->

@@ -33,9 +33,8 @@ object ScaleProbe {
     "unpivot_profile", "scalar_funcs", "hopping_window_agg",
     // round-6 additions. Excluded by the quadratic/global-sort rule:
     // pareto_parts (dominance join grows quadratically per brand —
-    // brands are values, not offset keys), equi_depth_histogram
-    // (single-partition ntile by design; the sketch path is the probe-
-    // worthy one), map_at_10/knn_classify (brute-force-search family).
+    // brands are values, not offset keys), map_at_10/knn_classify
+    // (brute-force-search family).
     "postings_stats", "phrase_search", "top_words_per_lang",
     "anomaly_mad", "rolling_7d_users", "retention_cohorts",
     "attribution_last_touch", "q7_volume_shipping", "revenue_share_window",
@@ -84,14 +83,18 @@ object ScaleProbe {
     "not_in_vs_not_exists",
     // stats/curation batch: keyed aggregates and windows over one scan;
     // rocchio classifies against 10 broadcast prototypes; lang_id_ngram
-    // is two explode-aggregates + a vocabulary-sized profile join
+    // trains profiles on a 1-in-4 id-hash sample then scores via a
+    // vocabulary-sized profile join
     "k_anonymity", "contingency_stats", "spearman_value_ts",
     "benford_digits", "gini_customer_spend", "rocchio_classify",
     "lang_id_ngram",
-    // adoption/concentration/seasonality: keyed aggregates + windows on
-    // metadata-sized grids (days, weekdays, the ranked customer census)
+    // adoption/seasonality ride metadata-sized grids (days, weekdays);
+    // the concentration/quantile census queries (pareto_80_20, gini,
+    // equi_depth_histogram) rank DATA-SIZED sets — their global ranks
+    // are range-partitioned parallel prefix sums (Eval
+    // .withGlobalRowNumber), which is exactly what the probe checks
     "autocorr_daily_revenue", "cumulative_distinct_users", "pareto_80_20",
-    "weekly_seasonality")
+    "weekly_seasonality", "equi_depth_histogram")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
