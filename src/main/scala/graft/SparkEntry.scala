@@ -1677,8 +1677,17 @@ object SparkEntry {
   private def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-    val eligible = docs.filter(length(col("t")) >= 3)
-    val tg = expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+    // repartition BEFORE the ~300×-amplifying trigram explode: text is
+    // compact on disk (one 128 MB scan partition holds ~10⁶ docs), so
+    // scan partitioning under-parallelizes the explode-side work by the
+    // amplification factor — the one shuffle of compact rows buys
+    // full-width parallelism for the gram pipeline (measured 10×-probe
+    // fix: the scoring chain was running on ONE core at 10× fixture)
+    val eligible = docs.filter(length(col("t")) >= 3).repartition(col("doc_id"))
+    // codegen trigram kernel (GraftFunctions.charNgrams): the HOF
+    // transform(sequence…, substring…) form evaluates interpreted and
+    // was the measured cost center — same values, one fused byte scan
+    val tg = graft.functions.GraftFunctions.charNgrams(col("t"), 3)
     val trigrams = eligible
       .filter(graft.operators.Sampling.idBucket(col("doc_id"), 4) === 0)
       .select(col("doc_id"), col("lang"), explode(tg).as("g"))
@@ -1688,7 +1697,8 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("g"))))
       .filter(col("rn") <= 50)
       .select(col("lang").as("p_lang"), col("g"))
-    val docGrams = eligible.select(col("doc_id"), explode(array_distinct(tg)).as("g"))
+    val docGrams = eligible.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.charNgrams(col("t"), 3, distinct = true)).as("g"))
     val scoredLang = docGrams.join(profile, Seq("g"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(count(lit(1)).as("overlap"))

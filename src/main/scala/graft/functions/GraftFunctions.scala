@@ -39,6 +39,10 @@ object GraftFunctions {
   def shingleHashes(toks: Column, n: Int): Column =
     bridge.column(ShingleHashes(bridge.expression(toks), n))
 
+  /** Fused char n-gram window kernel — see [[CharNgrams]]. */
+  def charNgrams(s: Column, n: Int, distinct: Boolean = false): Column =
+    bridge.column(CharNgrams(bridge.expression(s), n, distinct))
+
   /** Sorted-merge intersection count — see [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(

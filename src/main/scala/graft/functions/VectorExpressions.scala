@@ -615,3 +615,71 @@ object MaxSimScore {
     total
   }
 }
+
+/** Char n-grams of a string as `array<string>` — the codegen
+  * replacement for the higher-order-function formulation
+  * `transform(sequence(1, length(t) - n + 1), i -> substring(t, i, n))`,
+  * whose lambda evaluates INTERPRETED (~1 µs/element — it was the
+  * measured cost center of lang_id_ngram). This is one fused byte scan:
+  * code-point start offsets are found once, each gram is a byte-range
+  * slice — identical values to SQL substring windows (code-point
+  * semantics), so the DuckDB oracle replay is unchanged.
+  * `distinct = true` additionally dedupes in first-occurrence order
+  * (array_distinct's rule). Strings shorter than n yield an empty
+  * array (the explicit guard SQL needs `length(t) >= n` for). */
+case class CharNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    CharNgrams.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($v, $n, $distinct);")
+
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+}
+
+object CharNgrams {
+  /** Shared by interpreted eval and codegen. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx);
+    // starts(nc) = len is the end sentinel
+    val starts = new Array[Int](len + 1)
+    var nc = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(nc) = i; nc += 1 }
+      i += 1
+    }
+    starts(nc) = len
+    val m = nc - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    def gram(j: Int): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(j), starts(j + n)))
+    if (!distinct) {
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) { out(j) = gram(j); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var j = 0
+      while (j < m) { seen.add(gram(j)); j += 1 }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{AdcTableLong, MinHashBands, PqAdcDistanceLong, SortedIntersectCount}
+import graft.functions.{AdcTableLong, CharNgrams, MinHashBands, PqAdcDistanceLong, SortedIntersectCount}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Property tests for the custom kernels' interpreted eval against plain
   * Scala references (the codegen path is exercised by the DataFrame
@@ -174,5 +175,33 @@ class KernelPropSpec extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
     assert(res.passed, res.status.toString)
+  }
+
+  test("CharNgrams equals the sliding-substring reference (incl. multibyte)") {
+    val genStr = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('\u00e9', '\u4e2d', ' ', '\u00df')))
+      .map(_.mkString)
+    val gen = for {
+      s <- genStr
+      n <- Gen.choose(1, 4)
+      d <- Gen.oneOf(true, false)
+    } yield (s, n, d)
+    check(Prop.forAll(gen) { case (s, n, d) =>
+      val out = CharNgrams(Literal.create(s, StringType), n, d)
+        .eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+      // reference: code-point sliding windows; distinct keeps first occurrences
+      val cps = s.codePoints().toArray
+      val all = (0 to cps.length - n)
+        .map(i => new String(cps, i, n))
+      val expected = if (d) all.distinct else all
+      got == expected
+    })
+  }
+
+  test("CharNgrams on strings shorter than n yields an empty array") {
+    val out = CharNgrams(Literal.create("ab", StringType), 3, false)
+      .eval(null).asInstanceOf[ArrayData]
+    assert(out.numElements() == 0)
   }
 }
