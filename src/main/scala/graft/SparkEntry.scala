@@ -1463,6 +1463,11 @@ object SparkEntry {
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
       .withColumn("cum_users", sum(col("new_users")).over(Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // day as yyyy-MM-dd TEXT (the rolling_7d_users rule): date columns
+      // reach the comparer through engine-specific date/timestamp
+      // representations; a string day is representation-proof
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
 
   /** Pareto 80/20 concentration: revenue share of the top-20% customers
     * (ceil(n/5) by spend, deterministic ties) in bp — the census
@@ -7462,7 +7467,7 @@ object SparkEntry {
     "cumulative_distinct_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
-        |SELECT day, new_users,
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
         |  CAST(sum(new_users) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM d""".stripMargin,
