@@ -108,6 +108,20 @@ class HarnessSpec extends AnyFunSuite {
     assert(meta.getAs[Long]("n_bytes") > 0)
   }
 
+  test("ivf_autotune picks the smallest curve rung meeting the target, else the deepest") {
+    val curve = SparkEntry.queries("ivf_nprobe_curve")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = SparkEntry.queries("ivf_autotune")(spark, dir).collect()
+    assert(chosen.length == 1)
+    val (targetBp, np, recall) =
+      (chosen(0).getLong(0), chosen(0).getInt(1), chosen(0).getLong(2))
+    assert(targetBp == 9000L)
+    val qualifying = curve.filter(_._2 >= 9000L).keys
+    val expectedNp = if (qualifying.nonEmpty) qualifying.min else curve.keys.max
+    assert(np == expectedNp, s"curve=$curve chosen=$np")
+    assert(recall == curve(np))
+  }
+
   test("incremental summaries: any batch grouping merges to the full-table aggregate") {
     import graft.operators.IncrementalAgg
     val ev = Tables.events(spark, dir)

@@ -187,4 +187,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("census ranks are de-globalized: every Window is __pid-partitioned") {
+    // pareto_80_20 / gini_customer_spend / equi_depth_histogram rank
+    // DATA-SIZED sets; their global rank must stay the range-partitioned
+    // parallel prefix count (Eval.withGlobalRowNumber) — an unpartitioned
+    // Window would funnel the census through one task at 100 TB. Every
+    // Window OPERATOR line in the executed plan must therefore carry the
+    // range-partition pid in its partition spec.
+    for (q <- Seq("pareto_80_20", "gini_customer_spend", "equi_depth_histogram")) {
+      val p = planOf(q)
+      val winLines = p.linesIterator.filter(_.matches(""".*[+:]- Window .*""")).toSeq
+      assert(winLines.nonEmpty, s"$q: expected a Window operator in plan\n$p")
+      winLines.foreach { l =>
+        assert(l.contains("__pid"),
+          s"$q: Window without the __pid partition key (global window crept back):\n$l")
+      }
+    }
+  }
 }
