@@ -41,14 +41,24 @@ object HashEmbed {
     * rank by (ppm desc, id) so ties are deterministic. */
   def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
       isQuery: Column, dim: Int, k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     // materialized once: queries, base, and norms all read the same
     // sparse pass; localCheckpoint (not cache) so the blocks are
     // released by the ContextCleaner after the query
     val sv = sparseVectors(docs, idCol, textCol, dim).localCheckpoint()
+    // docs-sized (one row per doc) and read twice (qn, bn) — materialize
+    // so the sum-of-squares aggregation runs once, not per consumer
     val norms = sv.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("nrm"))
+      .localCheckpoint()
     val q = sv.filter(isQuery)
       .select(col(idCol).as("query_id"), col("bucket"), col("cnt").as("qcnt"))
-    val dots = q.join(sv.filter(!isQuery), Seq("bucket"))
+      // pin the posting-join partitioning: the join AMPLIFIES ~100x, so
+      // AQE's coalesce-by-input-bytes (which sees only the tiny sparse
+      // vectors) would funnel the amplified row generation through 1-2
+      // tasks; an explicit by-key repartition is exempt from coalescing
+      // and is also the co-partitioned shape the 100 TB join wants
+      .repartition(par, col("bucket"))
+    val dots = q.join(sv.filter(!isQuery).repartition(par, col("bucket")), Seq("bucket"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("qcnt") * col("cnt")).as("dot"))
     val qn = norms.filter(isQuery).select(col(idCol).as("query_id"), col("nrm").as("qnrm"))
@@ -87,6 +97,7 @@ object HashEmbed {
     * double space — exact per IEEE since each factor is < 2⁵³. */
   def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
       isQuery: Column, k: Int, maxDfBps: Int = 5000): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
@@ -95,13 +106,20 @@ object HashEmbed {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") * 10000 < lit(nDocs) * maxDfBps)
     val digitsN = nDocs.toString.length.toLong
+    // weighted feeds FOUR consumers (norms x2 via qn/bn, q, dots' base
+    // side); materialize it once or each action replays the tf ⋈ df join
     val weighted = tf.join(df, Seq("tok"))
       .withColumn("w",
         col("tf") * (lit(1L + digitsN) - length(col("df").cast("string"))))
+      .localCheckpoint()
     val norms = weighted.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("nrm"))
+      .localCheckpoint()
     val q = weighted.filter(isQuery)
       .select(col(idCol).as("query_id"), col("tok"), col("w").as("qw"))
-    val dots = q.join(weighted.filter(!isQuery), Seq("tok"))
+      // pinned for the same amplification reason as [[cosineTopK]]'s
+      // posting join — AQE sees MBs in, but the join fans out ~100x
+      .repartition(par, col("tok"))
+    val dots = q.join(weighted.filter(!isQuery).repartition(par, col("tok")), Seq("tok"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("qw") * col("w")).as("dot"))
     val qn = norms.filter(isQuery).select(col(idCol).as("query_id"), col("nrm").as("qnrm"))

@@ -55,7 +55,24 @@ object TfidfProfile {
     val dots = q.join(weighted.filter(!(col("doc_id") % 100 === 0)), Seq("tok"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("qw") * col("w")).as("dot"))
+    println("[tp] dots partitions: " + dots.rdd.getNumPartitions)
     time("dots join+agg count")(dots.count())
+    // hypothesis: AQE coalesces the tiny tok-shuffle to ~1 partition and a
+    // single task pays the join's ~100x row amplification. Pinned variant:
+    val qP = q.repartition(32, col("tok"))
+    val bP = weighted.filter(!(col("doc_id") % 100 === 0)).repartition(32, col("tok"))
+    val dotsP = qP.join(bP, Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+    time("dots PINNED join+agg")(dotsP.count())
+    time("dots PINNED run2")(dotsP.count())
+    // broadcast variant: q side is queries-sized, broadcast kills the
+    // weighted-side exchange entirely and partial-agg crushes the output
+    val dotsB = broadcast(q).join(weighted.filter(!(col("doc_id") % 100 === 0)), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+    time("dots BROADCAST join+agg")(dotsB.count())
+    time("dots BROADCAST run2")(dotsB.count())
 
     time("hashembed full run1")(HashEmbed.cosineTopK(
       docs, "doc_id", "text", col("doc_id") % 100 === 0, 4096, 5).count())
