@@ -4550,12 +4550,33 @@ object SparkEntry {
       spark, Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", scale = 1024L)
 
+  /** SQL-exact ntile(k) replayed in closed form from a range-partitioned
+    * parallel global rank (Eval.withGlobalRowNumber) — the same
+    * de-globalization as [[equiDepthHistogram]], factored for reuse.
+    * Needs a `__n` column (total row count) on the input; ranks are
+    * unique so the first n mod k buckets hold n div k + 1 rows. */
+  private def ntileFromRank(rn: String, n: String, k: Int): org.apache.spark.sql.Column =
+    when(expr(s"$n div $k") === 0, col(rn)) // n < k: one row per bucket
+      .when(col(rn) <= expr(s"($n % $k) * ($n div $k + 1)"),
+        expr(s"($rn + $n div $k) div ($n div $k + 1)"))
+      .otherwise(expr(
+        s"$n % $k + ($rn - ($n % $k) * ($n div $k + 1) + $n div $k - 1) div ($n div $k)"))
+      .cast("long")
+
+  private def globalNtile(df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column], k: Int,
+      out: String): DataFrame =
+    graft.operators.Eval.withGlobalRowNumber(df, order, "__rn")
+      .withColumn(out, ntileFromRank("__rn", "__n", k))
+      .drop("__rn")
+
   /** RFM segmentation — the classic user-value cut: per user, recency
     * (days since last event, vs the corpus max day), frequency (event
     * count) and monetary (summed cents), each quartiled by a
-    * deterministic ntile over (metric, user_id). One aggregate + three
-    * windows over the user table (user-cardinality, not event-
-    * cardinality — the windows run on the aggregate). */
+    * deterministic ntile over (metric, user_id). The user census is
+    * data-sized, so each quartile is [[globalNtile]]'s range-partitioned
+    * parallel rank, never a single-partition ntile window; the corpus
+    * max timestamp and census size ride back in as a 1-row broadcast. */
   private def rfmUsers(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(spark, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"),
@@ -4563,16 +4584,27 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("freq"),
         sum(col("cents")).as("monetary_cents"))
-    val byR = Window.orderBy(col("recency_days"), col("user_id"))
-    val byF = Window.orderBy(col("freq").desc, col("user_id"))
-    val byM = Window.orderBy(col("monetary_cents").desc, col("user_id"))
-    per
-      .withColumn("recency_days",
-        expr("(max(last_ms) over () - last_ms) div 86400000"))
-      .withColumn("r_q", ntile(4).over(byR).cast("long"))
-      .withColumn("f_q", ntile(4).over(byF).cast("long"))
-      .withColumn("m_q", ntile(4).over(byM).cast("long"))
-      .select(col("user_id"), col("recency_days"), col("freq"),
+    val census = per.agg(max(col("last_ms")).as("__max_ms"),
+      count(lit(1)).as("__n"))
+    val base = per.crossJoin(broadcast(census))
+      .withColumn("recency_days", expr("(__max_ms - last_ms) div 86400000"))
+    // one rank machine for all three quartiles: unpivot (metric, sortkey)
+    // — sort keys are all ascending longs once freq/monetary negate —
+    // rank per metric in a single grouped prefix pass, regroup per user
+    val unpiv = base.select(col("user_id"), col("recency_days"), col("freq"),
+      col("monetary_cents"), col("__n"),
+      expr("stack(3, 0, recency_days, 1, -freq, 2, -monetary_cents)" +
+        " as (__metric, __key)"))
+    val ranked = graft.operators.Eval.withGroupedRowNumber(unpiv, "__metric",
+        Seq(col("__key"), col("user_id")), "__rn")
+      .withColumn("__q", ntileFromRank("__rn", "__n", 4))
+    val m = ranked
+      .groupBy(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_cents"))
+      .agg(max(when(col("__metric") === 0, col("__q"))).as("r_q"),
+        max(when(col("__metric") === 1, col("__q"))).as("f_q"),
+        max(when(col("__metric") === 2, col("__q"))).as("m_q"))
+    m.select(col("user_id"), col("recency_days"), col("freq"),
         col("monetary_cents"),
         concat(lit("R"), col("r_q"), lit("F"), col("f_q"), lit("M"), col("m_q"))
           .as("segment"))

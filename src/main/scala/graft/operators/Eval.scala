@@ -68,6 +68,51 @@ object Eval {
       .withColumn(outCol, col(outCol) + lit(1L))
       .drop("__ord", "__one")
 
+  /** Per-group 1-based row_number over a UNIQUE within-group total order,
+    * in ONE prefix machine: where N independent
+    * [[withGlobalRowNumber]] calls each pay a range-sampling job, a
+    * localCheckpoint materialization and an offsets collect, this ranks
+    * every group in a single range shuffle keyed (group, order...) — the
+    * driver holds one long per (partition, group) pair, so `groupCol`
+    * must be LOW-cardinality (metric ids, list ids) and integral. Use it
+    * whenever a query needs several data-sized global ranks (RFM's three
+    * quartiles, RRF's per-list ranks). */
+  def withGroupedRowNumber(df: DataFrame, groupCol: String, order: Seq[Column],
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val ranged = df
+      .withColumn("__ord", struct((col(groupCol) +: order): _*))
+      .repartitionByRange(p, col("__ord"))
+      .withColumn("__pid", spark_partition_id())
+      // freeze the pid assignment: the offsets aggregate and the final
+      // window must observe the SAME partitioning
+      .localCheckpoint()
+    val counts = ranged
+      .groupBy(col("__pid"), col(groupCol).cast("long").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+    // exclusive per-group offsets in pid order (range order is
+    // group-major because the group leads the range key)
+    val offsets = counts.groupBy(_._1._2).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._1).toSeq.map { case ((pid, _), c) =>
+        val o = acc; acc += c; (pid, g) -> o
+      }
+    }
+    val offLit = map(offsets.toSeq.flatMap { case ((pid, g), o) =>
+      Seq(lit(pid.toLong * 4294967296L + g), lit(o))
+    }: _*)
+    val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn(outCol,
+        coalesce(count(lit(1)).over(w), lit(0L)) + lit(1L) +
+          element_at(offLit,
+            col("__pid").cast("long") * lit(4294967296L) + col(groupCol).cast("long")))
+      .drop("__pid", "__ord")
+  }
+
   /** Exact AUC from integer scores: Mann–Whitney with tie credit.
     * u2 = 2·#\{(pos, neg): score_pos > score_neg\} + #\{ties\} — an
     * integer, so auc = u2 / (2·nPos·nNeg) needs no floats until the

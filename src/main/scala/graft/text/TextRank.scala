@@ -45,14 +45,20 @@ object TextRank {
 
   /** Reciprocal-rank fusion of any number of (doc_id, score)-ranked lists:
     * rrf(d) = Σ_lists 1/(c + rank_list(d)). Rank ties broken by doc_id, so
-    * the fusion is exactly reproducible in SQL. */
+    * the fusion is exactly reproducible in SQL. The lists are doc-sized
+    * (every matching document carries a rank), so each rank is a
+    * range-partitioned parallel prefix count, never the
+    * single-partition `row_number().over(orderBy)` window — and all
+    * lists rank in ONE machine
+    * ([[graft.operators.Eval.withGroupedRowNumber]] keyed on list id)
+    * instead of paying the checkpoint + offsets-collect per list. */
   def rrfFuse(rankings: Seq[DataFrame], c: Int = 60): DataFrame = {
-    val ranked = rankings.zipWithIndex.map { case (df, i) =>
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-      df.select(col("doc_id"), row_number().over(w).as("rank"))
+    val union = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("doc_id"), col("score").cast("double").as("score"))
         .withColumn("list_id", lit(i))
-    }
-    ranked.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+    graft.operators.Eval.withGroupedRowNumber(
+        union, "list_id", Seq(negate(col("score")), col("doc_id")), "rank")
       .groupBy(col("doc_id"))
       .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf_score"))
   }

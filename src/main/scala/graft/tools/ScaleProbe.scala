@@ -94,7 +94,12 @@ object ScaleProbe {
     // are range-partitioned parallel prefix sums (Eval
     // .withGlobalRowNumber), which is exactly what the probe checks
     "autocorr_daily_revenue", "cumulative_distinct_users", "pareto_80_20",
-    "weekly_seasonality", "equi_depth_histogram")
+    "weekly_seasonality", "equi_depth_histogram",
+    // round-13 de-globalizations: RFM's three quartiles and RRF's
+    // per-list ranks share ONE grouped prefix machine
+    // (Eval.withGroupedRowNumber); the probe checks the census rank
+    // stays parallel. hybrid_search rides the same rrfFuse path.
+    "rfm_users", "rrf_fuse")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

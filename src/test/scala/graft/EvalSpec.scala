@@ -17,6 +17,23 @@ class EvalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 5L -> 103L, 9L -> 113L))
   }
 
+  test("grouped row_number matches the per-group single-partition reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 3 groups × 200 rows with colliding sort values (user_id tiebreak),
+    // enough rows that the range shuffle spans many partitions
+    val df = spark.range(600)
+      .select((col("id") % 3).cast("int").as("g"), col("id").as("user_id"),
+        (col("id") * 37 % 11).as("key"))
+    val got = Eval.withGroupedRowNumber(df, "g",
+        Seq(col("key"), col("user_id")), "rn")
+      .select("g", "user_id", "rn").as[(Int, Long, Long)].collect().toSet
+    val want = df.withColumn("rn", row_number()
+        .over(Window.partitionBy("g").orderBy("key", "user_id")).cast("long"))
+      .select("g", "user_id", "rn").as[(Int, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("aucBps: hand-computed Mann-Whitney with ties") {
     // pos scores {3,3,5}, neg {1,3,4}: wins = 5, ties = 2 → u2 = 12,
     // denominator = 2·3·3 = 18 → auc = 12/18 = 0.6666…

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide guard for the round-4 verdict's "global single-partition
+  * window over data-sized input" class: every registered query's
+  * optimized plan is scanned for unpartitioned Window nodes
+  * ([[graft.tools.WindowAudit.globalWindows]]), and any query found is
+  * only tolerated if it appears in the allowlist below with a reason its
+  * window input is BOUNDED (constant- or calendar-cardinality, never
+  * proportional to corpus size). Data-sized ranks must instead go
+  * through `Eval.withGlobalRowNumber` (range-partitioned parallel
+  * prefix count) — see rfm_users / rrf_fuse / pareto_80_20 /
+  * gini_customer_spend / equi_depth_histogram for the pattern.
+  */
+class WindowAuditSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose unpartitioned windows run over provably bounded
+    * inputs. Keep each entry honest: the bound must not grow with the
+    * corpus. */
+  val boundedWindowAllowlist: Map[String, String] = Map(
+    "autocorr_daily_revenue" -> "lag over the DAILY revenue series — calendar-cardinality",
+    "benford_digits" -> "share-of-total over exactly 9 leading-digit rows",
+    "cumulative_distinct_users" -> "running total over the DAILY first-seen series — calendar-cardinality",
+    "index_advisor" -> "rank over 4 candidate layout strategies — constant",
+    "metrics_gapfill" -> "LOCF over one minute-bucket grid — elapsed-time cardinality, not row count",
+    "token_budget_mix" -> "cumulative quota over the per-DOMAIN aggregate — domain-cardinality",
+    "weekly_seasonality" -> "share-of-total over exactly 7 weekday rows")
+
+  test("no registered query has an unpartitioned window over data-sized input") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hits =
+        try tools.WindowAudit.globalWindows(fn(spark, dir))
+        catch { case e: Throwable => Seq(s"PLAN ERROR ${e.getClass.getSimpleName}") }
+      if (hits.nonEmpty && !boundedWindowAllowlist.contains(name))
+        Some(s"$name: ${hits.mkString(" ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "global windows outside the bounded allowlist (de-globalize via " +
+        "Eval.withGlobalRowNumber or justify in boundedWindowAllowlist):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("allowlist carries no stale entries") {
+    val stale = boundedWindowAllowlist.keys.filterNot { name =>
+      SparkEntry.queries.get(name).exists { fn =>
+        try tools.WindowAudit.globalWindows(fn(spark, dir)).nonEmpty
+        catch { case _: Throwable => true }
+      }
+    }
+    assert(stale.isEmpty, s"allowlisted queries no longer have global windows: $stale")
+  }
+}
