@@ -1528,6 +1528,66 @@ object SparkEntry {
           .cast("long").as("r1_ppm"))
   }
 
+  /** CUSUM changepoint screen over daily revenue — the sequential
+    * drift detector next to [[autocorrDailyRevenue]]'s persistence and
+    * `anomaly_mad`'s pointwise outliers. The one-sided CUSUM recurrence
+    * S_t = max(0, S_{t-1} + (x_t − μ)) is replayed in closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) (P = inclusive prefix sum of the
+    * deviations), so it's two windows over the DAILY grid instead of a
+    * sequential loop; μ is the exact floor-mean of the daily series
+    * (pmod-adjusted division — engine-portable). The day grid is
+    * calendar-cardinality, so the unpartitioned prefix windows are
+    * bounded by design (WindowAuditSpec allowlist). Flag = the CUSUM
+    * statistic exceeding one average day of revenue above the running
+    * baseline. All arithmetic exact int64. */
+  private def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
+    val stats = daily.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mu", expr("(__sx - pmod(__sx, __n)) div __n"))
+      .withColumn("p", sum(col("x") - col("mu")).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+        col("s").as("cusum"),
+        (col("s") > col("mu")).cast("int").as("flag"))
+  }
+
+  /** Lagged cross-correlation between two event streams' daily value
+    * series (click → purchase, lags 0–7 days) — the lead-indicator
+    * diagnostic generalizing [[autocorrDailyRevenue]] to two series:
+    * per lag, Pearson over (x_{t−ℓ}, y_t) from six exact int64
+    * co-moments of the cent-quantized daily sums, ρ in ppm via one
+    * fixed-shape double. The lag alignment is an equi-join on the
+    * shifted day key (day grids are calendar-sized), so no windows at
+    * all — the 8 lags fan out from a broadcast literal. */
+  private def xcorrEventTypes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val dx = e.filter(col("event_type") === "click")
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      .withColumnRenamed("day", "xday")
+    val dy = e.filter(col("event_type") === "purchase")
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val lags = spark.range(0, 8).select(col("id").cast("int").as("lag"))
+    dy.crossJoin(broadcast(lags))
+      .join(dx, date_add(col("xday"), col("lag")) === col("day"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("long").as("r_ppm"))
+  }
+
   /** Benford first-digit profile of order totals — the fraud-analytics
     * screen: observed first-digit shares vs Benford's law, both in ppm
     * (expected values are FROZEN integer constants, round(1e6·log10(1
@@ -1603,7 +1663,15 @@ object SparkEntry {
     * to the smaller label. Emits the labeled-vs-predicted confusion
     * matrix. Centroids are model-parameter-sized (10 rows) and
     * broadcast; classification is a map over the query stream. */
-  private def rocchioClassify(spark: SparkSession, dir: String): DataFrame = {
+  private def rocchioClassify(spark: SparkSession, dir: String): DataFrame =
+    rocchioPreds(spark, dir)
+      .groupBy(col("q_label"), col("p_label"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-query Rocchio predictions (query_id, q_label, p_label) —
+    * factored from [[rocchioClassify]] so [[kappaClassifiers]] can join
+    * them against the k-NN vote without re-deriving the centroids. */
+  private def rocchioPreds(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2sq
     val emb = Tables.embeddings(spark, dir)
     val bq = emb.filter(col("vec_id") % 20 =!= 0)
@@ -1627,8 +1695,32 @@ object SparkEntry {
       .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dist"), col("p_label"))))
       .filter(col("rn") === 1)
-      .groupBy(col("q_label"), col("p_label"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("query_id"), col("q_label"), col("p_label"))
+  }
+
+  /** Cohen's κ between the two classifiers the engine already serves —
+    * k-NN majority vote (`knn_classify`) vs Rocchio nearest-centroid
+    * (`rocchio_classify`) on the same held-out queries: the
+    * inter-rater-agreement number that tells whether the two methods
+    * disagree beyond chance. po and pe come from exact integer counts
+    * (agreement census + per-label marginal products), κ in ppm via one
+    * fixed-shape double: κ = (n·agree − Σ_l m1_l·m2_l) / (n² − Σ_l
+    * m1_l·m2_l). Both prediction sets are query-cardinality; the
+    * marginal join is label-cardinality (broadcast-sized). */
+  private def kappaClassifiers(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnClassify(spark, dir).select(col("query_id"), col("pred_label"))
+    val roc = rocchioPreds(spark, dir).select(col("query_id"), col("p_label"))
+    val joined = knn.join(roc, Seq("query_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("pred_label") === col("p_label")).cast("long")).as("agree"))
+    val m1 = knn.groupBy(col("pred_label").as("l")).agg(count(lit(1)).as("m1"))
+    val m2 = roc.groupBy(col("p_label").as("l")).agg(count(lit(1)).as("m2"))
+    val pe = m1.join(m2, Seq("l")).agg(sum(col("m1") * col("m2")).as("s_marg"))
+    joined.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"),
+        floor(lit(1000000.0) * (col("n") * col("agree") - col("s_marg")).cast("double")
+          / (col("n") * col("n") - col("s_marg")).cast("double"))
+          .cast("long").as("kappa_ppm"))
   }
 
   /** k-anonymity audit over quasi-identifiers (lang, source, length
@@ -2202,11 +2294,16 @@ object SparkEntry {
       .filter(col("df").between(2, 5))
       .select(col("g"))
     val rareSh = byGram.join(rare, Seq("g")).localCheckpoint()
+    // the pair census replaces a bare .distinct(): same shuffle shape
+    // (groupBy on the pair key), and the shared-gram count becomes the
+    // edge weight w = max(1, 6 − #shared) — more shared rare grams =
+    // closer — consumed by sssp_weighted; the unweighted analytics
+    // (PageRank, triangles, BFS, k-core, label-prop) project it away
     rareSh.as("a")
       .join(rareSh.as("b"), Seq("g"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(greatest(lit(1L), lit(6L) - count(lit(1))).as("w"))
   }
 
   private def pagerankSharedGrams(spark: SparkSession, dir: String): DataFrame =
@@ -2231,6 +2328,20 @@ object SparkEntry {
         .select(col("doc_id").as("id")),
       rounds = 4)
       .select(col("id").as("doc_id"), col("hops"))
+
+  /** Weighted shortest path on the shared-rare-gram graph
+    * ([[graft.operators.Graph.ssspWeighted]], 4 Bellman–Ford rounds)
+    * from the same seed set as [[bfsHops]]: edge weight = max(1, 6 −
+    * #shared rare grams), so heavily-overlapping documents are CLOSER —
+    * "how contaminated is each document by a known-bad seed, counting
+    * strength of overlap", the weighted refinement of hop distance. */
+  private def ssspWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.ssspWeighted(
+      sharedGramEdges(spark, dir),
+      Tables.documents(spark, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id")),
+      rounds = 4)
+      .select(col("id").as("doc_id"), col("dist"))
 
   /** 2-core peeling of the shared-gram document graph
     * ([[graft.operators.Graph.kCorePeel]], 4 rounds): strips the
@@ -3326,7 +3437,14 @@ object SparkEntry {
     * per-dim exact floor-mean (numerator made exactly divisible before
     * the division — engine-portable), the score the integer dot against
     * it. Mann–Whitney with tie credit, no pairwise join. */
-  private def aucLabelScore(spark: SparkSession, dir: String): DataFrame = {
+  private def aucLabelScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucBps(centroidScores(spark, dir), "score", "pos")
+
+  /** The (pos, score) rows behind [[aucLabelScore]] and
+    * [[eceCalibration]]: grid-quantized embeddings, global per-dim
+    * exact floor-mean centroid (model-parameter-sized — 64 longs on the
+    * driver), score = integer dot against it. */
+  private def centroidScores(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       when(col("label") === 0, 1L).otherwise(0L).as("pos"),
@@ -3341,10 +3459,36 @@ object SparkEntry {
       .agg(expr("(sum(e) - pmod(sum(e), count(*))) div count(*)").as("c"))
       .orderBy(col("d")).collect().map(_.getLong(1))
     val centLit = array(cent.map(lit(_)).toIndexedSeq: _*)
-    val withCent = q.withColumn("centArr", centLit).select(col("pos"),
+    q.withColumn("centArr", centLit).select(col("pos"),
       expr("aggregate(zip_with(qv, centArr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
         .as("score"))
-    graft.operators.Eval.aucBps(withCent, "score", "pos")
+  }
+
+  /** Reliability diagram / expected-calibration-error decomposition of
+    * the centroid-affinity score against the label-0 class — the
+    * calibration companion to [[aucLabelScore]]'s discrimination: the
+    * score is min-max normalized to a ppm confidence (one fixed-shape
+    * double — mul/div/floor, bit-portable), cut into 10 equal-width
+    * bins, and each bin reports its census, exact floor-mean
+    * confidence, empirical positive rate, and |acc − conf| gap — the
+    * per-bin ECE contribution. One scan + a 10-group aggregate; the
+    * min/max ride in as a 1-row broadcast. */
+  private def eceCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sc = centroidScores(spark, dir)
+    val ext = sc.agg(min(col("score")).as("__smin"), max(col("score")).as("__smax"))
+    sc.crossJoin(broadcast(ext))
+      .withColumn("conf_ppm",
+        floor(lit(1000000.0) * (col("score") - col("__smin")).cast("double")
+          / greatest(lit(1L), col("__smax") - col("__smin")).cast("double"))
+          .cast("long"))
+      .withColumn("bin", least(lit(9L), expr("conf_ppm div 100000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("conf_ppm")).as("__sconf"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(__sconf - pmod(__sconf, n)) div n").as("conf_ppm"),
+        expr("(n_pos * 1000000) div n").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
   }
 
   private def ndcgAt10(spark: SparkSession, dir: String): DataFrame = {
@@ -3704,6 +3848,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-planning number next to
+    * the BPE family (`bpe_merges`, `tokenizer_fertility`): what share
+    * of all token OCCURRENCES a top-k frequency vocabulary covers, at
+    * k ∈ {100, 1000, 10000}. The frequency rank is vocab-cardinality
+    * (data-sized — grows with the corpus), so it's
+    * [[graft.operators.Eval.withGlobalRowNumber]]'s range-partitioned
+    * parallel prefix count, never a single-partition window; the three
+    * rungs then fold into one conditional aggregate and unpivot. All
+    * arithmetic exact int64, shares in ppm. */
+  private def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Eval.withGlobalRowNumber(
+      tf, Seq(negate(col("n")), col("word")), "r")
+    ranked
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("r") <= 100, col("n")).otherwise(0L)).as("c100"),
+        sum(when(col("r") <= 1000, col("n")).otherwise(0L)).as("c1000"),
+        sum(when(col("r") <= 10000, col("n")).otherwise(0L)).as("c10000"))
+      .select(expr("stack(3, 100L, c100, 1000L, c1000, 10000L, c10000)")
+        .as(Seq("vocab_k", "covered")), col("total"))
+      .select(col("vocab_k"), col("covered"), col("total"),
+        expr("(covered * 1000000) div total").as("coverage_ppm"))
   }
 
   /** Pareto frontier (skyline) per brand: parts not dominated on
@@ -5039,6 +5209,11 @@ object SparkEntry {
     "spearman_value_ts" -> ((s, dir) => spearmanValueTs(s, dir)),
     "benford_digits" -> ((s, dir) => benfordDigits(s, dir)),
     "autocorr_daily_revenue" -> ((s, dir) => autocorrDailyRevenue(s, dir)),
+    "cusum_changepoint" -> ((s, dir) => cusumChangepoint(s, dir)),
+    "xcorr_event_types" -> ((s, dir) => xcorrEventTypes(s, dir)),
+    "ece_calibration" -> ((s, dir) => eceCalibration(s, dir)),
+    "kappa_classifiers" -> ((s, dir) => kappaClassifiers(s, dir)),
+    "vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)),
     "cumulative_distinct_users" -> ((s, dir) => cumulativeDistinctUsers(s, dir)),
     "order_cycle_time" -> ((s, dir) => orderCycleTime(s, dir)),
     "repeat_purchase_rate" -> ((s, dir) => repeatPurchaseRate(s, dir)),
@@ -5072,6 +5247,7 @@ object SparkEntry {
     "pagerank_sharedgrams" -> ((s, dir) => pagerankSharedGrams(s, dir)),
     "graph_triangles" -> ((s, dir) => graphTriangles(s, dir)),
     "bfs_hops" -> ((s, dir) => bfsHops(s, dir)),
+    "sssp_weighted" -> ((s, dir) => ssspWeighted(s, dir)),
     "kcore_sharedgrams" -> ((s, dir) => kcoreSharedGrams(s, dir)),
     "block_dedup" -> ((s, dir) => blockDedup(s, dir)),
     "trigram_novelty" -> ((s, dir) => trigramNovelty(s, dir)),
@@ -7576,6 +7752,126 @@ object SparkEntry {
         |  CAST(floor(1000000.0 * (1.0 - 6.0 * CAST(d2_sum AS DOUBLE)
         |    / CAST(n * (n * n - 1) AS DOUBLE))) AS BIGINT) AS rho_ppm
         |FROM a""".stripMargin,
+    // CUSUM replay: floor-mean target, closed-form S_t = P_t − min(0, min P_j)
+    "cusum_changepoint" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT day, CAST(sum(cents) AS BIGINT) // 100000 AS x FROM o GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM d),
+        |b AS (SELECT day, x, (sx - ((sx % n + n) % n)) // n AS mu FROM d CROSS JOIN t),
+        |p AS (SELECT day, x, mu, CAST(sum(x - mu) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp FROM b),
+        |m AS (SELECT day, x, mu, pp, least(0, min(pp) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pmin FROM p)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, x,
+        |  CAST(pp - pmin AS BIGINT) AS cusum,
+        |  CAST(CASE WHEN pp - pmin > mu THEN 1 ELSE 0 END AS INTEGER) AS flag
+        |FROM m""".stripMargin,
+    "xcorr_event_types" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |dx AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM e
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |dy AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |j AS (SELECT l.lag, dx.x, dy.y FROM l, dx, dy
+        |  WHERE dx.day + CAST(l.lag AS INTEGER) = dy.day),
+        |a AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_ppm
+        |FROM a""".stripMargin,
+    // reliability-diagram replay: same centroid/score CTEs as
+    // auc_label_score, then min-max ppm confidence → 10 bins
+    "ece_calibration" ->
+      """WITH qv AS (SELECT vec_id,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, pos, generate_subscripts(qv, 1) AS d, unnest(qv) AS e FROM qv),
+        |ct AS (SELECT d,
+        |    (CAST(sum(e) AS BIGINT) - ((CAST(sum(e) AS BIGINT) % count(*) + count(*)) % count(*)))
+        |      // count(*) AS c
+        |  FROM ex GROUP BY 1),
+        |sc AS (SELECT vec_id, any_value(pos) AS pos, CAST(sum(e * c) AS BIGINT) AS score
+        |  FROM ex JOIN ct USING (d) GROUP BY vec_id),
+        |mm AS (SELECT min(score) AS smin, max(score) AS smax FROM sc),
+        |cf AS (SELECT pos, CAST(floor(1000000.0 * CAST(score - smin AS DOUBLE)
+        |    / CAST(greatest(1, smax - smin) AS DOUBLE)) AS BIGINT) AS conf_ppm
+        |  FROM sc CROSS JOIN mm),
+        |g AS (SELECT least(9, conf_ppm // 100000) AS bin, count(*) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(conf_ppm) AS BIGINT) AS sconf
+        |  FROM cf GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |  CAST((sconf - ((sconf % n + n) % n)) // n AS BIGINT) AS conf_ppm,
+        |  CAST((n_pos * 1000000) // n AS BIGINT) AS acc_ppm,
+        |  CAST(abs((sconf - ((sconf % n + n) % n)) // n
+        |    - (n_pos * 1000000) // n) AS BIGINT) AS gap_ppm
+        |FROM g""".stripMargin,
+    // κ replay: both classifier replays (k-NN vote + Rocchio centroid)
+    // composed, then the integer agreement/marginal census
+    "kappa_classifiers" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS INTEGER) AS rank
+        |  FROM q CROSS JOIN b),
+        |bl AS (SELECT vec_id AS neighbor_id, label AS b_label FROM embeddings WHERE vec_id % 20 <> 0),
+        |votes AS (SELECT s.query_id, bl.b_label AS pred_label, count(*) AS votes
+        |  FROM scored s JOIN bl USING (neighbor_id) WHERE s.rank <= 10 GROUP BY 1, 2),
+        |knn AS (SELECT query_id, pred_label FROM (SELECT query_id, pred_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label) AS rn
+        |  FROM votes) WHERE rn = 1),
+        |bq AS (SELECT label,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |g AS (SELECT label, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos,
+        |  unnest(qv) AS e FROM bq),
+        |gm AS (SELECT label, pos, sum(e) AS s, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |m AS (SELECT label, pos,
+        |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM gm),
+        |cl AS (SELECT label AS p_label, array_agg(c ORDER BY pos) AS cvec FROM m GROUP BY 1),
+        |qq AS (SELECT vec_id AS query_id,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |rsc AS (SELECT query_id, p_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CAST(list_sum(list_transform(generate_series(1, 64),
+        |        ii -> (qq.qv[ii] - cl.cvec[ii]) * (qq.qv[ii] - cl.cvec[ii]))) AS BIGINT),
+        |      p_label) AS rn
+        |  FROM qq CROSS JOIN cl),
+        |roc AS (SELECT query_id, p_label FROM rsc WHERE rn = 1),
+        |jn AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN knn.pred_label = roc.p_label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM knn JOIN roc USING (query_id)),
+        |m1 AS (SELECT pred_label AS l, count(*) AS m1 FROM knn GROUP BY 1),
+        |m2 AS (SELECT p_label AS l, count(*) AS m2 FROM roc GROUP BY 1),
+        |pe AS (SELECT CAST(sum(m1.m1 * m2.m2) AS BIGINT) AS s_marg FROM m1 JOIN m2 USING (l))
+        |SELECT n, agree,
+        |  CAST(floor(1000000.0 * CAST(n * agree - s_marg AS DOUBLE)
+        |    / CAST(n * n - s_marg AS DOUBLE)) AS BIGINT) AS kappa_ppm
+        |FROM jn CROSS JOIN pe""".stripMargin,
+    "vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS r FROM tf),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN r <= 100 THEN n ELSE 0 END) AS BIGINT) AS c100,
+        |  CAST(sum(CASE WHEN r <= 1000 THEN n ELSE 0 END) AS BIGINT) AS c1000,
+        |  CAST(sum(CASE WHEN r <= 10000 THEN n ELSE 0 END) AS BIGINT) AS c10000 FROM r),
+        |k AS (SELECT CAST(100 AS BIGINT) AS vocab_k, c100 AS covered, total FROM a
+        |  UNION ALL SELECT 1000, c1000, total FROM a
+        |  UNION ALL SELECT 10000, c10000, total FROM a)
+        |SELECT vocab_k, covered, total,
+        |  CAST((covered * 1000000) // total AS BIGINT) AS coverage_ppm FROM k""".stripMargin,
     // Rocchio replay: grid quantization, per-label floor-div mean
     // centroids, exact integer distances, ties to the smaller label
     "rocchio_classify" ->
@@ -8208,6 +8504,28 @@ object SparkEntry {
         |  SELECT id, hops FROM d3 UNION ALL
         |  SELECT a.dst AS id, d.hops + 1 FROM adj a JOIN d3 d ON d.id = a.src) GROUP BY 1)
         |SELECT id AS doc_id, hops FROM d4""".stripMargin,
+    "sssp_weighted" -> // 4 unrolled Bellman–Ford rounds, weighted pair census
+      s"""WITH $sharedGramEdgeCtes,
+        |pw AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst,
+        |  CAST(greatest(1, 6 - count(*)) AS BIGINT) AS w
+        |  FROM rs a JOIN rs b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |adj AS MATERIALIZED (SELECT src, dst, w FROM pw
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM pw),
+        |e0 AS MATERIALIZED (SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |e1 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM e0 UNION ALL
+        |  SELECT a.dst AS id, d.dist + a.w FROM adj a JOIN e0 d ON d.id = a.src) GROUP BY 1),
+        |e2 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM e1 UNION ALL
+        |  SELECT a.dst AS id, d.dist + a.w FROM adj a JOIN e1 d ON d.id = a.src) GROUP BY 1),
+        |e3 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM e2 UNION ALL
+        |  SELECT a.dst AS id, d.dist + a.w FROM adj a JOIN e2 d ON d.id = a.src) GROUP BY 1),
+        |e4 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM e3 UNION ALL
+        |  SELECT a.dst AS id, d.dist + a.w FROM adj a JOIN e3 d ON d.id = a.src) GROUP BY 1)
+        |SELECT id AS doc_id, dist FROM e4""".stripMargin,
     "kcore_sharedgrams" -> { // 4 unrolled degree-peel rounds at k=2
       val rounds = (1 to 4).map { r =>
         val (np, ap) = (s"n${r - 1}", s"adj${r - 1}")

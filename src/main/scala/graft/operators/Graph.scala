@@ -169,6 +169,61 @@ object Graph {
     dist
   }
 
+  /** Fixed-round weighted shortest path (multi-source Bellman–Ford)
+    * over an undirected edge list carrying an integer weight column
+    * `w ≥ 1`: dist(v) ← min(dist(v), min_{u∈N(v)} dist(u) + w(u,v)),
+    * reported for nodes reached within `rounds` relaxations (sources
+    * report 0). min() is order-independent, so the fixed round count
+    * replays identically in any engine, and after r rounds every
+    * reported distance is exact for paths of ≤ r edges — the weighted
+    * generalization of [[bfsHops]] (which is this with w ≡ 1).
+    *
+    * Scale shape identical to [[bfsHops]]: per round ONE keyed shuffle
+    * (distance table joins the adjacency on its source side, groupBy-min
+    * folds candidates with carried distances); the distance table holds
+    * only REACHED nodes. Graphs under `driverSolveMaxEdges` solve on the
+    * driver — identical distances, min is associative. */
+  def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int,
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+    val adj = edges.select(explode(array(
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          col("w").cast("long").as("w")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"),
+          col("w").cast("long").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .filter(col("src") =!= col("dst"))
+      // parallel edges keep their cheapest weight (mirrors the min-fold)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val src0 = sources.select(col("id").cast("long").as("id")).distinct()
+    if (adj.count() <= driverSolveMaxEdges) {
+      val e = adj.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var dist = src0.collect().map(r => r.getLong(0) -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        dist.foreach { case (id, d) => next(id) = d }
+        e.foreach { case (s, d, w) =>
+          dist.get(s).foreach { ds =>
+            if (!next.contains(d) || ds + w < next(d)) next(d) = ds + w }
+        }
+        dist = next.toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return dist.toSeq.toDF("id", "dist")
+    }
+    var dist = src0.withColumn("dist", lit(0L))
+    for (i <- 1 to rounds) {
+      val msgs = adj
+        .join(dist.select(col("id").as("src"), col("dist").as("dh")), Seq("src"))
+        .select(col("dst").as("id"), (col("dh") + col("w")).as("dist"))
+      dist = dist.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      if (i % ckptEvery == 0 && i < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   /** Fixed-round min-label propagation over an undirected edge list —
     * the deterministic community/component detector: every node starts
     * labeled with its own id and each round takes the min of its label

@@ -99,7 +99,16 @@ object ScaleProbe {
     // per-list ranks share ONE grouped prefix machine
     // (Eval.withGroupedRowNumber); the probe checks the census rank
     // stays parallel. hybrid_search rides the same rrfFuse path.
-    "rfm_users", "rrf_fuse")
+    "rfm_users", "rrf_fuse",
+    // round-14 stats/eval additions: cusum rides the calendar day grid
+    // (windows bounded by design); vocab_coverage ranks the DATA-SIZED
+    // vocabulary via withGlobalRowNumber; ece/kappa are one extra
+    // aggregate over the centroid-score / classifier pipelines
+    "cusum_changepoint", "xcorr_event_types", "ece_calibration",
+    "kappa_classifiers", "vocab_coverage",
+    // weighted Bellman–Ford on the rare-gram graph: per-round cost is
+    // one keyed shuffle over the blocking-bounded edge list
+    "sssp_weighted")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

@@ -88,6 +88,40 @@ class GraphSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 1L, 7L -> 0L))
   }
 
+  test("sssp weighted: takes the cheaper many-edge path, driver == distributed") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 1+1+1 = 3. Separate pair 7-8
+    // stays unreached. Source 1.
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (7L, 8L, 5L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    val small = Graph.ssspWeighted(edges, src, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.ssspWeighted(edges, src, rounds = 4, driverSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("sssp weighted: round budget bounds path length, w≡1 matches bfs hops") {
+    // path 1..6 with unit weights: after 2 rounds only radius-2 reached
+    val edges = (1L to 5L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    val got = Graph.ssspWeighted(edges, src, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val hops = Graph.bfsHops(edges.select($"src", $"dst"), src, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == hops)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sssp weighted: parallel edges fold to the cheapest weight") {
+    val edges = Seq((1L, 2L, 9L), (1L, 2L, 2L), (2L, 1L, 7L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspWeighted(edges, Seq(1L).toDF("id"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L))
+  }
+
   test("bfs hops: a source off the graph stays at hops 0 and reaches nothing") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val got = Graph.bfsHops(edges, Seq(99L).toDF("id"), rounds = 2)

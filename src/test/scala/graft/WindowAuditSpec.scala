@@ -25,6 +25,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "autocorr_daily_revenue" -> "lag over the DAILY revenue series — calendar-cardinality",
     "benford_digits" -> "share-of-total over exactly 9 leading-digit rows",
     "cumulative_distinct_users" -> "running total over the DAILY first-seen series — calendar-cardinality",
+    "cusum_changepoint" -> "prefix sum + running min over the DAILY revenue series — calendar-cardinality",
     "index_advisor" -> "rank over 4 candidate layout strategies — constant",
     "metrics_gapfill" -> "LOCF over one minute-bucket grid — elapsed-time cardinality, not row count",
     "token_budget_mix" -> "cumulative quota over the per-DOMAIN aggregate — domain-cardinality",
