@@ -1588,6 +1588,129 @@ object SparkEntry {
           .cast("long").as("r_ppm"))
   }
 
+  /** The cent-quantized daily-revenue series shared by the trend
+    * detectors ([[cusumChangepoint]] scans it inline;
+    * [[mannKendallTrend]] and [[theilSenSlope]] pair over it):
+    * calendar-cardinality, so the localCheckpoint materializes a
+    * few-thousand-row table once instead of re-scanning orders on both
+    * sides of the pair join. */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
+      .localCheckpoint()
+
+  /** Mann–Kendall trend test over daily revenue — the nonparametric
+    * companion to [[cusumChangepoint]]'s drift screen: S = Σ_{i<j}
+    * sign(x_j − x_i) as an exact integer census over day pairs, the
+    * tie-corrected variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    * kept as an integer (Var = num/18), and the continuity-corrected
+    * normal score z in ppm via ONE fixed-shape double
+    * (mul/div/sqrt/floor — bit-portable). The pair join is
+    * CALENDAR-bounded (≈day_count²/2 rows regardless of data volume),
+    * so no windows and no data-sized blowup; trend flags at |z| ≥ 1.96.
+    */
+  private def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val pa = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val ta = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("nd"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"))
+    pa.crossJoin(broadcast(ta))
+      .withColumn("var_num",
+        greatest(lit(1L), expr("nd * (nd - 1) * (2 * nd + 5) - tie_adj")))
+      .withColumn("zc", when(col("s_stat") > 0, col("s_stat") - 1)
+        .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L)))
+      .withColumn("z_ppm",
+        floor(lit(1000000.0) * col("zc").cast("double")
+          / sqrt(col("var_num").cast("double") / lit(18.0))).cast("long"))
+      .select(col("nd").as("n_days"), col("s_stat"), col("var_num"),
+        col("z_ppm"),
+        when(col("z_ppm") >= 1960000L, 1)
+          .when(col("z_ppm") <= -1960000L, -1).otherwise(0).as("trend"))
+  }
+
+  /** Theil–Sen robust slope of daily revenue — the estimator the trend
+    * flag ([[mannKendallTrend]]) points at: the LOWER MEDIAN of all
+    * pairwise slopes floor((x_j − x_i)·10⁶ / (day_j − day_i))
+    * (pmod-adjusted floor division — engine-portable on negative
+    * rises). The pair set is calendar-bounded (≈2.9M rows on the TPC-H
+    * date span, CONSTANT in data volume), and its slopes are nearly all
+    * distinct (2.19M of 2.89M measured), so ranking them is the wrong
+    * plan — the median is a TWO-LEVEL SELECTION instead: pass 1 folds
+    * slopes into fixed-width 2²⁰-unit buckets (map-side combine to a
+    * few-thousand-row histogram) and runs
+    * [[graft.operators.Eval.withExclusivePrefixSum]] over it to find
+    * the ONE bucket straddling rank (m+1) div 2; pass 2 re-derives only
+    * that bucket's slopes (cheaper than checkpointing 2.9M longs — the
+    * pair join is two broadcast-NL scans of the checkpointed daily
+    * table) and ranks within it via a KEYED window (bucket population ≤
+    * the calendar-bounded pair count; single-digit thousands in
+    * practice). Nothing data-sized is ever sorted or checkpointed. */
+  private def theilSenSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    def slopes = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(((col("b.x") - col("a.x")) * lit(1000000L)).as("num"),
+        datediff(col("b.day"), col("a.day")).cast("long").as("dd"))
+      // greatest(dd, 1) never changes a real pair (a.day < b.day ⇒ dd ≥ 1);
+      // it guards ANSI mod-by-zero when Catalyst folds the bucket filter
+      // into the join condition and evaluates the slope on raw day pairs
+      .select(expr("(num - pmod(num, greatest(dd, 1))) div greatest(dd, 1)")
+        .as("slope_u"))
+      .withColumn("bkt", expr("(slope_u - pmod(slope_u, 1048576)) div 1048576"))
+    val hist = slopes.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+    val pre = graft.operators.Eval.withExclusivePrefixSum(hist, "bkt", "cnt", "below")
+    val m = pre.agg(sum(col("cnt")).as("__m"))
+    val hit = pre.crossJoin(broadcast(m))
+      .filter(col("below") < expr("(__m + 1) div 2") &&
+        col("below") + col("cnt") >= expr("(__m + 1) div 2"))
+      .select(col("bkt").as("hbkt"), col("below").as("hbelow"), col("__m"))
+    val w = Window.partitionBy(col("hbkt")).orderBy(col("slope_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slopes.join(broadcast(hit), col("bkt") === col("hbkt"))
+      .groupBy(col("slope_u"), col("hbkt"), col("hbelow"), col("__m"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below2",
+        col("hbelow") + coalesce(sum(col("c")).over(w), lit(0L)))
+      .filter(col("below2") < expr("(__m + 1) div 2") &&
+        col("below2") + col("c") >= expr("(__m + 1) div 2"))
+      .select(col("__m").as("n_pairs"), col("slope_u").as("slope_med_u"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between order-price
+    * distributions of the BUILDING market segment vs the rest — the
+    * distribution-shift test next to [[mannKendallTrend]]'s trend and
+    * `embedding_drift`'s vector drift. Entirely integer: per distinct
+    * cent value the signed mass c₁·n₂ − c₂·n₁ accumulates through
+    * [[graft.operators.Eval.withExclusivePrefixSum]] (range-partitioned
+    * parallel prefix — the value grid is data-sized), D = max |cum| and
+    * d_ppm = 10⁶·D div (n₁·n₂); `at_cents` reports the smallest value
+    * attaining the max. One groupBy on the value + one range shuffle. */
+  private def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_mktsegment") === "BUILDING").cast("long").as("a"))
+    val g = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("c1"), sum(lit(1L) - col("a")).as("c2"))
+    val tot = g.agg(sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"))
+    val cum = graft.operators.Eval.withExclusivePrefixSum(
+        g.crossJoin(broadcast(tot))
+          .withColumn("wv", col("c1") * col("__n2") - col("c2") * col("__n1")),
+        "v", "wv", "below")
+      .withColumn("diff", abs(col("below") + col("wv")))
+    val dmax = cum.agg(max(col("diff")).as("__dm"))
+    cum.crossJoin(broadcast(dmax))
+      .filter(col("diff") === col("__dm"))
+      .agg(max(col("__n1")).as("n_a"), max(col("__n2")).as("n_b"),
+        max(col("__dm")).as("__d"), min(col("v")).as("at_cents"))
+      .select(col("n_a"), col("n_b"),
+        expr("(1000000 * __d) div (n_a * n_b)").as("d_ppm"), col("at_cents"))
+  }
+
   /** Benford first-digit profile of order totals — the fraud-analytics
     * screen: observed first-digit shares vs Benford's law, both in ppm
     * (expected values are FROZEN integer constants, round(1e6·log10(1
@@ -5211,6 +5334,9 @@ object SparkEntry {
     "autocorr_daily_revenue" -> ((s, dir) => autocorrDailyRevenue(s, dir)),
     "cusum_changepoint" -> ((s, dir) => cusumChangepoint(s, dir)),
     "xcorr_event_types" -> ((s, dir) => xcorrEventTypes(s, dir)),
+    "mann_kendall_trend" -> ((s, dir) => mannKendallTrend(s, dir)),
+    "theil_sen_slope" -> ((s, dir) => theilSenSlope(s, dir)),
+    "ks_two_sample" -> ((s, dir) => ksTwoSample(s, dir)),
     "ece_calibration" -> ((s, dir) => eceCalibration(s, dir)),
     "kappa_classifiers" -> ((s, dir) => kappaClassifiers(s, dir)),
     "vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)),
@@ -7786,6 +7912,70 @@ object SparkEntry {
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
         |      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_ppm
         |FROM a""".stripMargin,
+    // Mann–Kendall replay: integer sign census over the calendar pair
+    // join, tie-corrected variance numerator, one fixed-shape double
+    "mann_kendall_trend" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS MATERIALIZED (SELECT day, CAST(sum(cents) AS BIGINT) // 100000 AS x
+        |  FROM o GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |tt AS (SELECT x, count(*) AS t FROM d GROUP BY 1),
+        |ta AS (SELECT CAST(sum(t) AS BIGINT) AS nd,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj FROM tt),
+        |v AS (SELECT p.s_stat, ta.nd,
+        |  greatest(1, ta.nd * (ta.nd - 1) * (2 * ta.nd + 5) - ta.tie_adj) AS var_num
+        |  FROM p CROSS JOIN ta),
+        |z AS (SELECT nd, s_stat, var_num,
+        |  CAST(floor(1000000.0 * CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+        |      WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+        |    / sqrt(CAST(var_num AS DOUBLE) / 18.0)) AS BIGINT) AS z_ppm FROM v)
+        |SELECT nd AS n_days, s_stat, CAST(var_num AS BIGINT) AS var_num, z_ppm,
+        |  CAST(CASE WHEN z_ppm >= 1960000 THEN 1
+        |    WHEN z_ppm <= -1960000 THEN -1 ELSE 0 END AS INTEGER) AS trend
+        |FROM z""".stripMargin,
+    // Theil–Sen replay: pmod-adjusted floor-div slopes over the same
+    // calendar pairs, lower median at rank (m+1) div 2
+    "theil_sen_slope" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS MATERIALIZED (SELECT day, CAST(sum(cents) AS BIGINT) // 100000 AS x
+        |  FROM o GROUP BY 1),
+        |pr AS (SELECT a.day AS aday, b.day AS bday,
+        |  (b.x - a.x) * 1000000 AS num,
+        |  CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dd
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |s AS MATERIALIZED (SELECT aday, bday,
+        |  (num - ((num % dd + dd) % dd)) // dd AS slope_u FROM pr),
+        |r AS (SELECT slope_u,
+        |  row_number() OVER (ORDER BY slope_u, aday, bday) AS r FROM s),
+        |t AS (SELECT count(*) AS m FROM s)
+        |SELECT CAST(t.m AS BIGINT) AS n_pairs,
+        |  CAST(r.slope_u AS BIGINT) AS slope_med_u
+        |FROM r CROSS JOIN t WHERE r.r = (t.m + 1) // 2""".stripMargin,
+    // KS replay: signed mass prefix over the distinct-value grid,
+    // entirely integer (D scaled by n1*n2)
+    "ks_two_sample" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |c AS (SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a FROM customer),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS c1,
+        |  CAST(sum(1 - a) AS BIGINT) AS c2
+        |  FROM o JOIN c ON o_custkey = c_custkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |p AS (SELECT v, n1, n2,
+        |  abs(CAST(sum(c1 * n2 - c2 * n1) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS diff
+        |  FROM g CROSS JOIN t),
+        |m AS (SELECT max(diff) AS dm FROM p)
+        |SELECT max(p.n1) AS n_a, max(p.n2) AS n_b,
+        |  CAST((1000000 * max(p.diff)) // (max(p.n1) * max(p.n2)) AS BIGINT) AS d_ppm,
+        |  CAST(min(p.v) AS BIGINT) AS at_cents
+        |FROM p CROSS JOIN m WHERE p.diff = m.dm""".stripMargin,
     // reliability-diagram replay: same centroid/score CTEs as
     // auc_label_score, then min-max ppm confidence → 10 bins
     "ece_calibration" ->

@@ -108,7 +108,13 @@ object ScaleProbe {
     "kappa_classifiers", "vocab_coverage",
     // weighted Bellman–Ford on the rare-gram graph: per-round cost is
     // one keyed shuffle over the blocking-bounded edge list
-    "sssp_weighted")
+    "sssp_weighted",
+    // robust-trend/distribution-test trio: mann_kendall and theil_sen
+    // pair over the CALENDAR day grid (pair count constant in data
+    // volume; theil_sen's median rank via withGlobalRowNumber);
+    // ks_two_sample prefix-sums the data-sized value grid through
+    // withExclusivePrefixSum
+    "mann_kendall_trend", "theil_sen_slope", "ks_two_sample")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

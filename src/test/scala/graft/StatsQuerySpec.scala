@@ -81,6 +81,71 @@ class StatsQuerySpec extends AnyFunSuite {
     assert(rows.last._4 > 500000, "top-10000 words cover under half the corpus?")
   }
 
+  test("mann_kendall_trend matches a driver-side replay of S, ties and z") {
+    val Array(row) = SparkEntry.queries("mann_kendall_trend")(spark, dir)
+      .select("n_days", "s_stat", "var_num", "z_ppm", "trend").collect()
+    val (nd, s, varNum, zPpm, trend) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getInt(4))
+    // rebuild the daily series exactly as the query does
+    val xs = SparkEntry.queries("cusum_changepoint")(spark, dir)
+      .select("day", "x").collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    assert(nd == xs.length)
+    var sRef = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      sRef += java.lang.Long.signum(xs(j) - xs(i))
+    assert(s == sRef)
+    val tieAdj = xs.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val n = nd
+    assert(varNum == math.max(1L, n * (n - 1) * (2 * n + 5) - tieAdj))
+    val zc = if (s > 0) s - 1 else if (s < 0) s + 1 else 0L
+    assert(zPpm == math.floor(1000000.0 * zc / math.sqrt(varNum / 18.0)).toLong)
+    assert(trend == (if (zPpm >= 1960000L) 1 else if (zPpm <= -1960000L) -1 else 0))
+  }
+
+  test("theil_sen_slope is the lower median of the pairwise floor-div slopes") {
+    val Array(row) = SparkEntry.queries("theil_sen_slope")(spark, dir)
+      .select("n_pairs", "slope_med_u").collect()
+    val (m, med) = (row.getLong(0), row.getLong(1))
+    val daily = SparkEntry.queries("cusum_changepoint")(spark, dir)
+      .select("day", "x").collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val num = (daily(j)._2 - daily(i)._2) * 1000000L
+      val dd = daily(j)._1 - daily(i)._1
+      Math.floorDiv(num, dd) // the pmod-adjusted div in both engines IS floorDiv
+    }).sorted
+    assert(m == slopes.length && m == daily.length.toLong * (daily.length - 1) / 2)
+    assert(med == slopes(((m + 1) / 2 - 1).toInt), "lower median at rank (m+1) div 2")
+  }
+
+  test("ks_two_sample matches an exact driver-side D over the pooled values") {
+    val Array(row) = SparkEntry.queries("ks_two_sample")(spark, dir)
+      .select("n_a", "n_b", "d_ppm", "at_cents").collect()
+    val (n1, n2, dPpm, atV) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    import org.apache.spark.sql.functions.{col, expr}
+    val o = graft.sources.Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val c = graft.sources.Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_mktsegment") === "BUILDING").cast("long").as("a"))
+    val vals = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("v", "a").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n1 == vals.count(_._2 == 1L) && n2 == vals.count(_._2 == 0L))
+    var (c1, c2, best, bestV) = (0L, 0L, -1L, Long.MaxValue)
+    vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      c1 += g.count(_._2 == 1L); c2 += g.count(_._2 == 0L)
+      val d = math.abs(c1 * n2 - c2 * n1)
+      if (d > best) { best = d; bestV = v }
+    }
+    assert(dPpm == 1000000L * best / (n1 * n2))
+    assert(atV == bestV)
+    assert(dPpm >= 0 && dPpm <= 1000000L)
+  }
+
   test("xcorr_event_types emits every lag with a bounded correlation") {
     val rows = SparkEntry.queries("xcorr_event_types")(spark, dir)
       .select("lag", "n", "r_ppm")
