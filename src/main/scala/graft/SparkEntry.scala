@@ -4595,6 +4595,166 @@ object SparkEntry {
       .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
   }
 
+  /** Deterministic derived PARTSUPP — the fixture has no partsupp
+    * table, so the supply relation is DERIVED, not invented: its key
+    * set is exactly the (l_partkey, l_suppkey) pairs observed in
+    * lineitem (in TPC-H lineitem's supply pairs are a subset of
+    * partsupp, so this is the portion of partsupp the fact table
+    * exercises — and it makes Q9's supply-cost join total by
+    * construction), and the two measures are closed-form integer
+    * functions of the key (ps_availqty = 1 + (7p + 11s) mod 9999,
+    * ps_supplycost_cents = 100 + (13p + 17s) mod 99900), replayable by
+    * any engine. Unlocks the five partsupp-dependent TPC-H queries
+    * (Q2/Q9/Q11/Q16/Q20) the fixture previously could not express.
+    * Memoized per dir (five consumers); dimension-bounded (≤ distinct
+    * supply pairs). */
+  private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("partsupp", dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+          expr("CAST(1 + pmod(ps_partkey * 7 + ps_suppkey * 11, 9999) AS INT)"))
+        .withColumn("ps_supplycost_cents",
+          expr("100 + pmod(ps_partkey * 13 + ps_suppkey * 17, 99900)"))
+    }
+
+  /** Suppliers of a region with their nation and cent-quantized account
+    * balance — the dimension-side prep shared by [[q2MinCostSupplier]],
+    * [[q11ImportantStock]] and [[q20PotentialPromotion]]; supplier ⋈
+    * nation ⋈ region is dimension-sized, so consumers broadcast it. */
+  private def regionSuppliers(spark: SparkSession, dir: String, rName: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+
+  /** TPC-H Q2 over the derived [[partsupp]]: cheapest EUROPE supplier
+    * per qualifying part (adapted to the fixture part schema —
+    * p_type = 'STANDARD', p_size ≤ 25 stand in for the spec's
+    * size/type predicate; no p_mfgr/s_address columns exist). The
+    * min-cost correlated subquery is a per-part min aggregate joined
+    * back on (part, cost) — two dimension broadcasts plus one keyed
+    * shuffle of the supply pairs; top-100 under a UNIQUE total order
+    * (balance desc, nation, supplier, part). */
+  private def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_size"))
+    val offers = partsupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(regionSuppliers(spark, dir, "EUROPE")),
+        col("ps_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost_cents")).as("mc"))
+    offers.join(minCost,
+        col("ps_partkey") === col("mk") && col("ps_supplycost_cents") === col("mc"))
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_size"),
+        col("ps_supplycost_cents").as("supplycost_cents"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 over the derived [[partsupp]]: profit by nation and
+    * order year for '%widget%' parts — revenue cents (the repo's
+    * fixed-shape floor idiom) minus supply cost · quantity, all int64.
+    * Part filter broadcasts; the supply-cost join is co-keyed with the
+    * lineitem scan on (partkey, suppkey) — and total by construction,
+    * since the derived partsupp's key set IS lineitem's pair set; the
+    * orders join shuffles on orderkey (the Q9 shape). */
+  private def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").like("%widget%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("rev_cents"),
+        col("l_quantity").cast("long").as("qty"))
+    li.join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev_cents") - col("ps_supplycost_cents") * col("qty"))
+        .as("profit_cents"))
+  }
+
+  /** TPC-H Q11 over the derived [[partsupp]]: parts whose ASIA stock
+    * value exceeds TWICE the mean per-part share of the region total
+    * (the spec scales its 0.0001 fraction by 1/SF for exactly this
+    * reason — a fixed fraction goes vacuous as the part count grows;
+    * share > 2/n_parts is the scale-free form). Value = cost ·
+    * availqty stays integral; the HAVING fraction becomes an integer
+    * cross-multiply against the 1-row broadcast (total, part-count)
+    * aggregate. */
+  private def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val v = partsupp(spark, dir)
+      .join(broadcast(regionSuppliers(spark, dir, "ASIA").select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty").cast("long")).as("v"))
+    val tot = v.agg(sum(col("v")).as("__t"),
+      countDistinct(col("ps_partkey")).as("__np"))
+    v.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value_cents"))
+      .crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("__np") > col("__t") * 2)
+      .select(col("ps_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q16 over the derived [[partsupp]]: distinct supplier count
+    * per (brand, type, size) for non-excluded parts (Brand#1 and PROMO
+    * type excluded, eight spec-style sizes; the supplier-comment
+    * exclusion is dropped — the fixture supplier has no comment
+    * column). One broadcast of the filtered part dim, one distinct
+    * aggregate keyed by the group. */
+  private def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame =
+    partsupp(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q20 over the derived [[partsupp]]: AMERICA suppliers whose
+    * available stock of '%rod%' parts exceeds half of what they
+    * actually shipped in 1996 (the spec's excess-stock screen; nation
+    * CANADA widened to its region for the synthetic fixture). The
+    * shipped-quantity aggregate and the availqty comparison are
+    * integral (2·availqty > qty); every join side except the supply
+    * pairs is dimension-sized and broadcast. */
+  private def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.part(spark, dir)
+      .filter(col("p_name").like("%rod%")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(broadcast(fp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    partsupp(spark, dir)
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("long") * 2 > col("qty"))
+      .select(col("ps_suppkey")).distinct()
+      .join(broadcast(regionSuppliers(spark, dir, "AMERICA")),
+        col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** Gram matrix of the whole embedding corpus
     * ([[graft.operators.Gram]]): the single-pass mergeable matrix
     * summary PCA/whitening starts from — per-partition d·(d+1)/2 long
@@ -5474,6 +5634,11 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, dir) => q19DisjunctiveRevenue(s, dir)),
     "q21_late_suppliers" -> ((s, dir) => q21LateSuppliers(s, dir)),
     "q22_idle_customers" -> ((s, dir) => q22IdleCustomers(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => q2MinCostSupplier(s, dir)),
+    "q9_product_profit" -> ((s, dir) => q9ProductProfit(s, dir)),
+    "q11_important_stock" -> ((s, dir) => q11ImportantStock(s, dir)),
+    "q16_parts_suppliers" -> ((s, dir) => q16PartsSuppliers(s, dir)),
+    "q20_potential_promotion" -> ((s, dir) => q20PotentialPromotion(s, dir)),
     "unigram_logprob" -> ((s, dir) =>
       graft.text.ImportanceScoring.unigramDigitScore(
         Tables.documents(s, dir), "doc_id", "text")),
@@ -5595,6 +5760,17 @@ object SparkEntry {
     * codepoints in exact int64 arithmetic. */
   /** CTE prefix shared by the graph-analytics oracles: rare-8-gram
     * blocked document edges `p(src < dst)`, replaying ShingleHashes. */
+  /** The derived-partsupp CTE shared by the five partsupp TPC-H
+    * oracles — byte-for-byte the [[partsupp]] rule: observed lineitem
+    * supply pairs + closed-form integer measures (pmod spelled with
+    * the portable double-% idiom; keys are positive, so it matches
+    * Spark's pmod exactly). */
+  private lazy val partsuppCte: String =
+    """ps AS MATERIALIZED (SELECT ps_partkey, ps_suppkey,
+      |  CAST(1 + ((ps_partkey * 7 + ps_suppkey * 11) % 9999 + 9999) % 9999 AS INTEGER) AS ps_availqty,
+      |  100 + ((ps_partkey * 13 + ps_suppkey * 17) % 99900 + 99900) % 99900 AS ps_supplycost_cents
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
   private lazy val sharedGramEdgeCtes: String =
     s"""t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
       |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -9306,6 +9482,84 @@ object SparkEntry {
         |WHERE bal_cents * n_pos > total_cents
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    // Q2 replay: derived partsupp, per-part min cost joined back,
+    // top-100 under the unique (balance desc, nation, supplier, part) order
+    "q2_min_cost_supplier" ->
+      s"""WITH $partsuppCte,
+        |p AS (SELECT p_partkey, p_size FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size <= 25),
+        |eu AS (SELECT s_suppkey, s_name, n_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |o AS (SELECT ps_partkey, ps_suppkey, ps_supplycost_cents, p_partkey, p_size,
+        |  s_name, n_name, acctbal_cents
+        |  FROM ps JOIN p ON ps_partkey = p_partkey JOIN eu ON ps_suppkey = s_suppkey),
+        |m AS (SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS mc FROM o GROUP BY 1)
+        |SELECT acctbal_cents, s_name, n_name, p_partkey, p_size,
+        |  CAST(ps_supplycost_cents AS BIGINT) AS supplycost_cents
+        |FROM o JOIN m ON ps_partkey = mk AND ps_supplycost_cents = mc
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // Q9 replay: revenue cents minus derived supply cost x quantity,
+    // grouped by supplier nation and order year
+    "q9_product_profit" ->
+      s"""WITH $partsuppCte,
+        |pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+        |li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey),
+        |j AS (SELECT li.*, ps_supplycost_cents FROM li
+        |  JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey),
+        |sn AS (SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |oy AS (SELECT o_orderkey, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year
+        |  FROM orders)
+        |SELECT n_name AS nation, o_year,
+        |  CAST(sum(rev_cents - ps_supplycost_cents * qty) AS BIGINT) AS profit_cents
+        |FROM j JOIN sn ON l_suppkey = s_suppkey JOIN oy ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    // Q11 replay: integral stock value, HAVING fraction as an integer
+    // cross-multiply against the total
+    "q11_important_stock" ->
+      s"""WITH $partsuppCte,
+        |asup AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |v AS (SELECT ps_partkey,
+        |  ps_supplycost_cents * CAST(ps_availqty AS BIGINT) AS val
+        |  FROM ps JOIN asup ON ps_suppkey = s_suppkey),
+        |t AS (SELECT CAST(sum(val) AS BIGINT) AS tot,
+        |  CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np FROM v),
+        |g AS (SELECT ps_partkey, CAST(sum(val) AS BIGINT) AS value_cents FROM v GROUP BY 1)
+        |SELECT ps_partkey, value_cents FROM g CROSS JOIN t
+        |WHERE value_cents * np > tot * 2""".stripMargin,
+    // Q16 replay: distinct supplier census per (brand, type, size)
+    "q16_parts_suppliers" ->
+      s"""WITH $partsuppCte,
+        |p AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM p JOIN ps ON p_partkey = ps_partkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q20 replay: 1996 shipped-quantity aggregate per supply pair,
+    // integral excess-stock screen, AMERICA suppliers
+    "q20_potential_promotion" ->
+      s"""WITH $partsuppCte,
+        |fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%'),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 1996 GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT ps_suppkey FROM ps
+        |  JOIN q ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE CAST(ps_availqty AS BIGINT) * 2 > qty),
+        |am AS (SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA')
+        |SELECT s_suppkey, s_name FROM cand JOIN am ON ps_suppkey = s_suppkey""".stripMargin,
     "retention_cohorts" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

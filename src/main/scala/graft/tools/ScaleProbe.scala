@@ -114,7 +114,13 @@ object ScaleProbe {
     // volume; theil_sen's median rank via withGlobalRowNumber);
     // ks_two_sample prefix-sums the data-sized value grid through
     // withExclusivePrefixSum
-    "mann_kendall_trend", "theil_sen_slope", "ks_two_sample")
+    "mann_kendall_trend", "theil_sen_slope", "ks_two_sample",
+    // partsupp-derived TPC-H: the supply relation is dimension-bounded
+    // (distinct lineitem pairs); q9 carries the two fact-sized shuffles
+    // (supply-pair equi-join + orderkey join), the others are
+    // broadcast-dim aggregates
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_parts_suppliers", "q20_potential_promotion")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

@@ -36,6 +36,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q9_product_profit: dims broadcast, supply-cost join is an equi-join") {
+    val p = planOf("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q2_min_cost_supplier: part/supplier dims broadcast, no cartesian") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("knn_exact: broadcast queries + bounded-heap top-k, no sort of the cross product") {
     val p = planOf("knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
