@@ -4648,9 +4648,12 @@ object SparkEntry {
       .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
       .join(broadcast(regionSuppliers(spark, dir, "EUROPE")),
         col("ps_suppkey") === col("s_suppkey"))
+    // the per-part min is dimension-sized (≤ filtered part count) —
+    // broadcast it or AQE plans a sort-merge join of offers against
+    // its own aggregate
     val minCost = offers.groupBy(col("ps_partkey").as("mk"))
       .agg(min(col("ps_supplycost_cents")).as("mc"))
-    offers.join(minCost,
+    offers.join(broadcast(minCost),
         col("ps_partkey") === col("mk") && col("ps_supplycost_cents") === col("mc"))
       .select(col("acctbal_cents"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_size"),

@@ -42,9 +42,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q2_min_cost_supplier: part/supplier dims broadcast, no cartesian") {
+  test("q2_min_cost_supplier: dims + per-part min broadcast, no sort-merge join") {
     val p = planOf("q2_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
