@@ -1708,7 +1708,10 @@ object SparkEntry {
       .agg(max(col("__n1")).as("n_a"), max(col("__n2")).as("n_b"),
         max(col("__dm")).as("__d"), min(col("v")).as("at_cents"))
       .select(col("n_a"), col("n_b"),
-        expr("(1000000 * __d) div (n_a * n_b)").as("d_ppm"), col("at_cents"))
+        // greatest guards the degenerate empty-segment corpus (n_a or
+        // n_b = 0 ⇒ every cum is 0 ⇒ D = 0 and the division is moot)
+        expr("(1000000 * __d) div greatest(1, n_a * n_b)").as("d_ppm"),
+        col("at_cents"))
   }
 
   /** Benford first-digit profile of order totals — the fraud-analytics
@@ -8152,7 +8155,7 @@ object SparkEntry {
         |  FROM g CROSS JOIN t),
         |m AS (SELECT max(diff) AS dm FROM p)
         |SELECT max(p.n1) AS n_a, max(p.n2) AS n_b,
-        |  CAST((1000000 * max(p.diff)) // (max(p.n1) * max(p.n2)) AS BIGINT) AS d_ppm,
+        |  CAST((1000000 * max(p.diff)) // greatest(1, max(p.n1) * max(p.n2)) AS BIGINT) AS d_ppm,
         |  CAST(min(p.v) AS BIGINT) AS at_cents
         |FROM p CROSS JOIN m WHERE p.diff = m.dm""".stripMargin,
     // reliability-diagram replay: same centroid/score CTEs as

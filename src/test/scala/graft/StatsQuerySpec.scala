@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, to_timestamp}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics checks for the round-5 stats/eval additions: the CUSUM
@@ -144,6 +145,42 @@ class StatsQuerySpec extends AnyFunSuite {
     assert(dPpm == 1000000L * best / (n1 * n2))
     assert(atV == bestV)
     assert(dPpm >= 0 && dPpm <= 1000000L)
+  }
+
+  test("trend detectors survive degenerate synthetic series (tie guard, flat slopes)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge_trend").toString
+    // 4 days of IDENTICAL revenue: every pair ties, so the Mann-Kendall
+    // variance numerator collapses to zero and only the greatest(1, …)
+    // guard keeps z defined
+    (1 to 4).map(d => (d.toLong, 10.0, s"2024-01-0$d 00:00:00"))
+      .toDF("o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .write.parquet(tmp + "/orders.parquet")
+    val Array(mk) = SparkEntry.queries("mann_kendall_trend")(spark, tmp)
+      .select("n_days", "s_stat", "var_num", "z_ppm", "trend").collect()
+    assert(mk.getLong(0) == 4 && mk.getLong(1) == 0)
+    assert(mk.getLong(2) == 1, "all-tied series must hit the variance guard")
+    assert(mk.getLong(3) == 0 && mk.getInt(4) == 0)
+    val Array(ts) = SparkEntry.queries("theil_sen_slope")(spark, tmp)
+      .select("n_pairs", "slope_med_u").collect()
+    assert(ts.getLong(0) == 6 && ts.getLong(1) == 0, "flat series → zero slope")
+  }
+
+  test("ks_two_sample with an empty segment reports d_ppm 0, no division error") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge_ks").toString
+    Seq((1L, 10.0, "2024-01-01 00:00:00"), (2L, 20.0, "2024-01-02 00:00:00"))
+      .toDF("o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .write.parquet(tmp + "/orders.parquet")
+    // no customer is in the BUILDING segment → n_a = 0
+    Seq((1L, "MACHINERY"), (2L, "FURNITURE"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.parquet(tmp + "/customer.parquet")
+    val Array(row) = SparkEntry.queries("ks_two_sample")(spark, tmp)
+      .select("n_a", "n_b", "d_ppm").collect()
+    assert(row.getLong(0) == 0 && row.getLong(1) == 2 && row.getLong(2) == 0)
   }
 
   test("xcorr_event_types emits every lag with a bounded correlation") {
