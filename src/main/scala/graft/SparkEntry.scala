@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.LshIndex
 import graft.operators.{Joins, Knn, MetricsAnalytics, Recall, Snapshots}
-import graft.sources.{MetricLogs, Tables}
+import graft.sources.{MetricLogs, SvgPlot, Tables}
 import graft.text.{Dedup, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -926,6 +926,40 @@ object SparkEntry {
       (col("value") * 2).as("latency_ms"),
       (col("value") / 100).as("recall"))
     MetricLogs.parseLines(MetricLogs.formatLines(metrics))
+  }
+
+  /** S6 plot sink, chart 1 (plots.py:47-95): multi-series interval line
+    * chart rendered as a deterministic SVG document. Series = event_type
+    * (the reference's per-db lines), x = interval 1..5 (`event_id % 5 + 1`,
+    * the reference's first-5-intervals slice), y = value in basis points.
+    * Every coordinate is integer pixel math the oracle replays exactly. */
+  private def svgIntervalChart(spark: SparkSession, dir: String): DataFrame =
+    SvgPlot.multiSeriesChart(
+      Tables.events(spark, dir),
+      col("event_type"),
+      (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
+      floor(col("value") * 100).cast("long"))
+
+  /** S6 plot sink, chart 2 (logs/plot.py:39-70): dual-axis QPS/latency
+    * chart over event time with shaded phase regions — QPS (value) and
+    * latency (2·value) share the x axis but scale independently (the
+    * twinx axes), and the 3 longest signup→purchase spans (M9
+    * regionPairs) shade as full-height rects, the axvspan regions. */
+  private def svgQpsLatencyChart(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rows = ev.select(
+      unix_millis(col("ts")).as("x"),
+      floor(col("value") * 100).cast("long").as("abp"),
+      floor(col("value") * 200).cast("long").as("bbp"))
+    val regions = MetricsAnalytics.regionPairs(
+        ev, col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        "signup", "purchase")
+      .orderBy((col("end_ms") - col("start_ms")).desc, col("start_ms"),
+        col("start_event_id"))
+      .limit(3)
+      .select(col("start_ms").as("xs"), col("end_ms").as("xe"),
+        lit("phase").as("cls"))
+    SvgPlot.dualAxisChart(rows, regions)
   }
 
   /** Temporal as-of join: each click matched to the user's latest signup
@@ -5451,6 +5485,8 @@ object SparkEntry {
     "range_join_events" -> ((s, dir) => rangeJoinEvents(s, dir)),
     "upsert_guard" -> ((s, dir) => upsertGuard(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
+    "svg_interval_chart" -> ((s, dir) => svgIntervalChart(s, dir)),
+    "svg_qps_latency_chart" -> ((s, dir) => svgQpsLatencyChart(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
     "asof_join" -> ((s, dir) => asofJoin(s, dir)),
     "doc_winnow" -> ((s, dir) => docWinnow(s, dir)),
@@ -7647,6 +7683,69 @@ object SparkEntry {
         |  CAST(regexp_extract(line, 'Latency = ([0-9.]+)', 1) AS DOUBLE) AS latency_ms,
         |  CAST(regexp_extract(line, 'Recall = ([0-9.]+)', 1) AS DOUBLE) AS recall
         |FROM lines WHERE regexp_matches(line, 'Interval')""".stripMargin,
+    "svg_interval_chart" ->
+      """WITH base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
+        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |               min(y) AS ymin, max(y) AS ymax FROM base),
+        |pts AS (SELECT s,
+        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+        |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+        |  FROM base, ext),
+        |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
+        |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
+        |  '<polyline class="' || s || '" fill="none" points="' ||
+        |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
+        |  '"/>' AS elem
+        |  FROM env GROUP BY s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_series,
+        |  CAST(sum(n_points) AS BIGINT) AS n_points,
+        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+        |  string_agg(elem, '' ORDER BY s) || '</svg>' AS svg
+        |FROM lines""".stripMargin,
+    "svg_qps_latency_chart" ->
+      """WITH base AS (SELECT epoch_ms(ts) AS x,
+        |  CAST(floor(value * 100) AS BIGINT) AS abp,
+        |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
+        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |  min(abp) AS amin, max(abp) AS amax,
+        |  min(bbp) AS bmin, max(bbp) AS bmax FROM base),
+        |b AS (SELECT
+        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+        |  399 - CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+        |  399 - CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+        |  FROM base, ext),
+        |env AS (SELECT px, min(pya) AS pya, min(pyb) AS pyb FROM b GROUP BY px),
+        |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |  '<polyline class="a" fill="none" points="' ||
+        |  string_agg(px::VARCHAR || ',' || pya::VARCHAR, ' ' ORDER BY px) || '"/>' ||
+        |  '<polyline class="b" fill="none" points="' ||
+        |  string_agg(px::VARCHAR || ',' || pyb::VARCHAR, ' ' ORDER BY px) || '"/>' AS line_elems
+        |  FROM env),
+        |f AS (SELECT user_id, event_id, event_type, ts FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |m AS (SELECT user_id, event_id AS start_event_id, event_type,
+        |  epoch_ms(ts) AS start_ms,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
+        |  FROM f),
+        |top3 AS (SELECT start_ms AS xs, end_ms AS xe FROM m
+        |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
+        |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
+        |spx AS (SELECT
+        |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
+        |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
+        |  FROM top3, ext),
+        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
+        |  coalesce(string_agg('<rect class="phase" x="' || pxs::VARCHAR ||
+        |    '" y="0" width="' || greatest(pxe - pxs, 1)::VARCHAR ||
+        |    '" height="400"/>', '' ORDER BY pxs, pxe), '') AS rect_elems
+        |  FROM spx)
+        |SELECT n_points, n_regions,
+        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+        |  rect_elems || line_elems || '</svg>' AS svg
+        |FROM lns, rects""".stripMargin,
     "event_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,

@@ -120,7 +120,12 @@ object ScaleProbe {
     // (supply-pair equi-join + orderkey join), the others are
     // broadcast-dim aggregates
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_parts_suppliers", "q20_potential_promotion")
+    "q16_parts_suppliers", "q20_potential_promotion",
+    // S6 SVG charts: the pixel-bucket aggregate caps every polyline at
+    // W points regardless of input rows; extrema are 1-row broadcasts,
+    // regions a top-3 TakeOrdered — the probe checks the downsample
+    // absorbs the 10× input
+    "svg_interval_chart", "svg_qps_latency_chart")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)

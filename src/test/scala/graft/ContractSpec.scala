@@ -117,4 +117,28 @@ class ContractSpec extends AnyFunSuite {
       assert(got(id) == expected, s"id=$id")
     }
   }
+
+  test("bench compact stdout line fits the driver's 2000-char tail capture") {
+    // The driver parses the bench JSON out of the LAST 2000 chars of
+    // stdout; rounds 3-4 lost per-query visibility because the full
+    // 295-entry map outgrew the window. The compact line must stay under
+    // it for any surface size, keep the slowest queries first, and stay
+    // valid JSON with the headline fields intact.
+    val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (k, i) => k -> (if (i % 37 == 0) -1.0 else 0.001 * (i % 997) + 0.5)
+    }
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"compact line too long: ${line.length}")
+    assert(line.contains("\"metric\":\"total\"") && line.contains("\"n_queries\":"))
+    assert(line.contains(s""""n_queries":${results.size}"""))
+    assert(line.contains(s""""n_failed":${results.count(_._2 < 0)}"""))
+    // slowest-first: the single max-time query must be the first map entry
+    val slowest = results.filter(_._2 >= 0).maxBy(_._2)._1
+    assert(line.indexOf("\"queries\":{\"" + slowest + "\":") >= 0,
+      s"first compact entry is not the slowest query ($slowest): $line")
+    // the full line carries every entry, failed ones as -1
+    val full = Bench.fullLine(results, "/root/testdata/sf0.1")
+    results.foreach { case (k, _) => assert(full.contains("\"" + k + "\":"), k) }
+    assert(full.contains(":-1.000"))
+  }
 }
