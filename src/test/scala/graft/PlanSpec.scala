@@ -218,4 +218,19 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("svg charts: pixel bucket is a partial aggregate, extrema broadcast") {
+    // The S6 sink's scale property: the downsample happens as a map-side
+    // partial HashAggregate on the ≤640-key pixel grid, and the chart
+    // extrema ride in as a broadcast (1-row) join — never a shuffle of
+    // the raw series past the bucket, never a sort-merge join against
+    // the extrema row.
+    for (q <- Seq("svg_interval_chart", "svg_qps_latency_chart")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q: expected hash aggregation\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: extrema must broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: no SMJ anywhere in a chart plan\n$p")
+    }
+  }
 }
