@@ -120,14 +120,23 @@ object SvgPlot {
     */
   def dualAxisChart(rows: DataFrame, regions: DataFrame): DataFrame = {
     val base = rows.select(col("x"), col("abp"), col("bbp"))
-    val ext = base.agg(
+    // The extrema are a 1-row, 6-long model artifact consumed by BOTH the
+    // line pass and the region pass; materializing them once as literals
+    // costs one driver row and saves a second full extrema scan of the
+    // input (the two identical aggregate subtrees don't exchange-reuse
+    // across the line/rect branches). Same policy as the centroid /
+    // cutoff artifacts elsewhere: collect model-sized, never data-sized.
+    val e = base.agg(
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
       min(col("abp")).as("amin"), max(col("abp")).as("amax"),
-      min(col("bbp")).as("bmin"), max(col("bbp")).as("bmax"))
-    val bucketed = base.crossJoin(broadcast(ext))
-      .select(px(col("x"), col("xmin"), col("xmax")).as("px"),
-        py(col("abp"), col("amin"), col("amax")).as("pya"),
-        py(col("bbp"), col("bmin"), col("bmax")).as("pyb"))
+      min(col("bbp")).as("bmin"), max(col("bbp")).as("bmax")).head()
+    require(!e.isNullAt(0), "dualAxisChart: rows input is empty")
+    val Seq(xmin, xmax, amin, amax, bmin, bmax) =
+      (0 until 6).map(i => lit(e.getLong(i)))
+    val bucketed = base
+      .select(px(col("x"), xmin, xmax).as("px"),
+        py(col("abp"), amin, amax).as("pya"),
+        py(col("bbp"), bmin, bmax).as("pyb"))
       .groupBy(col("px"))
       .agg(min(col("pya")).as("pya"), min(col("pyb")).as("pyb"))
     val lines = bucketed.agg(
@@ -142,10 +151,10 @@ object SvgPlot {
         " ").as("pb"))
       .select(col("n_points"),
         concat(polyline(lit("a"), col("pa")), polyline(lit("b"), col("pb"))).as("line_elems"))
-    val rects = regions.crossJoin(broadcast(ext))
+    val rects = regions
       .select(col("cls"),
-        px(col("xs"), col("xmin"), col("xmax")).as("pxs"),
-        px(col("xe"), col("xmin"), col("xmax")).as("pxe"))
+        px(col("xs"), xmin, xmax).as("pxs"),
+        px(col("xe"), xmin, xmax).as("pxe"))
       .agg(
         count(lit(1)).as("n_regions"),
         coalesce(array_join(

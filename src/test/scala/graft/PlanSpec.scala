@@ -219,18 +219,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("svg charts: pixel bucket is a partial aggregate, extrema broadcast") {
+  test("svg charts: pixel bucket is a partial aggregate, extrema never SMJ") {
     // The S6 sink's scale property: the downsample happens as a map-side
-    // partial HashAggregate on the ≤640-key pixel grid, and the chart
-    // extrema ride in as a broadcast (1-row) join — never a shuffle of
-    // the raw series past the bucket, never a sort-merge join against
-    // the extrema row.
-    for (q <- Seq("svg_interval_chart", "svg_qps_latency_chart")) {
-      val p = planOf(q)
-      assert(p.contains("HashAggregate"), s"$q: expected hash aggregation\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-        s"$q: extrema must broadcast\n$p")
-      assert(!p.contains("SortMergeJoin"), s"$q: no SMJ anywhere in a chart plan\n$p")
-    }
+    // partial HashAggregate on the ≤640-key pixel grid; the chart extrema
+    // are a 1-row artifact — broadcast in the single-consumer chart,
+    // collected-to-literals in the dual-axis chart (two consumers, one
+    // scan) — never a sort-merge join, never a shuffle of the raw series
+    // past the bucket.
+    val p1 = planOf("svg_interval_chart")
+    assert(p1.contains("HashAggregate"), s"svg_interval_chart: expected hash aggregation\n$p1")
+    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastExchange"),
+      s"svg_interval_chart: extrema must broadcast\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"svg_interval_chart: no SMJ in a chart plan\n$p1")
+    val p2 = planOf("svg_qps_latency_chart")
+    assert(p2.contains("HashAggregate"), s"svg_qps_latency_chart: expected hash aggregation\n$p2")
+    assert(!p2.contains("SortMergeJoin"), s"svg_qps_latency_chart: no SMJ in a chart plan\n$p2")
+    // literal-injected extrema: the lines/rects branches scan events once
+    // each plus the one extrema scan — never a 4th scan for a second
+    // extrema aggregate
+    assert("Scan parquet".r.findAllIn(p2).size <= 3, s"svg_qps_latency_chart: extra scans\n$p2")
   }
 }
