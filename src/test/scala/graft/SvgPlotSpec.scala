@@ -54,6 +54,15 @@ class SvgPlotSpec extends AnyFunSuite {
     }
   }
 
+  test("negative basis points scale exactly like positive ones") {
+    // y in [-200, 200]: the offset subtraction happens before any
+    // division, so sign never reaches the floor — py spans the full box.
+    val rows = Seq(("s", 1L, -200L), ("s", 2L, 0L), ("s", 3L, 200L)).toDF("s", "x", "y")
+    val out = SvgPlot.multiSeriesChart(rows, col("s"), col("x"), col("y"))
+      .collect().head
+    assert(out.getAs[String]("svg").contains("points=\"0,399 319,200 639,0\""))
+  }
+
   test("constant series renders at the divide-by-zero guard coordinates") {
     val rows = Seq(("s", 5L, 42L)).toDF("s", "x", "y")
     val out = SvgPlot.multiSeriesChart(rows, col("s"), col("x"), col("y"))
