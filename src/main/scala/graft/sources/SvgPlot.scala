@@ -116,7 +116,7 @@ object SvgPlot {
     * plus full-height region rects drawn before the lines. Inputs:
     * `rows` = (x long, abp long, bbp long); `regions` = (xs long, xe long,
     * cls string) in the same x domain. Output: one row
-    * (n_points_a, n_points_b, n_regions, svg).
+    * (n_points, n_regions, svg) — both lines share the pixel-bucket count.
     */
   def dualAxisChart(rows: DataFrame, regions: DataFrame): DataFrame = {
     val base = rows.select(col("x"), col("abp"), col("bbp"))
