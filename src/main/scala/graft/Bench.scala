@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * (its first intervals are likewise discarded in BASELINE steady-state).
   */
 object Bench {
-  private[graft] def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the default locale, and a
+  // comma-decimal locale would emit {"value":0,512,...} — invalid JSON,
+  // the exact driver-parse failure the compact line exists to prevent.
+  private[graft] def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** The full per-query JSON line (written to bench_full.json + stderr). */
   private[graft] def fullLine(results: Seq[(String, Double)], sfDir: String): String = {

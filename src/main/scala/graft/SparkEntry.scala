@@ -1575,9 +1575,7 @@ object SparkEntry {
     * statistic exceeding one average day of revenue above the running
     * baseline. All arithmetic exact int64. */
   private def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
+    val daily = dailyRevenue(spark, dir)
     val stats = daily.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1616,23 +1614,32 @@ object SparkEntry {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("lag"), col("n"),
+        // zero-variance guard (constant series in a lag window, or a
+        // 1-day overlap): the covariance numerator is exactly 0 whenever
+        // either variance is 0 (Cauchy–Schwarz), so greatest(…,1) turns
+        // the 0/0 into a clean r_ppm = 0 instead of a NaN whose cast
+        // Spark and DuckDB disagree on — same guard as the sibling
+        // detectors (mann_kendall var_num, theil_sen dd, ks n_a·n_b)
         floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          / sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(1L)).cast("double")
+            * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(1L)).cast("double")))
           .cast("long").as("r_ppm"))
   }
 
   /** The cent-quantized daily-revenue series shared by the trend
-    * detectors ([[cusumChangepoint]] scans it inline;
-    * [[mannKendallTrend]] and [[theilSenSlope]] pair over it):
-    * calendar-cardinality, so the localCheckpoint materializes a
-    * few-thousand-row table once instead of re-scanning orders on both
-    * sides of the pair join. */
+    * detectors ([[cusumChangepoint]], [[mannKendallTrend]],
+    * [[theilSenSlope]]): calendar-cardinality, so the localCheckpoint
+    * materializes a few-thousand-row table once instead of re-scanning
+    * orders on both sides of the pair join — and memoSearch shares that
+    * ONE materialization across all three consumers per fixture dir
+    * (the same shared-artifact policy as the kNN ground truths). */
   private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
-      .localCheckpoint()
+    memoSearch("daily_revenue", dir) {
+      Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
+        .localCheckpoint()
+    }
 
   /** Mann–Kendall trend test over daily revenue — the nonparametric
     * companion to [[cusumChangepoint]]'s drift screen: S = Σ_{i<j}
@@ -1721,7 +1728,12 @@ object SparkEntry {
     * [[graft.operators.Eval.withExclusivePrefixSum]] (range-partitioned
     * parallel prefix — the value grid is data-sized), D = max |cum| and
     * d_ppm = 10⁶·D div (n₁·n₂); `at_cents` reports the smallest value
-    * attaining the max. One groupBy on the value + one range shuffle. */
+    * attaining the max. One groupBy on the value + one range shuffle.
+    * Bound argument: the signed mass c₁·n₂ − c₂·n₁ and its prefix are
+    * ≤ n₁·n₂ in magnitude, so the int64 path is exact for n ≤ 3×10⁹
+    * rows per side (~2 TB of orders); beyond that the weights (and
+    * [[graft.operators.Eval.withExclusivePrefixSum]]'s accumulator)
+    * must widen to DECIMAL — the d_ppm scaling below already does. */
   private def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_custkey"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
@@ -1743,8 +1755,14 @@ object SparkEntry {
         max(col("__dm")).as("__d"), min(col("v")).as("at_cents"))
       .select(col("n_a"), col("n_b"),
         // greatest guards the degenerate empty-segment corpus (n_a or
-        // n_b = 0 ⇒ every cum is 0 ⇒ D = 0 and the division is moot)
-        expr("(1000000 * __d) div greatest(1, n_a * n_b)").as("d_ppm"),
+        // n_b = 0 ⇒ every cum is 0 ⇒ D = 0 and the division is moot).
+        // The 10⁶ scaling runs in DECIMAL(38,0): __d is bounded by
+        // n_a·n_b, so the int64 product 10⁶·__d would wrap at only
+        // ~3×10⁶ rows per side — decimal keeps d_ppm exact up to the
+        // signed-mass path's own bound (n ≤ 3×10⁹ per side, the int64
+        // ceiling of c₁·n₂ documented above)
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * __d) div greatest(1, n_a * n_b)")
+          .as("d_ppm"),
         col("at_cents"))
   }
 
@@ -1878,8 +1896,13 @@ object SparkEntry {
     val pe = m1.join(m2, Seq("l")).agg(sum(col("m1") * col("m2")).as("s_marg"))
     joined.crossJoin(broadcast(pe))
       .select(col("n"), col("agree"),
+        // degenerate-census guard: if both classifiers emit a single
+        // label for every query, pe = 1 makes κ 0/0 — greatest(…,1)
+        // reports κ = 0 (no measurable agreement beyond chance) instead
+        // of a NaN cast that Spark and DuckDB disagree on; same guard
+        // family as ece_calibration's denominator
         floor(lit(1000000.0) * (col("n") * col("agree") - col("s_marg")).cast("double")
-          / (col("n") * col("n") - col("s_marg")).cast("double"))
+          / greatest(col("n") * col("n") - col("s_marg"), lit(1L)).cast("double"))
           .cast("long").as("kappa_ppm"))
   }
 
@@ -4231,11 +4254,7 @@ object SparkEntry {
       c, Seq(col("cents"), col("event_id")), "rn")
     val census = ranked.agg(max(col("rn")).as("n"))
     ranked.crossJoin(broadcast(census))
-      .withColumn("bin",
-        when(col("rn") <= expr("(n % 8) * (n div 8 + 1)"),
-          expr("(rn + n div 8) div (n div 8 + 1)"))
-          .otherwise(expr("n % 8 + (rn - (n % 8) * (n div 8 + 1) + n div 8 - 1) div (n div 8)"))
-          .cast("int"))
+      .withColumn("bin", ntileFromRank("rn", "n", 8).cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("cents")).as("lo_cents"),
@@ -5056,20 +5075,14 @@ object SparkEntry {
         s"$n % $k + ($rn - ($n % $k) * ($n div $k + 1) + $n div $k - 1) div ($n div $k)"))
       .cast("long")
 
-  private def globalNtile(df: DataFrame,
-      order: Seq[org.apache.spark.sql.Column], k: Int,
-      out: String): DataFrame =
-    graft.operators.Eval.withGlobalRowNumber(df, order, "__rn")
-      .withColumn(out, ntileFromRank("__rn", "__n", k))
-      .drop("__rn")
-
   /** RFM segmentation — the classic user-value cut: per user, recency
     * (days since last event, vs the corpus max day), frequency (event
     * count) and monetary (summed cents), each quartiled by a
     * deterministic ntile over (metric, user_id). The user census is
-    * data-sized, so each quartile is [[globalNtile]]'s range-partitioned
-    * parallel rank, never a single-partition ntile window; the corpus
-    * max timestamp and census size ride back in as a 1-row broadcast. */
+    * data-sized, so each quartile is [[ntileFromRank]] over a
+    * range-partitioned parallel rank (Eval.withGroupedRowNumber), never
+    * a single-partition ntile window; the corpus max timestamp and
+    * census size ride back in as a 1-row broadcast. */
   private def rfmUsers(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(spark, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"),
@@ -8190,8 +8203,8 @@ object SparkEntry {
         |  FROM j GROUP BY 1)
         |SELECT CAST(lag AS BIGINT) AS lag, n,
         |  CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_ppm
+        |    / sqrt(CAST(greatest(n * sxx - sx * sx, 1) AS DOUBLE)
+        |      * CAST(greatest(n * syy - sy * sy, 1) AS DOUBLE))) AS BIGINT) AS r_ppm
         |FROM a""".stripMargin,
     // Mann–Kendall replay: integer sign census over the calendar pair
     // join, tie-corrected variance numerator, one fixed-shape double
@@ -8254,7 +8267,7 @@ object SparkEntry {
         |  FROM g CROSS JOIN t),
         |m AS (SELECT max(diff) AS dm FROM p)
         |SELECT max(p.n1) AS n_a, max(p.n2) AS n_b,
-        |  CAST((1000000 * max(p.diff)) // greatest(1, max(p.n1) * max(p.n2)) AS BIGINT) AS d_ppm,
+        |  CAST((1000000::HUGEINT * max(p.diff)) // greatest(1, max(p.n1) * max(p.n2)) AS BIGINT) AS d_ppm,
         |  CAST(min(p.v) AS BIGINT) AS at_cents
         |FROM p CROSS JOIN m WHERE p.diff = m.dm""".stripMargin,
     // reliability-diagram replay: same centroid/score CTEs as
@@ -8328,7 +8341,7 @@ object SparkEntry {
         |pe AS (SELECT CAST(sum(m1.m1 * m2.m2) AS BIGINT) AS s_marg FROM m1 JOIN m2 USING (l))
         |SELECT n, agree,
         |  CAST(floor(1000000.0 * CAST(n * agree - s_marg AS DOUBLE)
-        |    / CAST(n * n - s_marg AS DOUBLE)) AS BIGINT) AS kappa_ppm
+        |    / CAST(greatest(n * n - s_marg, 1) AS DOUBLE)) AS BIGINT) AS kappa_ppm
         |FROM jn CROSS JOIN pe""".stripMargin,
     "vocab_coverage" ->
       """WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
