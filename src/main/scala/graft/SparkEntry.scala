@@ -1556,9 +1556,13 @@ object SparkEntry {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("n"),
+        // zero-variance guard (constant revenue series, or a 1-pair
+        // series): the covariance numerator is 0 whenever a variance is
+        // 0, so greatest(…,1) reports r1 = 0 instead of a NaN cast —
+        // the same guard as xcorr_event_types and the trend detectors
         floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          / sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(1L)).cast("double")
+            * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(1L)).cast("double")))
           .cast("long").as("r1_ppm"))
   }
 
@@ -1828,9 +1832,12 @@ object SparkEntry {
         sum((col("r1") - col("r2")).cast("long") * (col("r1") - col("r2")).cast("long"))
           .as("d2_sum"))
       .select(col("event_type"), col("n"), col("d2_sum"),
+        // n = 1 guard: a single observation has d2_sum = 0 and a zero
+        // n(n²−1) denominator — greatest(…,1) reports ρ = 1 (the
+        // degenerate perfect correlation) instead of a NaN cast
         floor(lit(1000000.0) * (lit(1.0) - lit(6.0) * col("d2_sum").cast("double")
-          / (col("n") * (col("n") * col("n") - 1)).cast("double"))).cast("long")
-          .as("rho_ppm"))
+          / greatest(col("n") * (col("n") * col("n") - 1), lit(1L)).cast("double")))
+          .cast("long").as("rho_ppm"))
   }
 
   /** Rocchio nearest-centroid classification — the prototype method
@@ -8129,8 +8136,8 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM q)
         |SELECT n, CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
-        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r1_ppm
+        |  / sqrt(CAST(greatest(n * sxx - sx * sx, 1) AS DOUBLE)
+        |    * CAST(greatest(n * syy - sy * sy, 1) AS DOUBLE))) AS BIGINT) AS r1_ppm
         |FROM a""".stripMargin,
     "benford_digits" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -8170,7 +8177,7 @@ object SparkEntry {
         |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2_sum FROM r GROUP BY 1)
         |SELECT event_type, n, d2_sum,
         |  CAST(floor(1000000.0 * (1.0 - 6.0 * CAST(d2_sum AS DOUBLE)
-        |    / CAST(n * (n * n - 1) AS DOUBLE))) AS BIGINT) AS rho_ppm
+        |    / CAST(greatest(n * (n * n - 1), 1) AS DOUBLE))) AS BIGINT) AS rho_ppm
         |FROM a""".stripMargin,
     // CUSUM replay: floor-mean target, closed-form S_t = P_t − min(0, min P_j)
     "cusum_changepoint" ->
