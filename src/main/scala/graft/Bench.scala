@@ -20,7 +20,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
   }
 
   /** stdout's final line: the driver keeps only the last 2000 chars of
@@ -42,7 +42,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

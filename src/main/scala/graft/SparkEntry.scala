@@ -863,6 +863,47 @@ object SparkEntry {
   private def multiTenantAgg(spark: SparkSession, dir: String): DataFrame =
     MetricsAnalytics.crossClientAgg(Tables.events(spark, dir), col("event_type"), col("value"))
 
+  /** The reference's headline scaling artifact — the {10..50}-client
+    * sweep (multi_tenant_script.py:121-180, plots/scaling_behavior.pdf) —
+    * as a deterministic replay: for each client count the event stream is
+    * dealt to clients by `user_id % n` (the reference's round-robin query
+    * assignment), per-client load integrals stand in for the wall-clock
+    * metrics (latency→cents, qps→rows, recall→hit ratio in bps), and the
+    * curve is the M7 aggregate per (backend, num_clients). Integer
+    * arithmetic end to end so any engine replays it exactly.
+    *
+    * Scale shape: the 5× client-count amplify feeds straight into a
+    * map-side-combined two-level aggregate — one shuffle keyed
+    * (backend, num_clients, client), output bounded by
+    * 5·|backends|·max(n) rows. */
+  private def multiTenantCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perClient = Tables.events(spark, dir)
+      .select(col("event_type").as("backend"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("num_clients", explode(lit(Array(10, 20, 30, 40, 50))))
+      .withColumn("client", pmod(col("user_id"), col("num_clients")))
+      .groupBy(col("backend"), col("num_clients"), col("client"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(when(col("cents") % 5 === 0, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall_bps", expr("(10000 * hits) div n_rows"))
+    perClient.groupBy(col("backend"), col("num_clients"))
+      .agg(expr("sum(sum_cents) div count(1)").as("mean_latency_cents"),
+        expr("sum(n_rows) div count(1)").as("mean_qps_rows"),
+        sum(col("n_rows")).as("sum_qps_rows"),
+        expr("sum(recall_bps) div count(1)").as("mean_recall_bps"))
+  }
+
+  /** S6 twin of [[multiTenantCurve]] — the scaling_behavior chart itself
+    * (multi_tenant_script.py:195-206): one line per backend, x = client
+    * count, y = PER-CLIENT throughput (the quantity whose decline with
+    * client count is the reference's scaling finding; the aggregate sum
+    * is constant in n by construction), rendered through the same
+    * deterministic SVG pipeline as `svg_interval_chart`. */
+  private def svgTenantCurveChart(spark: SparkSession, dir: String): DataFrame =
+    SvgPlot.multiSeriesChart(
+      multiTenantCurve(spark, dir),
+      col("backend"), col("num_clients").cast("long"), col("mean_qps_rows"))
+
   /** M8/M9: sentinel-region pairing — each signup paired with the user's
     * next purchase. */
   private def eventRegions(spark: SparkSession, dir: String): DataFrame =
@@ -4272,7 +4313,7 @@ object SparkEntry {
     * |x − median| > 3 · 1.4826 · MAD, all in exact integer arithmetic
     * (lower medians selected by rank, the 1.4826 consistency constant
     * as 14826 basis points). The heavy-tail-safe companion to the 3σ
-    * z-score scan (metrics_anomalies). */
+    * z-score scan (metrics_anomalies2). */
   private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
@@ -5499,6 +5540,8 @@ object SparkEntry {
     "metrics_tail_summary" -> ((s, dir) => metricsTail(s, dir)),
     "metrics_head_summary" -> ((s, dir) => metricsHead(s, dir)),
     "multi_tenant_agg" -> ((s, dir) => multiTenantAgg(s, dir)),
+    "multi_tenant_curve" -> ((s, dir) => multiTenantCurve(s, dir)),
+    "svg_tenant_curve_chart" -> ((s, dir) => svgTenantCurveChart(s, dir)),
     "event_regions" -> ((s, dir) => eventRegions(s, dir)),
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
     "session_windows" -> ((s, dir) => sessionWindows(s, dir)),
@@ -5629,7 +5672,7 @@ object SparkEntry {
     "stream_hopping_agg" -> ((s, dir) => streamHoppingAgg(s, dir)),
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
-    "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
+    "range_frame_total2" -> ((s, dir) => rangeFrameTotal(s, dir)),
     "knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "correlated_subquery" -> ((s, dir) => correlatedSubquery(s, dir)),
     "scalar_funcs" -> ((s, dir) => scalarFuncs(s, dir)),
@@ -5637,10 +5680,10 @@ object SparkEntry {
     "twap_user" -> ((s, dir) => twapUser(s, dir)),
     "set_ops_all" -> ((s, dir) => setOpsAll(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
-    "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
+    "metrics_anomalies2" -> ((s, dir) => metricsAnomalies(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
     "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
-    "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
+    "metrics_gapfill2" -> ((s, dir) => metricsGapfill(s, dir)),
     "pivot_events" -> ((s, dir) => pivotEvents(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
     "salted_join_agg" -> ((s, dir) => saltedJoinAgg(s, dir)),
@@ -7648,6 +7691,49 @@ object SparkEntry {
       """SELECT event_type, CAST(round(sum(value * 100)) AS BIGINT) AS sum_cents,
         |  count(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
+    "multi_tenant_curve" ->
+      """WITH s AS (SELECT event_type AS backend, nc.num_clients,
+        |    user_id % nc.num_clients AS client,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events, (SELECT unnest([10, 20, 30, 40, 50]) AS num_clients) nc),
+        |c AS (SELECT backend, num_clients, client, count(*) AS n_rows,
+        |    sum(cents) AS sum_cents,
+        |    sum(CASE WHEN cents % 5 = 0 THEN 1 ELSE 0 END) AS hits
+        |  FROM s GROUP BY 1, 2, 3),
+        |r AS (SELECT *, (10000 * hits) // n_rows AS recall_bps FROM c)
+        |SELECT backend, num_clients,
+        |  CAST(sum(sum_cents) // count(*) AS BIGINT) AS mean_latency_cents,
+        |  CAST(sum(n_rows) // count(*) AS BIGINT) AS mean_qps_rows,
+        |  CAST(sum(n_rows) AS BIGINT) AS sum_qps_rows,
+        |  CAST(sum(recall_bps) // count(*) AS BIGINT) AS mean_recall_bps
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "svg_tenant_curve_chart" ->
+      """WITH s0 AS (SELECT event_type AS backend, nc.num_clients,
+        |    user_id % nc.num_clients AS client,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events, (SELECT unnest([10, 20, 30, 40, 50]) AS num_clients) nc),
+        |c0 AS (SELECT backend, num_clients, client, count(*) AS n_rows
+        |  FROM s0 GROUP BY 1, 2, 3),
+        |base AS (SELECT backend AS s, CAST(num_clients AS BIGINT) AS x,
+        |    CAST(sum(n_rows) // count(*) AS BIGINT) AS y
+        |  FROM c0 GROUP BY 1, 2),
+        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |               min(y) AS ymin, max(y) AS ymax FROM base),
+        |pts AS (SELECT s,
+        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+        |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+        |  FROM base, ext),
+        |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
+        |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
+        |  '<polyline class="' || s || '" fill="none" points="' ||
+        |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
+        |  '"/>' AS elem
+        |  FROM env GROUP BY s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_series,
+        |  CAST(sum(n_points) AS BIGINT) AS n_points,
+        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+        |  string_agg(elem, '' ORDER BY s) || '</svg>' AS svg
+        |FROM lines""".stripMargin,
     "event_regions" ->
       """WITH f AS (SELECT user_id, event_id, event_type, ts FROM events
         |  WHERE event_type IN ('signup', 'purchase')),
@@ -8744,7 +8830,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, cents, ms AS last_ms FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
-    "range_frame_total" ->
+    "range_frame_total2" ->
       // the RANGE frame replayed as an explicit band self-join: engine-
       // version-proof (integer RANGE BETWEEN frames are dialect-fragile),
       // and identical semantics — peers at equal ms are all included
@@ -9110,7 +9196,7 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
         |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
         |   OR old.cents IS DISTINCT FROM new.cents""".stripMargin,
-    "metrics_anomalies" ->
+    "metrics_anomalies2" ->
       """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS x
         |  FROM events GROUP BY 1),
@@ -9137,7 +9223,7 @@ object SparkEntry {
         |SELECT (cents - lo) // width AS bin, count(*) AS n,
         |  min(cents) AS bin_min, max(cents) AS bin_max
         |FROM c, ext GROUP BY 1""".stripMargin,
-    "metrics_gapfill" ->
+    "metrics_gapfill2" ->
       """WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
         |    count(*) AS n_events,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS bucket_sum

@@ -40,10 +40,15 @@ object Graph {
     * returns EXACTLY the distributed loop's scores without its ~4
     * scheduler round-trips per iteration — the same policy as
     * [[graft.text.Dedup.duplicateClusters]]. The message-passing loop
-    * below stays for the billion-edge graphs a 100 TB crawl produces. */
+    * below stays for the billion-edge graphs a 100 TB crawl produces.
+    *
+    * Driver-memory note: 1M collected (long, long) tuples box to roughly
+    * 60–100 MB of driver heap — the default threshold keeps the solve
+    * well inside a stock 1–4 GB driver; raise it only with the driver
+    * heap sized to match. */
   def pageRankInt(edges: DataFrame, iters: Int, init: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L, ckptEvery: Int = 5,
-      driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+      driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val adj = edges.select(explode(array(
         struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
         struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
@@ -133,7 +138,7 @@ object Graph {
     * per-round scheduler round-trips — the same policy as
     * [[pageRankInt]] / [[minLabelPropagation]]. */
   def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
-      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val adj = edges.select(explode(array(
         struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
         struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))
@@ -184,7 +189,7 @@ object Graph {
     * only REACHED nodes. Graphs under `driverSolveMaxEdges` solve on the
     * driver — identical distances, min is associative. */
   def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int,
-      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val adj = edges.select(explode(array(
         struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
           col("w").cast("long").as("w")),
@@ -240,7 +245,7 @@ object Graph {
     * solve on the driver (identical labels — min is associative), the
     * message-passing loop remains for crawl-scale graphs. */
   def minLabelPropagation(edges: DataFrame, rounds: Int,
-      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 5000000L): DataFrame = {
+      ckptEvery: Int = 5, driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val adj = edges.select(explode(array(
         struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
         struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))).as("e"))

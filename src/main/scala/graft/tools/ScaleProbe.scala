@@ -27,7 +27,7 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "q1_agg", "q3_top_orders", "q5_region_revenue", "q4_order_priority",
     "q10_returned", "window_running_total", "sessionize", "windowed_agg",
-    "cdc_apply", "scd2_user_state", "range_frame_total", "event_deltas",
+    "cdc_apply", "scd2_user_state", "range_frame_total2", "event_deltas",
     "dedup_exact", "text_stats", "lang_id", "quality_filter",
     "sequence_pack", "doc_fingerprint", "bloom_join_prune",
     "unpivot_profile", "scalar_funcs", "hopping_window_agg",
@@ -226,17 +226,36 @@ object ScaleProbe {
       System.err.println(f"[probe] $label%-24s 1x=$t1%6.2fs ${n}x=$tn%6.2fs ratio=$ratio%5.2f")
       s""""$label":{"t1":$t1,"tn":$tn,"ratio":$ratio}"""
     }
-    val vecRows = if (only.nonEmpty) Seq.empty else Seq(
-      timeVec("knn_brute_fixedq", dir =>
+    // vec probes are selectable by label through the same `only` filter
+    // as the registered queries (empty `only` = run everything)
+    val vecProbes: Seq[(String, String => DataFrame)] = Seq(
+      "knn_brute_fixedq" -> (dir =>
         graft.operators.Knn.exact(fixedQueries(dir), baseOf(dir), 10)),
-      timeVec("knn_ivf_fixedq", { dir =>
+      "knn_ivf_fixedq" -> { dir =>
         val base = baseOf(dir)
         val cs = graft.index.IvfFlat.fit(base, nlist = 64)
         graft.index.IvfFlat.search(cs, fixedQueries(dir), base, k = 10, nprobe = 8)
-      }),
-      timeVec("knn_lsh_fixedq", dir =>
+      },
+      "knn_lsh_fixedq" -> (dir =>
         graft.index.LshIndex.searchFast(fixedQueries(dir), baseOf(dir),
-          k = 10, numHashTables = 8, bucketLength = 4.0, dim = 64)))
+          k = 10, numHashTables = 8, bucketLength = 4.0, dim = 64)),
+      // I1 incremental insert end to end: NN-Descent build on 80% of the
+      // corpus, beam-search insertion of the held-out 20%, then a fixed-
+      // query search through the augmented graph. Build+insert are
+      // linear-in-n (keyed shuffles over the edge list); search cost is
+      // seed-list + fixed-hop beam, so the whole path should scale ≈ N.
+      "knn_graph_upsert_fixedq" -> { dir =>
+        val base = baseOf(dir)
+        val pre = base.filter(col("vec_id") % 5 =!= 4)
+        val ins = base.filter(col("vec_id") % 5 === 4)
+        val adjPre = graft.index.GraphIndex.buildNNDescent(pre, degree = 16, rounds = 3)
+        val adjAug = graft.index.GraphIndex.insert(pre, adjPre, ins, degree = 16)
+        graft.index.GraphIndex.search(fixedQueries(dir), base, adjAug, k = 10,
+          seedMod = 16, seedK = 8, hops = 3, beam = 32)
+      })
+    val vecRows = vecProbes
+      .filter { case (label, _) => only.isEmpty || only.contains(label) }
+      .map { case (label, f) => timeVec(label, f) }
 
     println(s"""{"metric":"scaleprobe","n":$n,"queries":{${(rows ++ vecRows).mkString(",")}}}""")
     spark.stop()

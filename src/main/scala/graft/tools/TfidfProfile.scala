@@ -42,11 +42,17 @@ object TfidfProfile {
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         .localCheckpoint())
-    time("nDocs distinct count")(docs.select(col("doc_id")).distinct().count())
+    // derive the corpus constants from the loaded fixture, exactly as
+    // tfidfCosineTopK does — hardcoding sf0.1's 5000 docs silently skews
+    // the df-prune and idf-weight stages on any other fixture
+    val nDocs = time("nDocs distinct count")(
+      docs.select(col("doc_id")).distinct().count())
+    val digitsN = nDocs.toString.length.toLong
     val dfp = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * 10000 < lit(5000L) * 9000)
+      .filter(col("df") * 10000 < lit(nDocs) * 9000)
     val weighted = tf.join(dfp, Seq("tok"))
-      .withColumn("w", col("tf") * (lit(5L) - length(col("df").cast("string"))))
+      .withColumn("w",
+        col("tf") * (lit(1L + digitsN) - length(col("df").cast("string"))))
     time("weighted count")(weighted.count())
     val norms = weighted.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
     time("norms count")(norms.count())

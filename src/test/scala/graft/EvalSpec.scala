@@ -25,13 +25,34 @@ class EvalSpec extends AnyFunSuite {
     val df = spark.range(600)
       .select((col("id") % 3).cast("int").as("g"), col("id").as("user_id"),
         (col("id") * 37 % 11).as("key"))
-    val got = Eval.withGroupedRowNumber(df, "g",
-        Seq(col("key"), col("user_id")), "rn")
-      .select("g", "user_id", "rn").as[(Int, Long, Long)].collect().toSet
     val want = df.withColumn("rn", row_number()
         .over(Window.partitionBy("g").orderBy("key", "user_id")).cast("long"))
       .select("g", "user_id", "rn").as[(Int, Long, Long)].collect().toSet
-    assert(got == want)
+    // smallMaxRows = 0 forces the range-shuffle prefix machine;
+    // the default takes the measured-small window path — both must agree
+    for (threshold <- Seq(0L, 100000L)) {
+      val got = Eval.withGroupedRowNumber(df, "g",
+          Seq(col("key"), col("user_id")), "rn", smallMaxRows = threshold)
+        .select("g", "user_id", "rn").as[(Int, Long, Long)].collect().toSet
+      assert(got == want, s"smallMaxRows=$threshold")
+    }
+  }
+
+  test("grouped row_number: empty input returns empty, not an analysis error") {
+    import org.apache.spark.sql.functions._
+    val empty = spark.range(0).select(col("id").cast("int").as("g"),
+      col("id").as("user_id"))
+    val out = Eval.withGroupedRowNumber(empty, "g", Seq(col("user_id")), "rn")
+    assert(out.columns.contains("rn") && out.count() == 0L)
+  }
+
+  test("grouped row_number rejects group ids outside [0, 2^32)") {
+    import org.apache.spark.sql.functions._
+    val neg = spark.range(5).select(lit(-1).as("g"), col("id").as("user_id"))
+    val e = intercept[IllegalArgumentException] {
+      Eval.withGroupedRowNumber(neg, "g", Seq(col("user_id")), "rn").collect()
+    }
+    assert(e.getMessage.contains("outside [0, 2^32)"))
   }
 
   test("aucBps: hand-computed Mann-Whitney with ties") {
