@@ -182,7 +182,13 @@ object GraphIndex {
       .union(newEdges)
       .union(newEdges.select(col("neighbor_id").as("node_id"),
         col("node_id").as("neighbor_id")))
-    rankTop(fullBase, allEdges, degree).localCheckpoint()
+    // deliberately NOT checkpointed: both inputs are already checkpoint-
+    // shallow (the build's per-round adjacency, the newEdges above), so a
+    // consumer re-reading the augmented adjacency repays only a cheap
+    // union + bounded-heap subtree — materializing it here was measured
+    // ~2 s slower cold at sf0.1 (a second materialization of the full
+    // edge list against the consumer's own cache/write).
+    rankTop(fullBase, allEdges, degree)
   }
 
   /** Batched beam search: entry-point seeding, then `hops` rounds of

@@ -37,6 +37,27 @@ class HarnessSpec extends AnyFunSuite {
     assert(agg.forall(r => r.getAs[Double]("sum_qps") > r.getAs[Double]("mean_qps")))
   }
 
+  test("multi-tenant curve: 5-point sweep per backend, totals invariant in client count") {
+    val curve = SparkEntry.queries("multi_tenant_curve")(spark, dir).collect()
+    val backends = curve.map(_.getAs[String]("backend")).distinct
+    // one row per (backend, client count), the full {10..50} sweep each
+    assert(backends.nonEmpty)
+    for (b <- backends) {
+      val rows = curve.filter(_.getAs[String]("backend") == b)
+      assert(rows.map(_.getAs[Int]("num_clients")).sorted.toSeq == Seq(10, 20, 30, 40, 50))
+      // dealing the same events to more clients never changes the total
+      assert(rows.map(_.getAs[Long]("sum_qps_rows")).distinct.length == 1)
+    }
+    assert(curve.forall { r =>
+      val bps = r.getAs[Long]("mean_recall_bps"); bps >= 0L && bps <= 10000L
+    })
+    val chart = SparkEntry.queries("svg_tenant_curve_chart")(spark, dir).collect()(0)
+    assert(chart.getAs[Long]("n_series") == backends.length.toLong)
+    assert(chart.getAs[String]("svg").startsWith("<svg "))
+    // 5 x-values per series, pixel-bucketed, so never more points than that
+    assert(chart.getAs[Long]("n_points") <= 5L * backends.length)
+  }
+
   test("metric log text round-trips through format + parse") {
     import spark.implicits._
     val metrics = Seq((1, 4970.25, 2010.5, 0.9769), (2, 27.11, 368876.0, 0.9416))
