@@ -881,7 +881,9 @@ object SparkEntry {
       .select(col("event_type").as("backend"), col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("num_clients", explode(lit(Array(10, 20, 30, 40, 50))))
-      .withColumn("client", pmod(col("user_id"), col("num_clients")))
+      // % not pmod: the oracle's % takes the dividend's sign, and the two
+      // would deal a negative user_id to different clients
+      .withColumn("client", col("user_id") % col("num_clients"))
       .groupBy(col("backend"), col("num_clients"), col("client"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
         sum(when(col("cents") % 5 === 0, 1L).otherwise(0L)).as("hits"))

@@ -184,10 +184,15 @@ object GraphIndex {
         col("node_id").as("neighbor_id")))
     // deliberately NOT checkpointed: both inputs are already checkpoint-
     // shallow (the build's per-round adjacency, the newEdges above), so a
-    // consumer re-reading the augmented adjacency repays only a cheap
-    // union + bounded-heap subtree — materializing it here was measured
-    // ~2 s slower cold at sf0.1 (a second materialization of the full
-    // edge list against the consumer's own cache/write).
+    // consumer re-reading the augmented adjacency recomputes rankTop —
+    // one keyed shuffle of the edge list + the bounded-heap aggregate per
+    // re-read, NOT free (a beam search re-reads it per hop). The A/B
+    // still favors recompute over materializing the full augmented edge
+    // list: same-JVM with-vs-without measured 24.9 s vs 27.1 s cold for
+    // the whole upsert+search at sf0.1, and 49.8 s vs 86.1 s at the 10×
+    // probe — the materialization is the term that grows with the
+    // corpus. A future consumer that re-reads the adjacency MANY more
+    // times than a 3-hop search should checkpoint at its own call site.
     rankTop(fullBase, allEdges, degree)
   }
 

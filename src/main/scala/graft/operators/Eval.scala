@@ -94,14 +94,24 @@ object Eval {
     // first (measured +0.4–0.5 s per call at sf0.1). MEMORY_ONLY so an
     // oversized input degrades to recompute, never to disk.
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val census = cached.groupBy(col(groupCol).cast("long").as("__g"))
-      .agg(count(lit(1)).as("__c")).collect()
-    census.foreach { r =>
-      val g = r.getLong(0)
-      require(g >= 0L && g < 4294967296L,
-        s"withGroupedRowNumber group id $g outside [0, 2^32): the " +
-          "(partition, group) offset key packs the group into the low 32 bits")
-    }
+    val census =
+      try {
+        val rows = cached.groupBy(col(groupCol).cast("long").as("__g"))
+          .agg(count(lit(1)).as("__c")).collect()
+        rows.foreach { r =>
+          require(!r.isNullAt(0),
+            s"withGroupedRowNumber group column '$groupCol' has a null " +
+              "(or non-integral) group id; group ids must be longs in [0, 2^32)")
+          val g = r.getLong(0)
+          require(g >= 0L && g < 4294967296L,
+            s"withGroupedRowNumber group id $g outside [0, 2^32): the " +
+              "(partition, group) offset key packs the group into the low 32 bits")
+        }
+        rows
+      } catch {
+        // a failed census must not strand its cache entry in the manager
+        case e: Throwable => cached.unpersist(blocking = false); throw e
+      }
     val total = census.map(_.getLong(1)).sum
     if (total <= smallMaxRows) {
       // Measured-small path: per-group window — partitioned (WindowAudit

@@ -125,7 +125,9 @@ class ContractSpec extends AnyFunSuite {
     // it for any surface size, keep the slowest queries first, and stay
     // valid JSON with the headline fields intact.
     val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
-      case (k, i) => k -> (if (i % 37 == 0) -1.0 else 0.001 * (i % 997) + 0.5)
+      case (k, i) =>
+        val best = if (i % 37 == 0) -1.0 else 0.001 * (i % 997) + 0.5
+        (k, best, if (best < 0) -1.0 else best * 2.0) // cold rep = 2x the min
     }
     val line = Bench.compactLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line too long: ${line.length}")
@@ -136,9 +138,12 @@ class ContractSpec extends AnyFunSuite {
     val slowest = results.filter(_._2 >= 0).maxBy(_._2)._1
     assert(line.indexOf("\"queries\":{\"" + slowest + "\":") >= 0,
       s"first compact entry is not the slowest query ($slowest): $line")
-    // the full line carries every entry, failed ones as -1
+    // the full line carries every entry (min AND cold maps), failed as -1
     val full = Bench.fullLine(results, "/root/testdata/sf0.1")
-    results.foreach { case (k, _) => assert(full.contains("\"" + k + "\":"), k) }
+    results.foreach { case (k, _, _) => assert(full.contains("\"" + k + "\":"), k) }
     assert(full.contains(":-1.000"))
+    assert(full.contains("\"queries_cold\":{"))
+    val coldMap = full.substring(full.indexOf("\"queries_cold\":"))
+    assert(coldMap.contains(":1.0") || coldMap.contains(":-1.000")) // 2x values present
   }
 }
