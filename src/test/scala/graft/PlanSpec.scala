@@ -30,6 +30,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_comment") && !p.contains("l_shipmode"), p)
   }
 
+  test("multi_tenant_curve: the 5x client explode feeds keyed aggregates, no join") {
+    val p = planOf("multi_tenant_curve")
+    // two-level aggregate = at most two keyed shuffles ((b,nc,client) then
+    // (b,nc)); the client-count amplify must stay map-side (no join, no
+    // extra exchange smuggled in by the explode)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate") && p.contains("Generate"), p)
+  }
+
   test("q5_region_revenue: dimension joins broadcast, no sort-merge join") {
     val p = planOf("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
