@@ -16,17 +16,20 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** The full per-query JSON line (written to bench_full.json).
-    * `queries` is the min of the reps; `queries_cold` is rep 1 — for the
+    * HEADLINE (`value`, `queries`) is the COLD rep (rep 1): for the
     * query families backed by per-dir memoized artifacts (graph/IVF
     * ground truths, adjacencies, setsim pairs) rep 2 is a warm
-    * cache-serving read, so the cold map is what a cross-round
-    * cold-cost comparison should use. */
+    * cache-serving read, so a min-of-reps headline would overstate
+    * improvement whenever cost moves into a memoized artifact — the
+    * cold rep is the honest cross-round comparator. `queries_min` is
+    * the min-of-2 companion (the repeatable steady-state cost, the
+    * round-5/6 headline). */
   private[graft] def fullLine(results: Seq[(String, Double, Double)], sfDir: String): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val cold = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_cold":$cold,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }.mkString("{", ",", "}")
+    val mins = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"queries_min":$mins,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
   }
 
   /** stdout's final line: the driver keeps only the last 2000 chars of
@@ -37,9 +40,9 @@ object Bench {
     * the window; the complete map lives in bench_full.json.
     */
   private[graft] def compactLine(results: Seq[(String, Double, Double)], sfDir: String): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val slowestFirst = results.filter(_._2 >= 0).map(r => (r._1, r._2)).sortBy(-_._2)
+    val slowestFirst = results.filter(_._3 >= 0).map(r => (r._1, r._3)).sortBy(-_._2)
     val budget = 1500 // chars for the map; the whole line stays < 1900
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -48,7 +51,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,7 +97,10 @@ object Bench {
       // sees the same (empty) storage state.
       System.gc()
       val best = math.min(if (a.isNaN) Double.MaxValue else a, if (b.isNaN) Double.MaxValue else b)
-      (name, if (best == Double.MaxValue) -1.0 else best, if (a.isNaN) -1.0 else a)
+      // cold = rep 1 (falls back to rep 2 on a transient rep-1 failure so
+      // a one-off hiccup doesn't report a healthy query as failed)
+      val cold = if (!a.isNaN) a else if (!b.isNaN) b else -1.0
+      (name, if (best == Double.MaxValue) -1.0 else best, cold)
     }
     // full map to a file ONLY — echoing 7 KB to stderr could interleave
     // after the compact stdout line in a merged capture and push it out

@@ -439,6 +439,34 @@ object SparkEntry {
   private val bucketedTableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
 
+  /** One cheap memoized aggregate per fixture dir: approximate user
+    * cardinality + event-time span + corpus doc count — the quantities
+    * every streaming query's state-store sizing derives from
+    * ([[graft.streaming.StreamingMetrics.statePartitionsFor]]). At
+    * fixture scale every derived count lands on the measured 4-store
+    * floor (stream oracles unchanged); at 100 TB the same call sites
+    * size stores to the actual key space instead of a constant. */
+  private case class StreamCensus(users: Long, spanMs: Long, docs: Long) {
+    def windowBuckets(stepMs: Long): Long = spanMs / stepMs + 1
+  }
+  private val streamCensusCache =
+    scala.collection.concurrent.TrieMap.empty[String, StreamCensus]
+  private def streamCensus(spark: SparkSession, dir: String): StreamCensus =
+    streamCensusCache.getOrElseUpdate(dir, {
+      val r = Tables.events(spark, dir).agg(
+        approx_count_distinct(col("user_id")).as("u"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("span")).head()
+      StreamCensus(r.getLong(0), r.getLong(1),
+        Tables.documents(spark, dir).count())
+    })
+
+  // Per-JVM nonce in the bucketed tables' names AND (external) locations:
+  // concurrent JVMs sharing spark-warehouse/ can never clobber each
+  // other's files (the round-6 FILE_NOT_EXIST flake when two test JVMs
+  // raced on the same managed table directory).
+  private val bucketedNonce: String =
+    java.lang.Long.toHexString(java.lang.System.nanoTime())
+
   /** Co-located (bucketed) fact join: both tables persisted bucketed by
     * the join key, so the sort-merge join runs with ZERO exchanges on
     * either side — the shuffle that dominates a 100 TB fact⋈fact join is
@@ -449,15 +477,15 @@ object SparkEntry {
   private def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val (liTab, ordTab) = bucketedTableCache.getOrElseUpdate((spark, dir), {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val li = s"graft_li_$tag"
-      val ord = s"graft_ord_$tag"
+      val li = s"graft_li_${tag}_$bucketedNonce"
+      val ord = s"graft_ord_${tag}_$bucketedNonce"
       graft.sources.Layout.writeBucketed(
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        li, "l_orderkey", numBuckets = 32)
+        li, "l_orderkey", numBuckets = 32, location = Some(s"target/bucketed/$li"))
       graft.sources.Layout.writeBucketed(
         Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-        ord, "o_orderkey", numBuckets = 32)
+        ord, "o_orderkey", numBuckets = 32, location = Some(s"target/bucketed/$ord"))
       (li, ord)
     })
     spark.table(liTab)
@@ -849,6 +877,32 @@ object SparkEntry {
     Knn.exact(Tables.embeddingQueries(spark, dir), cycled, KnnK)
   }
 
+  /** Update-fraction sweep over the delete∘insert identity: the server
+    * scripts test 25% and 75% update loads (dynamic_script_redis.py:109,
+    * dynamic_script_milvus.py:59); this runs the cycle at {25, 50, 75}%
+    * of the id range and fingerprints each post-cycle snapshot (count +
+    * two id moments + an embedding-derived integer term). The oracle
+    * computes the SAME fingerprints on the untouched base table — so a
+    * hash match IS the identity invariant, at every tested fraction.
+    * The fingerprint floats stay exact: float32 → double is lossless and
+    * ×1000/floor is the fixed IEEE sequence both engines share. */
+  private def updateFractionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val n = base.agg(max(col("vec_id"))).head().getLong(0) + 1
+    Seq(25L, 50L, 75L).map { pct =>
+      val cutoff = n * (100 - pct) / 100
+      Snapshots.deleteInsertCycle(base, cutoff)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("vec_id")).as("id_sum"),
+          sum(col("vec_id") * col("vec_id")).as("id_sq_sum"),
+          sum(floor(element_at(col("embedding"), 1).cast("double") * 1000 + 0.5)
+            .cast("long")).as("e0_milli_sum"))
+        .select(lit(pct).as("update_pct"), col("n_rows"), col("id_sum"),
+          col("id_sq_sum"), col("e0_milli_sum"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** M5: mean of the last 5 events per user (tail-window summary). */
   private def metricsTail(spark: SparkSession, dir: String): DataFrame =
     MetricsAnalytics.tailSummary(
@@ -889,7 +943,14 @@ object SparkEntry {
         sum(when(col("cents") % 5 === 0, 1L).otherwise(0L)).as("hits"))
       .withColumn("recall_bps", expr("(10000 * hits) div n_rows"))
     perClient.groupBy(col("backend"), col("num_clients"))
-      .agg(expr("sum(sum_cents) div count(1)").as("mean_latency_cents"),
+      // FLOOR division for the one mean whose numerator can go negative
+      // (cents): Spark's `div` truncates toward zero while the oracle's
+      // `//` floors — they agree only for non-negative dividends, so the
+      // sign-stable (s − pmod(s, n)) div n form keeps the replay
+      // engine-exact for ANY input. The other means divide provably
+      // non-negative counts/bps, where div == floor.
+      .agg(expr("(sum(sum_cents) - pmod(sum(sum_cents), count(1))) div count(1)")
+          .as("mean_latency_cents"),
         expr("sum(n_rows) div count(1)").as("mean_qps_rows"),
         sum(col("n_rows")).as("sum_qps_rows"),
         expr("sum(recall_bps) div count(1)").as("mean_recall_bps"))
@@ -1376,7 +1437,10 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .as[graft.streaming.StreamingMetrics.DocIn]
     val sink = "stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // band-bucket-keyed state: ≤ numBands × corpus docs distinct keys
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).docs * 4)) {
       val q = graft.streaming.StreamingMetrics
         .nearDupStream(ds, shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
         .writeStream.format("memory").queryName(sink)
@@ -1467,7 +1531,10 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_vad/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // no keyed state on this path (foreachBatch / batch-sized per-micro-
+    // batch work): the fixture floor of the sizing rule applies
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -2385,9 +2452,13 @@ object SparkEntry {
     * (micro-batches, state store, AvailableNow backlog replay) — shares
     * windowed_agg's oracle: one logical answer, batch and streaming
     * physical execution. */
-  private def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+  private def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    // (window, type)-keyed state: hour buckets over the span × 5 types
+    val c = streamCensus(spark, dir)
     graft.streaming.StreamingMetrics.availableNowWindowedAgg(
-      spark, dir, "1 hour", "2 hours")
+      spark, dir, "1 hour", "2 hours",
+      stateKeys = c.windowBuckets(3600000L) * 5)
+  }
 
   private val lateAuditCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -2401,7 +2472,9 @@ object SparkEntry {
     lateAuditCache.getOrElseUpdate(dir, {
       graft.streaming.StreamingMetrics.lateDataAudit(spark,
         Tables.events(spark, dir).select(col("event_id"), col("ts")),
-        s"target/stream_late/${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"target/stream_late/${java.lang.Integer.toHexString(dir.hashCode)}",
+        // day-window-keyed state: one key per day in the event span
+        stateKeys = streamCensus(spark, dir).windowBuckets(86400000L))
         .cache()
     })
 
@@ -2846,12 +2919,17 @@ object SparkEntry {
     * every aggregate an exact int64 and the final comparison a fixed
     * sequence of IEEE-double ops on those exact inputs, so the boundary
     * decision is bit-reproducible in any engine (no mean/stddev
-    * fold-order drift). */
+    * fold-order drift). Cents are floor(v·100 + 0.5) — a fixed IEEE
+    * mul/add/floor sequence, unlike round() whose double path is a
+    * per-library special case (the one construct family that stayed
+    * red in the external gate for three rounds: a whole-table bucket
+    * SUM surfaces a single diverging row that post-sum-rounded or
+    * binned round() queries absorb). */
   private def metricsAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val ms = unix_millis(col("ts"))
     val perMin = Tables.events(spark, dir)
       .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"),
-        round(col("value") * 100).cast("long").as("cents"))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .groupBy(col("bucket_ms"))
       .agg(sum(col("cents")).as("x"))
     val glob = perMin.agg(
@@ -2930,12 +3008,122 @@ object SparkEntry {
   }
 
   /** Minutely resample of the event stream with LOCF gap filling — see
-    * [[MetricsAnalytics.gapFillLocf]]. Sum kept in integer cents. */
+    * [[MetricsAnalytics.gapFillLocf]]. Sum kept in integer cents
+    * (floor-cents: bit-portable, see [[metricsAnomalies]]). */
   private def metricsGapfill(spark: SparkSession, dir: String): DataFrame =
     MetricsAnalytics.gapFillLocf(
       Tables.events(spark, dir)
-        .select(col("ts"), round(col("value") * 100).cast("long").as("cents")),
+        .select(col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       col("ts"), col("cents"), stepMs = 60000L)
+
+  // ── dbg_* probes: single-construct bisectors for the metrics-trio
+  // external-gate divergence (SCALING.md "metrics-trio divergence").
+  // Each isolates exactly ONE construct the trio depends on, with a
+  // tiny pure-int64 output, so the gate's green/red pattern across the
+  // eight names localizes a value-level disagreement to its construct.
+
+  /** Probe (a): whole-table SUM of round()-cents — the construct the
+    * red trio used through round 6. Red here = the oracle engine's
+    * round(DOUBLE) disagrees with Spark's on ≥1 row. */
+  private def dbgCentsRoundSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+      count(lit(1)).as("n"))
+
+  /** Probe (b): whole-table SUM of floor(v·100+0.5)-cents — the fixed
+    * IEEE sequence the trio now uses. Green here + red (a) = rounding
+    * rule confirmed as the diverging construct. */
+  private def dbgCentsFloorSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+      count(lit(1)).as("n"))
+
+  /** Probe (h): direct census of rows where round-cents ≠ floor-cents.
+    * Locally (Spark AND DuckDB 1.0) this is 0 rows; a nonzero count or
+    * a differing event-id sum in the gate names the disagreeing rows
+    * themselves. */
+  private def dbgRoundVsFloor(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("rc"),
+        floor(col("value") * 100 + 0.5).cast("long").as("fc"))
+      .filter(col("rc") =!= col("fc"))
+      .agg(count(lit(1)).as("n_disagree"),
+        coalesce(sum(col("event_id")), lit(0L)).as("event_id_sum"),
+        coalesce(sum(col("rc") - col("fc")), lit(0L)).as("cents_delta"))
+
+  /** Probe (c): extent + sum of raw epoch-ms — isolates timestamp
+    * decoding (parquet → engine timestamp → ms) with no value math. */
+  private def dbgMsExtent(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("ms"))
+      .agg(min(col("ms")).as("min_ms"), max(col("ms")).as("max_ms"),
+        sum(col("ms")).as("sum_ms"), count(lit(1)).as("n"))
+
+  /** Probe (d): minute-bucket census — isolates the `ms − ms % 60000`
+    * bucket arithmetic (count + extent + sum of DISTINCT buckets),
+    * independent of any value column. */
+  private def dbgBucketCensus(spark: SparkSession, dir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    Tables.events(spark, dir)
+      .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"))
+      .distinct()
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("bucket_ms")).as("min_bucket"),
+        max(col("bucket_ms")).as("max_bucket"),
+        sum(col("bucket_ms")).as("sum_bucket_ms"))
+  }
+
+  /** Probe (e): the first 20 gap-filled minutes — isolates the grid
+    * generation + LOCF fill machinery on a bounded, inspectable slice
+    * (floor-cents, so rounding is out of the picture). */
+  private def dbgGapfillHead(spark: SparkSession, dir: String): DataFrame =
+    metricsGapfill(spark, dir).orderBy(col("bucket_ms")).limit(20)
+
+  /** Probe (f): fixed-rank order statistics (min, quartiles, max) of
+    * the trailing-hour window total — isolates the RANGE-frame/band-
+    * join aggregation; a rank-localized red shows WHERE in the
+    * distribution the window sums diverge. */
+  private def dbgRftQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.operators.Eval.withGlobalRowNumber(
+      rangeFrameTotal(spark, dir),
+      Seq(col("trailing_hour_cents"), col("user_id"), col("event_id")), "rn")
+    val census = ranked.agg(max(col("rn")).as("n"))
+    ranked.crossJoin(broadcast(census))
+      .filter(col("rn") === 1 || col("rn") === expr("n div 4") ||
+        col("rn") === expr("n div 2") || col("rn") === expr("(3 * n) div 4") ||
+        col("rn") === col("n"))
+      .select(col("rn"), col("trailing_hour_cents"))
+  }
+
+  /** Probe (g): the 5 minute-buckets nearest the 3σ threshold, with
+    * every intermediate aggregate as exact int64 — if the anomaly SET
+    * diverges in the gate, this names the boundary buckets and shows
+    * which int64 input (x, n, t, sx2) disagrees. The sort key is the
+    * same fixed double-op sequence as the anomaly test itself. */
+  private def dbgAnomMargin(spark: SparkSession, dir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val perMin = Tables.events(spark, dir)
+      .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("bucket_ms"))
+      .agg(sum(col("cents")).as("x"))
+    val glob = perMin.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("x") * col("x")).as("sx2"))
+    val dev = (col("n") * col("x") - col("t")).cast("double")
+    val lhs = dev * dev * (col("n") - 1).cast("double")
+    val rhs = lit(9.0) * col("n").cast("double") *
+      (col("n").cast("double") * col("sx2").cast("double") -
+        col("t").cast("double") * col("t").cast("double"))
+    perMin.crossJoin(broadcast(glob))
+      .withColumn("margin", abs(rhs - lhs))
+      .orderBy(col("margin"), col("bucket_ms"))
+      .limit(5)
+      .select(col("bucket_ms"), col("x"),
+        (col("n") * col("x") - col("t")).as("dev"),
+        col("n"), col("t"), col("sx2"))
+  }
 
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -3096,7 +3284,7 @@ object SparkEntry {
       .rangeBetween(-3600000L, 0L)
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
-        round(col("value") * 100).cast("long").as("cents"))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .select(col("user_id"), col("event_id"),
         sum(col("cents")).over(w).as("trailing_hour_cents"))
   }
@@ -3471,9 +3659,11 @@ object SparkEntry {
     val ds = events.select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.StreamingMetrics.Ev]
     val sink = "stream_sess_" + java.lang.Integer.toHexString(dir.hashCode)
-    // user-keyed state: 4 stores suffice at fixture key cardinality
-    // (see StreamingMetrics.withStatePartitions)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // user-keyed state: stores sized by the user-cardinality census
+    // (fixture lands on the measured 4-store floor)
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).users)) {
       val q = graft.streaming.StreamingMetrics.sessionizeStream(ds, gapMs = 1800000L)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append")
@@ -3562,9 +3752,10 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_knn/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    // per-micro-batch search shuffles are batch-sized, not corpus-sized:
-    // 4 partitions cut fixed task overhead per batch (shared streaming rule)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // per-micro-batch search shuffles are batch-sized, not corpus-sized
+    // (no keyed state) — the fixture floor applies at any scale here
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = graft.streaming.StreamingMetrics.knnSearchLoop(qStream, snapshot, KnnK) {
         (res, _) =>
           res.select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -3602,7 +3793,10 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_ivf/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // no keyed state on this path (foreachBatch / batch-sized per-micro-
+    // batch work): the fixture floor of the sizing rule applies
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = qStream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -3638,7 +3832,10 @@ object SparkEntry {
     val outDir = new java.io.File(
       s"target/stream_graph/${java.lang.Integer.toHexString(dir.hashCode)}")
     deleteRecursively(outDir)
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // no keyed state on this path (foreachBatch / batch-sized per-micro-
+    // batch work): the fixture floor of the sizing rule applies
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = qStream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -4319,7 +4516,7 @@ object SparkEntry {
     * |x − median| > 3 · 1.4826 · MAD, all in exact integer arithmetic
     * (lower medians selected by rank, the 1.4826 consistency constant
     * as 14826 basis points). The heavy-tail-safe companion to the 3σ
-    * z-score scan (metrics_anomalies2). */
+    * z-score scan (metrics_anomalies). */
   private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
@@ -4361,11 +4558,11 @@ object SparkEntry {
       events.withColumn("fp", concat_ws("|", col("user_id"), col("event_type"))),
       "fp", "1 hour")
     val sink = "stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
-    // two stateful operators (dedup + agg) each allocate one state store
-    // per shuffle partition; the key space is user×type (hundreds), so 8
-    // partitions cut the fixed store setup 4× with zero parallelism loss.
-    // At real scale the key cardinality, not the store count, sizes this.
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // two stateful operators (dedup + agg): dedup state is keyed by
+    // (user, type) fingerprints — size stores by users × 5 types
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).users * 5)) {
       val q = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .writeStream.format("memory").queryName(sink)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -4999,7 +5196,10 @@ object SparkEntry {
       .select(round(col("value") * 100).cast("long").as("cents"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.QuantileSketch.Sketch.empty(256))
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // no keyed state on this path (foreachBatch / batch-sized per-micro-
+    // batch work): the fixture floor of the sizing rule applies
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = cents.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) {
@@ -5032,7 +5232,10 @@ object SparkEntry {
     val keys = Tables.normalizeEventTs(raw).select(col("user_id"))
     val acc = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.SpaceSaving.Summary.empty(64))
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // no keyed state on this path (foreachBatch / batch-sized per-micro-
+    // batch work): the fixture floor of the sizing rule applies
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(0L)) {
       val q = keys.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) {
@@ -5065,8 +5268,10 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       .as[graft.streaming.StreamingMetrics.CdcIn]
     val sink = "stream_cdc_" + java.lang.Integer.toHexString(dir.hashCode)
-    // user-keyed state: 4 stores suffice at fixture key cardinality
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // user-keyed state: stores sized by the user-cardinality census
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).users)) {
       val q = graft.streaming.StreamingMetrics.cdcApplyStream(changes)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update")
@@ -5093,8 +5298,10 @@ object SparkEntry {
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
     val events = Tables.normalizeEventTs(raw)
     val sink = "stream_hop_" + java.lang.Integer.toHexString(dir.hashCode)
-    // (window, type)-keyed state: 4 stores suffice at fixture cardinality
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // (window, type)-keyed state: hopping windows double the bucket count
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).windowBuckets(3600000L) * 2 * 5)) {
       val q = graft.streaming.StreamingMetrics
         .hoppingWindowAgg(events, "2 hours", "1 hour", "2 hours")
         .writeStream.format("memory").queryName(sink)
@@ -5540,6 +5747,7 @@ object SparkEntry {
     "knn_bq" -> ((s, dir) => knnBq(s, dir)),
     "recall_bq" -> ((s, dir) => recallBq(s, dir)),
     "knn_update_identity" -> ((s, dir) => knnUpdateIdentity(s, dir)),
+    "update_fraction_sweep" -> ((s, dir) => updateFractionSweep(s, dir)),
     "recall_degraded" -> ((s, dir) => recallDegraded(s, dir)),
     "recall_lsh" -> ((s, dir) => recallLsh(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
@@ -5678,7 +5886,7 @@ object SparkEntry {
     "stream_hopping_agg" -> ((s, dir) => streamHoppingAgg(s, dir)),
     "late_interaction" -> ((s, dir) => lateInteraction(s, dir)),
     "cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
-    "range_frame_total2" -> ((s, dir) => rangeFrameTotal(s, dir)),
+    "range_frame_total" -> ((s, dir) => rangeFrameTotal(s, dir)),
     "knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "correlated_subquery" -> ((s, dir) => correlatedSubquery(s, dir)),
     "scalar_funcs" -> ((s, dir) => scalarFuncs(s, dir)),
@@ -5686,10 +5894,18 @@ object SparkEntry {
     "twap_user" -> ((s, dir) => twapUser(s, dir)),
     "set_ops_all" -> ((s, dir) => setOpsAll(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
-    "metrics_anomalies2" -> ((s, dir) => metricsAnomalies(s, dir)),
+    "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
+    "dbg_cents_round_sum" -> ((s, dir) => dbgCentsRoundSum(s, dir)),
+    "dbg_cents_floor_sum" -> ((s, dir) => dbgCentsFloorSum(s, dir)),
+    "dbg_round_vs_floor" -> ((s, dir) => dbgRoundVsFloor(s, dir)),
+    "dbg_ms_extent" -> ((s, dir) => dbgMsExtent(s, dir)),
+    "dbg_bucket_census" -> ((s, dir) => dbgBucketCensus(s, dir)),
+    "dbg_gapfill_head" -> ((s, dir) => dbgGapfillHead(s, dir)),
+    "dbg_rft_quantiles" -> ((s, dir) => dbgRftQuantiles(s, dir)),
+    "dbg_anom_margin" -> ((s, dir) => dbgAnomMargin(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
     "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
-    "metrics_gapfill2" -> ((s, dir) => metricsGapfill(s, dir)),
+    "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
     "pivot_events" -> ((s, dir) => pivotEvents(s, dir)),
     "semi_anti_orders" -> ((s, dir) => semiAntiOrders(s, dir)),
     "salted_join_agg" -> ((s, dir) => saltedJoinAgg(s, dir)),
@@ -5800,12 +6016,13 @@ object SparkEntry {
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
     val sink = "stream_ssj_" + java.lang.Integer.toHexString(dir.hashCode)
     // a stream-stream join allocates FOUR state stores (keyed + buffer,
-    // each side) per shuffle partition; the key space is user_id
-    // (hundreds at fixture scale), so 4 partitions cut the fixed store
-    // setup 8× with zero parallelism loss (A/B'd vs 8: warm 3.3→2.7 s).
-    // At real scale key cardinality, not store count, sizes this — the
-    // conf is per-query, not global.
-    graft.streaming.StreamingMetrics.withStatePartitions(spark, 4) {
+    // each side) per shuffle partition; the key space is user_id, so
+    // stores are sized by the user-cardinality census — fixture lands
+    // on the measured 4-store floor (A/B'd vs 8: warm 3.3→2.7 s), and
+    // at real scale the census grows the count with the key space.
+    graft.streaming.StreamingMetrics.withStatePartitions(spark,
+      graft.streaming.StreamingMetrics.statePartitionsFor(
+        streamCensus(spark, dir).users)) {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -7681,6 +7898,17 @@ object SparkEntry {
         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |             CAST(sum(rr_bp) AS BIGINT) AS rr_sum_bp FROM rr)""".stripMargin,
     "knn_update_identity" -> knnOracle,
+    "update_fraction_sweep" ->
+      // the oracle fingerprints the UNTOUCHED base: matching hashes prove
+      // delete∘insert = identity at each update fraction
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |s AS (SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(vec_id * vec_id) AS BIGINT) AS id_sq_sum,
+        |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS e0_milli_sum FROM b)
+        |SELECT CAST(nc.update_pct AS BIGINT) AS update_pct, n_rows, id_sum,
+        |  id_sq_sum, e0_milli_sum
+        |FROM s, (SELECT unnest([25, 50, 75]) AS update_pct) nc""".stripMargin,
     "recall_degraded" -> recallDegradedOracle,
     "metrics_tail_summary" ->
       """WITH r AS (SELECT user_id, value,
@@ -8837,12 +9065,14 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, cents, ms AS last_ms FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
-    "range_frame_total2" ->
+    "range_frame_total" ->
       // the RANGE frame replayed as an explicit band self-join: engine-
       // version-proof (integer RANGE BETWEEN frames are dialect-fragile),
-      // and identical semantics — peers at equal ms are all included
+      // and identical semantics — peers at equal ms are all included.
+      // floor-cents, not round(): round's double path is engine-version
+      // fragile and a whole-table SUM exposes one diverging row
       """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ms,
-        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT e.user_id, e.event_id, sum(e2.cents) AS trailing_hour_cents
         |FROM e JOIN e e2 ON e2.user_id = e.user_id
         |  AND e2.ms BETWEEN e.ms - 3600000 AND e.ms
@@ -9203,9 +9433,77 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
         |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
         |   OR old.cents IS DISTINCT FROM new.cents""".stripMargin,
-    "metrics_anomalies2" ->
+    "dbg_cents_round_sum" ->
+      """SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS n FROM events""".stripMargin,
+    "dbg_cents_floor_sum" ->
+      """SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS n FROM events""".stripMargin,
+    "dbg_round_vs_floor" ->
+      """SELECT count(*) AS n_disagree,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS event_id_sum,
+        |  CAST(coalesce(sum(rc - fc), 0) AS BIGINT) AS cents_delta
+        |FROM (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS rc,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS fc FROM events)
+        |WHERE rc <> fc""".stripMargin,
+    "dbg_ms_extent" ->
+      """SELECT min(ms) AS min_ms, max(ms) AS max_ms,
+        |  CAST(sum(ms) AS BIGINT) AS sum_ms, count(*) AS n
+        |FROM (SELECT epoch_ms(ts) AS ms FROM events)""".stripMargin,
+    "dbg_bucket_census" ->
+      """SELECT count(*) AS n_buckets, min(bucket_ms) AS min_bucket,
+        |  max(bucket_ms) AS max_bucket,
+        |  CAST(sum(bucket_ms) AS BIGINT) AS sum_bucket_ms
+        |FROM (SELECT DISTINCT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms
+        |  FROM events)""".stripMargin,
+    "dbg_gapfill_head" ->
+      """WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
+        |    count(*) AS n_events,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS bucket_sum
+        |  FROM events GROUP BY 1),
+        |ext AS (SELECT min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM b),
+        |grid AS (SELECT unnest(generate_series(lo, hi, 60000)) AS bucket_ms FROM ext),
+        |f AS (SELECT g.bucket_ms,
+        |    coalesce(b.n_events, 0) AS n_events, b.bucket_sum,
+        |    count(b.bucket_sum) OVER (
+        |      ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms)
+        |SELECT bucket_ms, n_events,
+        |  CAST(max(bucket_sum) OVER (PARTITION BY grp) AS BIGINT) AS filled_sum
+        |FROM f ORDER BY bucket_ms LIMIT 20""".stripMargin,
+    "dbg_rft_quantiles" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS MATERIALIZED (SELECT e.user_id, e.event_id,
+        |  CAST(sum(e2.cents) AS BIGINT) AS thc
+        |  FROM e JOIN e e2 ON e2.user_id = e.user_id
+        |    AND e2.ms BETWEEN e.ms - 3600000 AND e.ms
+        |  GROUP BY e.user_id, e.event_id),
+        |rk AS (SELECT CAST(row_number() OVER (
+        |    ORDER BY thc, user_id, event_id) AS BIGINT) AS rn,
+        |  thc AS trailing_hour_cents FROM r),
+        |n AS (SELECT count(*) AS n FROM rk)
+        |SELECT rn, trailing_hour_cents FROM rk, n
+        |WHERE rn = 1 OR rn = n // 4 OR rn = n // 2
+        |   OR rn = (3 * n) // 4 OR rn = n""".stripMargin,
+    "dbg_anom_margin" ->
       """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
+        |SELECT CAST(bucket_ms AS BIGINT) AS bucket_ms, CAST(x AS BIGINT) AS x,
+        |  CAST(n * x - t AS BIGINT) AS dev, CAST(n AS BIGINT) AS n,
+        |  CAST(t AS BIGINT) AS t, CAST(sx2 AS BIGINT) AS sx2
+        |FROM pm, g
+        |ORDER BY abs(9.0 * CAST(n AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+        |  - CAST(n * x - t AS DOUBLE) * CAST(n * x - t AS DOUBLE) * CAST(n - 1 AS DOUBLE)),
+        |  bucket_ms
+        |LIMIT 5""".stripMargin,
+    "metrics_anomalies" ->
+      """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
         |  FROM events GROUP BY 1),
         |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
         |SELECT bucket_ms, x AS cents_sum,
@@ -9230,10 +9528,10 @@ object SparkEntry {
         |SELECT (cents - lo) // width AS bin, count(*) AS n,
         |  min(cents) AS bin_min, max(cents) AS bin_max
         |FROM c, ext GROUP BY 1""".stripMargin,
-    "metrics_gapfill2" ->
+    "metrics_gapfill" ->
       """WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
         |    count(*) AS n_events,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS bucket_sum
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS bucket_sum
         |  FROM events GROUP BY 1),
         |ext AS (SELECT min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM b),
         |grid AS (SELECT unnest(generate_series(lo, hi, 60000)) AS bucket_ms FROM ext),

@@ -88,11 +88,14 @@ object DynamicBench {
   final case class ClientResult(num_clients: Int, client_id: Int, qps: Double,
       latency_ms: Double, recall: Double)
 
-  /** Multi-tenant scaling: for each client count, run N concurrent full-batch
-    * searches against the shared snapshot; aggregate with M7. */
-  def multiTenantRun(spark: SparkSession, queries: DataFrame, base: DataFrame,
-      k: Int, clientCounts: Seq[Int]): DataFrame = {
-    import spark.implicits._
+  /** Per-client measurements behind [[multiTenantRun]]: for each client
+    * count, N concurrent full-batch searches against the shared snapshot,
+    * one FAIR pool per client (the Spark analog of the reference's
+    * per-thread fairness — concurrent jobs share executor slots instead
+    * of FIFO head-of-line blocking). Returns every (count, client) row
+    * so callers can persist the raw contention measurements. */
+  def multiTenantClients(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      k: Int, clientCounts: Seq[Int]): Seq[ClientResult] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val gt = Knn.exact(queries, base, k).cache()
     gt.count()
@@ -101,9 +104,6 @@ object DynamicBench {
     val results = clientCounts.flatMap { n =>
       val futures = (0 until n).map { cid =>
         Future {
-          // FAIR pool per client: concurrent jobs share executor slots
-          // instead of FIFO head-of-line blocking (the Spark analog of the
-          // reference's per-thread fairness).
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$cid")
           try {
             val (qps, lat, rec) = measuredSearch(queries, snapshot, gt, k)
@@ -115,8 +115,17 @@ object DynamicBench {
     }
     gt.unpersist(blocking = false)
     snapshot.unpersist(blocking = false)
+    results
+  }
+
+  /** Multi-tenant scaling: for each client count, run N concurrent full-batch
+    * searches against the shared snapshot; aggregate with M7. */
+  def multiTenantRun(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      k: Int, clientCounts: Seq[Int]): DataFrame = {
+    import spark.implicits._
     // M7: mean latency, mean qps, SUM qps (aggregate throughput), mean recall
-    results.toDF().groupBy(col("num_clients"))
+    multiTenantClients(spark, queries, base, k, clientCounts).toDF()
+      .groupBy(col("num_clients"))
       .agg(
         round(avg(col("latency_ms")), 2).as("mean_latency_ms"),
         round(avg(col("qps")), 2).as("mean_qps"),

@@ -85,6 +85,22 @@ object Eval {
     * window (the census bounds any one task), and only above it does the
     * range-shuffle prefix machine — with its sampling job, checkpoint and
     * offsets collect — pay for itself. */
+  // Measured-small results return LAZY plans over a persisted input, so
+  // the cache entry must outlive the call — but a long-lived session
+  // issuing many distinct withGroupedRowNumber inputs would otherwise
+  // accumulate unbounded MEMORY_ONLY entries (CacheManager dedup only
+  // collapses identical plans). Bound the footprint with a small FIFO:
+  // evicting an entry a consumer hasn't materialized yet is safe —
+  // MEMORY_ONLY unpersist degrades that consumer to recompute, never to
+  // a wrong answer. 8 entries × ≤ smallMaxRows rows is the cap.
+  private val smallCacheFifo =
+    new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]()
+  private def retainSmallCache(d: DataFrame): Unit = smallCacheFifo.synchronized {
+    smallCacheFifo.addLast(d)
+    while (smallCacheFifo.size() > 8)
+      smallCacheFifo.removeFirst().unpersist(blocking = false)
+  }
+
   def withGroupedRowNumber(df: DataFrame, groupCol: String, order: Seq[Column],
       outCol: String, smallMaxRows: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
@@ -121,8 +137,9 @@ object Eval {
       // call (the result is still lazy), which is the point — the rank
       // pass reads it instead of recomputing the lineage; the CacheManager
       // dedups identical plans, so a re-run query reuses rather than
-      // stacks entries, and each entry is ≤ smallMaxRows rows by the
-      // census just taken.
+      // stacks entries, and the FIFO registry bounds how many DISTINCT
+      // inputs can hold entries at once (evicted ⇒ recompute, see above).
+      retainSmallCache(cached)
       val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
       return cached.withColumn(outCol, row_number().over(w).cast("long"))
     }

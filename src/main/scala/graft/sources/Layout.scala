@@ -171,17 +171,26 @@ object Layout {
 
   /** Persist a table bucketed by a join key (requires a saveAsTable
     * catalog; bucket count fixed at write time). Idempotent: drops the
-    * catalog entry and any orphaned location first. */
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
+    * catalog entry and any prior files at the location first.
+    *
+    * `location` (when given) makes the table EXTERNAL at that path.
+    * Callers that embed a per-JVM nonce in (table, location) get full
+    * cross-process isolation: two concurrent JVMs sharing one
+    * `spark-warehouse/` otherwise race on the same managed directory —
+    * one JVM's drop-and-rewrite yanks files out from under the other's
+    * already-planned scan (observed as FILE_NOT_EXIST mid-suite). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, location: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(
+      location.getOrElse(new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase).toString))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
-      .saveAsTable(table)
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 }

@@ -75,9 +75,40 @@ object StreamingMetrics {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Measured fixture optimum for the per-query state-store count
+    * (A/B'd 4 vs 8 over two rounds at sf0.1: every stream query
+    * flat-to-faster) — the FLOOR of the sizing rule below, covering the
+    * regime where fixed store setup dominates. */
+  val FixtureStateStores = 4
+
+  /** Target distinct keys per state store at scale: HDFS-backed stores
+    * hold their keyed state in executor memory per partition, so the
+    * store count must grow with key cardinality — ~100k keys × O(100 B)
+    * of state each keeps a store's partition in the tens of MB. */
+  val KeysPerStore = 100000L
+
+  /** Ceiling: beyond this, per-partition checkpoint/commit overhead and
+    * tiny-task scheduling dominate; shard the QUERY (e.g. by key range)
+    * before sharding stores further. */
+  val MaxStateStores = 4096
+
+  /** The state-store sizing RULE: stores = clamp(⌈keys / KeysPerStore⌉,
+    * FixtureStateStores, MaxStateStores). Stateful operators allocate
+    * one state store per shuffle partition, so this is what
+    * `spark.sql.shuffle.partitions` should be inside a streaming query,
+    * derived from the operator's KEY CARDINALITY — a constant is only
+    * correct at one scale. Callers pass the best cheap estimate they
+    * have (an approx_count_distinct census, a window-bucket count from
+    * the event-time span, a corpus row count); 0 (= "no keyed state /
+    * batch-sized work") yields the fixture floor. */
+  def statePartitionsFor(distinctKeys: Long): Int =
+    math.min(MaxStateStores.toLong,
+      math.max(FixtureStateStores.toLong,
+        (distinctKeys + KeysPerStore - 1) / KeysPerStore)).toInt
+
   def availableNowWindowedAgg(spark: SparkSession, dir: String,
-      windowDur: String, watermark: String): DataFrame =
-    withStatePartitions(spark, 4) {
+      windowDur: String, watermark: String, stateKeys: Long = 0L): DataFrame =
+    withStatePartitions(spark, statePartitionsFor(stateKeys)) {
       availableNowWindowedAggImpl(spark, dir, windowDur, watermark)
     }
 
@@ -120,7 +151,8 @@ object StreamingMetrics {
     * property: a killed job resumes without re-emitting or double-
     * counting) falls out of the same construction. */
   def lateDataAudit(spark: SparkSession, events: DataFrame, root: String,
-      windowDur: String = "1 day", delay: String = "36 hours"): DataFrame = {
+      windowDur: String = "1 day", delay: String = "36 hours",
+      stateKeys: Long = 0L): DataFrame = {
     import graft.operators.Sampling
     val fs = new java.io.File(root)
     if (fs.exists()) {
@@ -163,7 +195,7 @@ object StreamingMetrics {
         .start()
       q.awaitTermination()
     }
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, statePartitionsFor(stateKeys)) {
       runPhase(onTime)
       runPhase(late)
     }

@@ -27,7 +27,7 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "q1_agg", "q3_top_orders", "q5_region_revenue", "q4_order_priority",
     "q10_returned", "window_running_total", "sessionize", "windowed_agg",
-    "cdc_apply", "scd2_user_state", "range_frame_total2", "event_deltas",
+    "cdc_apply", "scd2_user_state", "range_frame_total", "event_deltas",
     "dedup_exact", "text_stats", "lang_id", "quality_filter",
     "sequence_pack", "doc_fingerprint", "bloom_join_prune",
     "unpivot_profile", "scalar_funcs", "hopping_window_agg",

@@ -131,7 +131,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("scd2 + cdc_apply + range_frame: exactly one shuffle each (the keyed window)") {
-    for (name <- Seq("scd2_user_state", "cdc_apply", "range_frame_total2")) {
+    for (name <- Seq("scd2_user_state", "cdc_apply", "range_frame_total")) {
       val p = planOf(name)
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$name:\n$p")
     }

@@ -18,6 +18,23 @@ class StreamingSpec extends AnyFunSuite {
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
+  test("state-store sizing rule: cardinality-derived, floored and capped") {
+    import graft.streaming.StreamingMetrics.{statePartitionsFor, FixtureStateStores, KeysPerStore, MaxStateStores}
+    // fixture regime: every small key space lands on the measured floor
+    assert(statePartitionsFor(0L) == FixtureStateStores)
+    assert(statePartitionsFor(500L) == FixtureStateStores)
+    assert(statePartitionsFor(KeysPerStore) == FixtureStateStores)
+    // scale regime: grows as ceil(keys / KeysPerStore)
+    assert(statePartitionsFor(KeysPerStore * 10) == 10)
+    assert(statePartitionsFor(KeysPerStore * 10 + 1) == 11)
+    // 100 TB regime: capped — shard the query, not the store count
+    assert(statePartitionsFor(Long.MaxValue / 2) == MaxStateStores)
+    // monotone non-decreasing over a sweep
+    val sweep = Seq(0L, 1L, 1000L, KeysPerStore, KeysPerStore * 3,
+      KeysPerStore * 1000, KeysPerStore * 100000)
+    assert(sweep.map(statePartitionsFor(_).toLong) == sweep.map(statePartitionsFor(_).toLong).sorted)
+  }
+
   test("windowed aggregation with watermark over a metric stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
