@@ -97,9 +97,12 @@ object Bench {
       // sees the same (empty) storage state.
       System.gc()
       val best = math.min(if (a.isNaN) Double.MaxValue else a, if (b.isNaN) Double.MaxValue else b)
-      // cold = rep 1 (falls back to rep 2 on a transient rep-1 failure so
-      // a one-off hiccup doesn't report a healthy query as failed)
-      val cold = if (!a.isNaN) a else if (!b.isNaN) b else -1.0
+      // cold = rep 1, STRICTLY: substituting the warm rep on a rep-1
+      // failure would smuggle cache-serving time into the cold headline —
+      // the exact overstatement agg:"cold" exists to prevent. A rep-1
+      // failure reports -1 in the cold map (visible), while n_failed
+      // still counts only both-reps-failed queries.
+      val cold = if (!a.isNaN) a else -1.0
       (name, if (best == Double.MaxValue) -1.0 else best, cold)
     }
     // full map to a file ONLY — echoing 7 KB to stderr could interleave

@@ -446,7 +446,7 @@ object SparkEntry {
     * fixture scale every derived count lands on the measured 4-store
     * floor (stream oracles unchanged); at 100 TB the same call sites
     * size stores to the actual key space instead of a constant. */
-  private case class StreamCensus(users: Long, spanMs: Long, docs: Long) {
+  private case class StreamCensus(users: Long, spanMs: Long) {
     def windowBuckets(stepMs: Long): Long = spanMs / stepMs + 1
   }
   private val streamCensusCache =
@@ -456,16 +456,40 @@ object SparkEntry {
       val r = Tables.events(spark, dir).agg(
         approx_count_distinct(col("user_id")).as("u"),
         (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("span")).head()
-      StreamCensus(r.getLong(0), r.getLong(1),
-        Tables.documents(spark, dir).count())
+      // empty events ⇒ null extent: size to the rule's floor, don't NPE
+      if (r.isNullAt(1)) StreamCensus(0L, 0L)
+      else StreamCensus(r.getLong(0), r.getLong(1))
     })
+
+  // separate memo from streamCensus: only the doc-keyed stream query
+  // needs the corpus count — folding it into the events census would
+  // bill a documents scan to whichever user/window-keyed stream query
+  // happens to run first per dir (visible under the cold-rep headline)
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCount(spark: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate(dir, Tables.documents(spark, dir).count())
 
   // Per-JVM nonce in the bucketed tables' names AND (external) locations:
   // concurrent JVMs sharing spark-warehouse/ can never clobber each
   // other's files (the round-6 FILE_NOT_EXIST flake when two test JVMs
-  // raced on the same managed table directory).
-  private val bucketedNonce: String =
-    java.lang.Long.toHexString(java.lang.System.nanoTime())
+  // raced on the same managed table directory). A shutdown hook removes
+  // this JVM's own directories so repeated runs don't accumulate
+  // bucketed fact-table copies (sweeping OTHER nonces' dirs would
+  // reintroduce the concurrent-JVM race the nonce exists to close; only
+  // a kill -9 leaks, bounded by one li+ord pair per crashed run).
+  private val bucketedNonce: String = {
+    val nonce = java.lang.Long.toHexString(java.lang.System.nanoTime())
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(new java.io.File("target/bucketed").listFiles())
+        .foreach(_.filter(_.getName.endsWith(s"_$nonce")).foreach(rm))
+    }))
+    nonce
+  }
 
   /** Co-located (bucketed) fact join: both tables persisted bucketed by
     * the join key, so the sort-merge join runs with ZERO exchanges on
@@ -1440,7 +1464,7 @@ object SparkEntry {
     // band-bucket-keyed state: ≤ numBands × corpus docs distinct keys
     graft.streaming.StreamingMetrics.withStatePartitions(spark,
       graft.streaming.StreamingMetrics.statePartitionsFor(
-        streamCensus(spark, dir).docs * 4)) {
+        docCount(spark, dir) * 4)) {
       val q = graft.streaming.StreamingMetrics
         .nearDupStream(ds, shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.5)
         .writeStream.format("memory").queryName(sink)

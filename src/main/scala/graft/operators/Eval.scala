@@ -96,9 +96,18 @@ object Eval {
   private val smallCacheFifo =
     new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]()
   private def retainSmallCache(d: DataFrame): Unit = smallCacheFifo.synchronized {
-    smallCacheFifo.addLast(d)
-    while (smallCacheFifo.size() > 8)
-      smallCacheFifo.removeFirst().unpersist(blocking = false)
+    // dedupe by plan, not reference: a re-run of the same query persists
+    // an identical plan that SHARES one CacheManager entry — a second
+    // deque slot for it would both halve the effective capacity and,
+    // worse, unpersist the shared entry while the newer slot still
+    // "retains" it
+    import scala.jdk.CollectionConverters._
+    val plan = d.queryExecution.analyzed
+    if (!smallCacheFifo.asScala.exists(_.queryExecution.analyzed.sameResult(plan))) {
+      smallCacheFifo.addLast(d)
+      while (smallCacheFifo.size() > 8)
+        smallCacheFifo.removeFirst().unpersist(blocking = false)
+    }
   }
 
   def withGroupedRowNumber(df: DataFrame, groupCol: String, order: Seq[Column],

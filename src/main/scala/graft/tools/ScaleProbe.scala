@@ -130,7 +130,13 @@ object ScaleProbe {
     // map-side-combined two-level aggregate — the probe checks the
     // amplify stays map-side (one keyed shuffle, output bounded by
     // 5·|backends|·max clients)
-    "multi_tenant_curve")
+    "multi_tenant_curve",
+    // round-7: three filter+union passes over the vector table into
+    // linear fingerprint aggregates — the probe checks the cycle stays
+    // scan-shaped (no join, no window). The dbg_* probes are excluded:
+    // single-aggregate shapes over constructs probed via their parents
+    // (range_frame_total, metrics_gapfill) already.
+    "update_fraction_sweep")
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
