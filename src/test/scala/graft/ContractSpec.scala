@@ -127,7 +127,13 @@ class ContractSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
       case (k, i) =>
         val best = if (i % 37 == 0) -1.0 else 0.001 * (i % 997) + 0.5
-        (k, best, if (best < 0) -1.0 else best * 2.0) // cold rep = 2x the min
+        // i % 41 == 1: rep 1 failed but rep 2 succeeded — the cold map
+        // must report -1 (NOT substitute the warm rep), while n_failed
+        // still counts only both-reps-failed queries
+        val cold =
+          if (best < 0 || i % 41 == 1) -1.0
+          else best * 2.0 // cold rep = 2x the min
+        (k, best, cold)
     }
     val line = Bench.compactLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line too long: ${line.length}")
@@ -150,5 +156,14 @@ class ContractSpec extends AnyFunSuite {
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
     assert(full.contains(s""""value":${Bench.fmt(coldTotal)}"""),
       s"headline value is not the cold total: $full")
+    // a rep-1-failed / rep-2-ok query is visible as -1 in the cold map
+    // and does NOT inflate n_failed
+    results.find(r => r._3 < 0 && r._2 >= 0).foreach { case (k, _, _) =>
+      val coldMap = full.substring(
+        full.indexOf("\"queries\":"), full.indexOf("\"queries_min\":"))
+      assert(coldMap.contains("\"" + k + "\":-1.000"),
+        s"rep-1 failure not visible in cold map for $k")
+      assert(full.contains(s""""n_failed":${results.count(_._2 < 0)}"""))
+    }
   }
 }

@@ -63,6 +63,47 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("external-location bucketed tables keep bucket metadata (no exchange) and isolate per name") {
+    // the cross-JVM isolation design: bucketed fixtures live at per-JVM
+    // nonce'd EXTERNAL locations, so a concurrent JVM's drop-and-rewrite
+    // can't yank files from under this one's scans. This guards the two
+    // properties the design rests on: (1) option("path") + bucketBy
+    // still records the bucket spec (the co-located join stays
+    // exchange-free), and (2) clobbering one table's location leaves a
+    // differently-named sibling fully readable.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables.orders(spark, dir)
+      val customer = Tables.customer(spark, dir)
+      Layout.writeBucketed(orders.withColumn("key", col("o_custkey")),
+        "orders_ext_a", "key", 4, location = Some("target/bucketed_spec/orders_ext_a"))
+      Layout.writeBucketed(customer.withColumn("key", col("c_custkey")),
+        "customer_ext_a", "key", 4, location = Some("target/bucketed_spec/customer_ext_a"))
+      val joined = spark.table("orders_ext_a")
+        .join(spark.table("customer_ext_a"), Seq("key"))
+      val expected = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"external bucketed join still shuffles:\n$plan")
+      // simulate the concurrent-JVM clobber on a SIBLING name: the
+      // surviving table must stay readable end to end
+      Layout.writeBucketed(orders.withColumn("key", col("o_custkey")),
+        "orders_ext_b", "key", 4, location = Some("target/bucketed_spec/orders_ext_b"))
+      spark.sql("DROP TABLE IF EXISTS orders_ext_b")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File("target/bucketed_spec/orders_ext_b"))
+      assert(spark.table("orders_ext_a")
+        .join(spark.table("customer_ext_a"), Seq("key")).count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("orders_ext_a", "customer_ext_a").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("z-order interleave matches a reference Morton implementation") {
     def refSpread(x: Long): Long = {
       var v = x & 0xFFFFL
