@@ -1068,6 +1068,18 @@ object SparkEntry {
       (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
       floor(col("value") * 100).cast("long"))
 
+  /** S6 in the reference's ACTUAL artifact format (plots.py:93-95 writes
+    * PDFs): the interval chart as a complete deterministic vector PDF —
+    * see [[graft.sources.PdfPlot]]. The oracle rebuilds the document
+    * byte-for-byte: path ops from the same integer pixel math, object 4's
+    * /Length, the xref offsets and startxref from part-length arithmetic. */
+  private def pdfIntervalChart(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PdfPlot.multiSeriesPdf(
+      Tables.events(spark, dir),
+      col("event_type"),
+      (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
+      floor(col("value") * 100).cast("long"))
+
   /** S6 plot sink, chart 2 (logs/plot.py:39-70): dual-axis QPS/latency
     * chart over event time with shaded phase regions — QPS (value) and
     * latency (2·value) share the x axis but scale independently (the
@@ -5787,6 +5799,7 @@ object SparkEntry {
     "upsert_guard" -> ((s, dir) => upsertGuard(s, dir)),
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "svg_interval_chart" -> ((s, dir) => svgIntervalChart(s, dir)),
+    "pdf_interval_chart" -> ((s, dir) => pdfIntervalChart(s, dir)),
     "svg_qps_latency_chart" -> ((s, dir) => svgQpsLatencyChart(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
     "asof_join" -> ((s, dir) => asofJoin(s, dir)),
@@ -8048,6 +8061,58 @@ object SparkEntry {
         |  CAST(regexp_extract(line, 'Latency = ([0-9.]+)', 1) AS DOUBLE) AS latency_ms,
         |  CAST(regexp_extract(line, 'Recall = ([0-9.]+)', 1) AS DOUBLE) AS recall
         |FROM lines WHERE regexp_matches(line, 'Interval')""".stripMargin,
+    "pdf_interval_chart" ->
+      // byte-exact PDF replay: same pixel math as the SVG oracle (y kept
+      // UNFLIPPED — PDF's axis grows upward), path ops with first-point
+      // 'm' markers, palette by series rank, and the document framing
+      // (object 4's /Length, startxref = 202 + len(obj4)) from
+      // part-length arithmetic. Constant offsets 9/58/115/202 are the
+      // fixed catalog/pages/page object sizes.
+      """WITH base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
+        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |               min(y) AS ymin, max(y) AS ymax FROM base),
+        |pts AS (SELECT s,
+        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+        |  CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+        |  FROM base, ext),
+        |env AS (SELECT s, px, max(py) AS py FROM pts GROUP BY 1, 2),
+        |tok AS (SELECT s, px, py,
+        |  CASE WHEN row_number() OVER (PARTITION BY s ORDER BY px) = 1
+        |       THEN ' m' ELSE ' l' END AS op FROM env),
+        |paths AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
+        |  string_agg(px::VARCHAR || ' ' || py::VARCHAR || op, ' ' ORDER BY px) AS path
+        |  FROM tok GROUP BY s),
+        |blocks AS (SELECT s, n_points,
+        |  (['0 0 1','1 0 0','0 1 0','1 0 1','0 1 1','1 1 0'])[
+        |      CAST((row_number() OVER (ORDER BY s) - 1) % 6 AS INTEGER) + 1]
+        |    || ' RG 1 w' || chr(10) || path || ' S' || chr(10) AS block FROM paths),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
+        |  CAST(sum(n_points) AS BIGINT) AS n_points,
+        |  string_agg(block, '' ORDER BY s) AS content FROM blocks),
+        |doc AS (SELECT n_series, n_points,
+        |  CAST(length(content) AS BIGINT) AS content_len,
+        |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
+        |    || ' >>' || chr(10) || 'stream' || chr(10) || content
+        |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
+        |SELECT n_series, n_points, content_len,
+        |  '%PDF-1.4' || chr(10)
+        |  || '1 0 obj' || chr(10) || '<< /Type /Catalog /Pages 2 0 R >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || '2 0 obj' || chr(10) || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || '3 0 obj' || chr(10)
+        |  || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 640 400] /Contents 4 0 R >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || obj4
+        |  || 'xref' || chr(10) || '0 5' || chr(10)
+        |  || '0000000000 65535 f ' || chr(10)
+        |  || '0000000009 00000 n ' || chr(10) || '0000000058 00000 n ' || chr(10)
+        |  || '0000000115 00000 n ' || chr(10) || '0000000202 00000 n ' || chr(10)
+        |  || 'trailer' || chr(10) || '<< /Size 5 /Root 1 0 R >>' || chr(10)
+        |  || 'startxref' || chr(10) || (202 + length(obj4))::VARCHAR || chr(10)
+        |  || '%%EOF' || chr(10) AS pdf
+        |FROM doc""".stripMargin,
     "svg_interval_chart" ->
       """WITH base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
         |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.PdfPlot
+
+/** S6 PDF sink: the emitted document must be a structurally valid PDF —
+  * every xref offset must land exactly on its `N 0 obj` header, the
+  * content stream's /Length must equal the stream's byte count, and
+  * startxref must land on `xref` — and a bit-identical function of its
+  * input (two renders agree). These are the invariants a PDF reader
+  * actually checks; validating them here means the oracle's byte replay
+  * (pdf_interval_chart) is checking a REAL document, not a string that
+  * merely looks like one. */
+class PdfSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def render(): (Long, Long, Long, String) = {
+    val row = PdfPlot.multiSeriesPdf(
+      spark.read.parquet(s"$dir/events.parquet"),
+      col("event_type"),
+      (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
+      floor(col("value") * 100).cast("long")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
+  }
+
+  test("xref offsets, /Length and startxref are byte-exact") {
+    val (nSeries, nPoints, contentLen, pdf) = render()
+    assert(nSeries == 5) // the 5 event types
+    assert(nPoints >= nSeries) // ≥1 bucketed point per series
+    assert(pdf.startsWith("%PDF-1.4\n") && pdf.endsWith("%%EOF\n"))
+    // every xref entry points at its object header
+    val xrefAt = pdf.indexOf("xref\n0 5\n")
+    val entries = pdf.substring(xrefAt + 9, xrefAt + 9 + 5 * 20).grouped(20).toSeq
+    assert(entries.head == "0000000000 65535 f \n")
+    entries.tail.zipWithIndex.foreach { case (e, i) =>
+      val off = e.take(10).toInt
+      assert(pdf.startsWith(s"${i + 1} 0 obj\n", off),
+        s"xref entry ${i + 1} points at offset $off, found: " +
+          pdf.substring(off, math.min(off + 12, pdf.length)))
+    }
+    // /Length equals the exact stream byte count
+    val lenField = raw"<< /Length (\d+) >>".r.findFirstMatchIn(pdf).get.group(1).toLong
+    val streamStart = pdf.indexOf("stream\n") + 7
+    val streamEnd = pdf.indexOf("endstream")
+    assert(lenField == streamEnd - streamStart)
+    assert(lenField == contentLen)
+    // startxref points at the xref table
+    val sxr = pdf.substring(pdf.indexOf("startxref\n") + 10).takeWhile(_ != '\n').toInt
+    assert(pdf.startsWith("xref\n", sxr))
+    // pure ASCII: chars == bytes, so the length arithmetic above is bytes
+    assert(pdf.forall(_ < 128))
+    // path grammar: one color+path block per series, m before l
+    val streams = pdf.substring(streamStart, streamEnd)
+    assert(streams.count(_ == 'm') == nSeries)
+    assert("""\d+ \d+ m""".r.findAllIn(streams).size == nSeries)
+    assert(streams.split("\n").count(_.endsWith(" S")) == nSeries)
+  }
+
+  test("document is deterministic and the file sink round-trips") {
+    val a = render()._4
+    val b = render()._4
+    assert(a == b, "two renders of the same input differ")
+    val path = "target/pdf_spec_chart.pdf"
+    PdfPlot.write(
+      PdfPlot.multiSeriesPdf(
+        spark.read.parquet(s"$dir/events.parquet"),
+        col("event_type"),
+        (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
+        floor(col("value") * 100).cast("long")),
+      path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(new String(bytes, java.nio.charset.StandardCharsets.US_ASCII) == a)
+  }
+}
