@@ -1080,6 +1080,26 @@ object SparkEntry {
       (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
       floor(col("value") * 100).cast("long"))
 
+  /** The dual-axis QPS/latency figure (logs/plot.py:39-70) in the
+    * reference's actual PDF format — same inputs as
+    * [[svgQpsLatencyChart]], rendered by [[graft.sources.PdfPlot.dualAxisPdf]]
+    * (region fills painted under the two stroked paths). */
+  private def pdfQpsLatencyChart(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rows = ev.select(
+      unix_millis(col("ts")).as("x"),
+      floor(col("value") * 100).cast("long").as("abp"),
+      floor(col("value") * 200).cast("long").as("bbp"))
+    val regions = MetricsAnalytics.regionPairs(
+        ev, col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        "signup", "purchase")
+      .orderBy((col("end_ms") - col("start_ms")).desc, col("start_ms"),
+        col("start_event_id"))
+      .limit(3)
+      .select(col("start_ms").as("xs"), col("end_ms").as("xe"))
+    graft.sources.PdfPlot.dualAxisPdf(rows, regions)
+  }
+
   /** S6 plot sink, chart 2 (logs/plot.py:39-70): dual-axis QPS/latency
     * chart over event time with shaded phase regions — QPS (value) and
     * latency (2·value) share the x axis but scale independently (the
@@ -5800,6 +5820,7 @@ object SparkEntry {
     "log_roundtrip" -> ((s, dir) => logRoundtrip(s, dir)),
     "svg_interval_chart" -> ((s, dir) => svgIntervalChart(s, dir)),
     "pdf_interval_chart" -> ((s, dir) => pdfIntervalChart(s, dir)),
+    "pdf_qps_latency_chart" -> ((s, dir) => pdfQpsLatencyChart(s, dir)),
     "svg_qps_latency_chart" -> ((s, dir) => svgQpsLatencyChart(s, dir)),
     "event_props" -> ((s, dir) => eventProps(s, dir)),
     "asof_join" -> ((s, dir) => asofJoin(s, dir)),
@@ -8133,6 +8154,78 @@ object SparkEntry {
         |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
         |  string_agg(elem, '' ORDER BY s) || '</svg>' AS svg
         |FROM lines""".stripMargin,
+    "pdf_qps_latency_chart" ->
+      // PDF twin of svg_qps_latency_chart: unflipped y (PDF axis grows
+      // up, envelope = max), region fills before the stroked paths, and
+      // the same computed document framing as pdf_interval_chart
+      """WITH base AS (SELECT epoch_ms(ts) AS x,
+        |  CAST(floor(value * 100) AS BIGINT) AS abp,
+        |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
+        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |  min(abp) AS amin, max(abp) AS amax,
+        |  min(bbp) AS bmin, max(bbp) AS bmax FROM base),
+        |b AS (SELECT
+        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+        |  CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+        |  CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+        |  FROM base, ext),
+        |env AS (SELECT px, max(pya) AS pya, max(pyb) AS pyb FROM b GROUP BY px),
+        |tok AS (SELECT px, pya, pyb,
+        |  CASE WHEN row_number() OVER (ORDER BY px) = 1 THEN ' m' ELSE ' l' END AS op
+        |  FROM env),
+        |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |  '0 0 1 RG 1 w' || chr(10) ||
+        |  string_agg(px::VARCHAR || ' ' || pya::VARCHAR || op, ' ' ORDER BY px)
+        |  || ' S' || chr(10) ||
+        |  '1 0 0 RG 1 w' || chr(10) ||
+        |  string_agg(px::VARCHAR || ' ' || pyb::VARCHAR || op, ' ' ORDER BY px)
+        |  || ' S' || chr(10) AS line_ops
+        |  FROM tok),
+        |f AS (SELECT user_id, event_id, event_type, ts FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |m AS (SELECT user_id, event_id AS start_event_id, event_type,
+        |  epoch_ms(ts) AS start_ms,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
+        |  FROM f),
+        |top3 AS (SELECT start_ms AS xs, end_ms AS xe FROM m
+        |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
+        |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
+        |spx AS (SELECT
+        |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
+        |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
+        |  FROM top3, ext),
+        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
+        |  coalesce(string_agg('1 1 0 rg ' || pxs::VARCHAR || ' 0 ' ||
+        |    greatest(pxe - pxs, 1)::VARCHAR || ' 400 re f' || chr(10),
+        |    '' ORDER BY pxs, pxe), '') AS rect_ops
+        |  FROM spx),
+        |agg AS (SELECT n_points, n_regions, rect_ops || line_ops AS content
+        |  FROM lns, rects),
+        |doc AS (SELECT n_points, n_regions,
+        |  CAST(length(content) AS BIGINT) AS content_len,
+        |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
+        |    || ' >>' || chr(10) || 'stream' || chr(10) || content
+        |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
+        |SELECT n_points, n_regions, content_len,
+        |  '%PDF-1.4' || chr(10)
+        |  || '1 0 obj' || chr(10) || '<< /Type /Catalog /Pages 2 0 R >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || '2 0 obj' || chr(10) || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || '3 0 obj' || chr(10)
+        |  || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 640 400] /Contents 4 0 R >>'
+        |    || chr(10) || 'endobj' || chr(10)
+        |  || obj4
+        |  || 'xref' || chr(10) || '0 5' || chr(10)
+        |  || '0000000000 65535 f ' || chr(10)
+        |  || '0000000009 00000 n ' || chr(10) || '0000000058 00000 n ' || chr(10)
+        |  || '0000000115 00000 n ' || chr(10) || '0000000202 00000 n ' || chr(10)
+        |  || 'trailer' || chr(10) || '<< /Size 5 /Root 1 0 R >>' || chr(10)
+        |  || 'startxref' || chr(10) || (202 + length(obj4))::VARCHAR || chr(10)
+        |  || '%%EOF' || chr(10) AS pdf
+        |FROM doc""".stripMargin,
     "svg_qps_latency_chart" ->
       """WITH base AS (SELECT epoch_ms(ts) AS x,
         |  CAST(floor(value * 100) AS BIGINT) AS abp,

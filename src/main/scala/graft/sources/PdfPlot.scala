@@ -109,6 +109,65 @@ object PdfPlot {
       assemble(col("content")).as("pdf"))
   }
 
+  /** Dual-axis chart with shaded regions as one PDF document — the PDF
+    * twin of [[SvgPlot.dualAxisChart]] (logs/plot.py's twinx QPS/latency
+    * figure): two series over the SAME x axis with INDEPENDENT y scales,
+    * plus full-height filled region rects painted UNDER the lines
+    * (`re f` fill ops before the stroked paths — PDF paints in content
+    * order, like SVG document order). Inputs match the SVG sink:
+    * `rows` = (x, abp, bbp), `regions` = (xs, xe, cls). Output: one row
+    * (n_points, n_regions, content_len, pdf). */
+  def dualAxisPdf(rows: DataFrame, regions: DataFrame): DataFrame = {
+    val base = rows.select(col("x"), col("abp"), col("bbp"))
+    // same 1-row-to-literals extrema policy as the SVG twin: both the
+    // line pass and the region pass consume them, and the two branches
+    // would not exchange-reuse the aggregate
+    val e = base.agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("abp")).as("amin"), max(col("abp")).as("amax"),
+      min(col("bbp")).as("bmin"), max(col("bbp")).as("bmax")).head()
+    require(!e.isNullAt(0), "dualAxisPdf: rows input is empty")
+    val Seq(xmin, xmax, amin, amax, bmin, bmax) =
+      (0 until 6).map(i => lit(e.getLong(i)))
+    val bucketed = base
+      .select(SvgPlot.px(col("x"), xmin, xmax).as("px"),
+        // unflipped: PDF's y axis grows upward
+        SvgPlot.scaled(col("abp"), amin, amax, H).as("pya"),
+        SvgPlot.scaled(col("bbp"), bmin, bmax, H).as("pyb"))
+      .groupBy(col("px"))
+      .agg(max(col("pya")).as("pya"), max(col("pyb")).as("pyb"))
+    def path(py: String) = array_join(
+      transform(array_sort(collect_list(struct(col("px"), col(py)))),
+        (p, i) => concat(
+          p.getField("px").cast("string"), lit(" "),
+          p.getField(py).cast("string"),
+          when(i === 0, lit(" m")).otherwise(lit(" l")))),
+      " ")
+    val lines = bucketed.agg(
+      count(lit(1)).as("n_points"),
+      path("pya").as("pa"), path("pyb").as("pb"))
+      .select(col("n_points"),
+        concat(
+          lit("0 0 1 RG 1 w\n"), col("pa"), lit(" S\n"),
+          lit("1 0 0 RG 1 w\n"), col("pb"), lit(" S\n")).as("line_ops"))
+    val rects = regions
+      .select(SvgPlot.px(col("xs"), xmin, xmax).as("pxs"),
+        SvgPlot.px(col("xe"), xmin, xmax).as("pxe"))
+      .agg(
+        count(lit(1)).as("n_regions"),
+        coalesce(array_join(
+          transform(array_sort(collect_list(struct(col("pxs"), col("pxe")))),
+            r => concat(
+              lit("1 1 0 rg "), r.getField("pxs").cast("string"), lit(" 0 "),
+              greatest(r.getField("pxe") - r.getField("pxs"), lit(1L)).cast("string"),
+              lit(s" $H re f\n"))),
+          ""), lit("")).as("rect_ops"))
+    lines.crossJoin(rects).select(
+      col("n_points"), col("n_regions"),
+      length(concat(col("rect_ops"), col("line_ops"))).cast("long").as("content_len"),
+      assemble(concat(col("rect_ops"), col("line_ops"))).as("pdf"))
+  }
+
   /** Wrap a finished content stream into the full PDF byte string —
     * object 4's /Length, the xref offsets and startxref all derive from
     * part lengths, so the document stays valid for ANY content. */

@@ -126,6 +126,7 @@ object ScaleProbe {
     // regions a top-3 TakeOrdered — the probe checks the downsample
     // absorbs the 10× input
     "svg_interval_chart", "svg_qps_latency_chart", "pdf_interval_chart",
+    "pdf_qps_latency_chart",
     // M7 scaling sweep: a constant 5× client-count explode into a
     // map-side-combined two-level aggregate — the probe checks the
     // amplify stays map-side (one keyed shuffle, output bounded by

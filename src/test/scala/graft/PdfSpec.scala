@@ -60,6 +60,50 @@ class PdfSpec extends AnyFunSuite {
     assert(streams.split("\n").count(_.endsWith(" S")) == nSeries)
   }
 
+  private def assertValidPdf(pdf: String): Unit = {
+    assert(pdf.startsWith("%PDF-1.4\n") && pdf.endsWith("%%EOF\n"))
+    val xrefAt = pdf.indexOf("xref\n0 5\n")
+    val entries = pdf.substring(xrefAt + 9, xrefAt + 9 + 5 * 20).grouped(20).toSeq
+    entries.tail.zipWithIndex.foreach { case (e, i) =>
+      assert(pdf.startsWith(s"${i + 1} 0 obj\n", e.take(10).toInt))
+    }
+    val lenField = raw"<< /Length (\d+) >>".r.findFirstMatchIn(pdf).get.group(1).toLong
+    assert(lenField == pdf.indexOf("endstream") - (pdf.indexOf("stream\n") + 7))
+    val sxr = pdf.substring(pdf.indexOf("startxref\n") + 10).takeWhile(_ != '\n').toInt
+    assert(pdf.startsWith("xref\n", sxr))
+    assert(pdf.forall(_ < 128))
+  }
+
+  test("dual-axis chart paints region fills under the two stroked paths") {
+    import graft.operators.MetricsAnalytics
+    val ev = graft.sources.Tables.events(spark, dir)
+    val rows = ev.select(
+      unix_millis(col("ts")).as("x"),
+      floor(col("value") * 100).cast("long").as("abp"),
+      floor(col("value") * 200).cast("long").as("bbp"))
+    val regions = MetricsAnalytics.regionPairs(
+        ev, col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        "signup", "purchase")
+      .orderBy((col("end_ms") - col("start_ms")).desc, col("start_ms"),
+        col("start_event_id"))
+      .limit(3)
+      .select(col("start_ms").as("xs"), col("end_ms").as("xe"))
+    val row = PdfPlot.dualAxisPdf(rows, regions).head()
+    val (nRegions, pdf) = (row.getLong(1), row.getString(3))
+    assertValidPdf(pdf)
+    val content = pdf.substring(pdf.indexOf("stream\n") + 7, pdf.indexOf("endstream"))
+    assert(content.split("\n").count(_.endsWith(" re f")) == nRegions)
+    assert(content.count(_ == 'm') == 2) // two path starts (a + b)
+    // paint order: every region fill precedes the first stroked path
+    assert(content.lastIndexOf(" re f") < content.indexOf(" RG"))
+    // independent y scales: both paths stay inside the page box
+    val coords = raw"(\d+) (\d+) [ml]".r.findAllMatchIn(content).toSeq
+    assert(coords.nonEmpty)
+    coords.foreach { m =>
+      assert(m.group(1).toInt < 640 && m.group(2).toInt < 400)
+    }
+  }
+
   test("document is deterministic and the file sink round-trips") {
     val a = render()._4
     val b = render()._4
