@@ -1405,6 +1405,12 @@ object SparkEntry {
     graft.text.Curation.tokenBudgetAllocation(
       Tables.documents(spark, dir), "source", "text", budgetPctBps = 5000)
 
+  /** Temperature-based language resampling (τ = 1/2) — see
+    * [[graft.text.Curation.temperatureMix]]: low-resource languages
+    * upsampled relative to their natural share, exact int64 quotas. */
+  private def temperatureMixQ(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.temperatureMix(Tables.documents(spark, dir), "lang")
+
   /** Exact + bag-of-words fingerprints per document. */
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -5981,6 +5987,7 @@ object SparkEntry {
     "contamination" -> ((s, dir) => contaminationScan(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
     "token_budget_mix" -> ((s, dir) => tokenBudgetMix(s, dir)),
+    "temperature_mix" -> ((s, dir) => temperatureMixQ(s, dir)),
     "orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "events_date_partitioned" -> ((s, dir) => eventsDatePartitioned(s, dir)),
     "manifest_skip_scan" -> ((s, dir) => manifestSkipScan(s, dir)),
@@ -7510,6 +7517,18 @@ object SparkEntry {
     "repetition_stats" -> repetitionOracle,
     "contamination" -> contaminationOracle,
     "domain_mix" -> domainMixOracle,
+    "temperature_mix" ->
+      // τ=1/2 as floor(sqrt(n)): IEEE sqrt of an exact integer is
+      // correctly rounded in every engine; all arithmetic after is int64
+      """WITH d AS (SELECT lang AS domain, count(*) AS n_docs,
+        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS budget,
+        |  CAST(sum(weight) AS BIGINT) AS wsum FROM d)
+        |SELECT domain, n_docs, weight,
+        |  CAST((budget * weight) // wsum AS BIGINT) AS quota,
+        |  CAST((10000 * ((budget * weight) // wsum)) // n_docs AS BIGINT) AS upsample_bps
+        |FROM d, t""".stripMargin,
     // water-filling replay: same sorted-prefix closed form, int64 only
     "token_budget_mix" ->
       """WITH d AS (SELECT source AS domain,

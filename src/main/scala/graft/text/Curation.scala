@@ -191,6 +191,38 @@ object Curation {
         col("saturated"))
   }
 
+  /** Temperature-based domain resampling (the multilingual-LM mixing
+    * rule: sample domain i with probability ∝ nᵢ^τ, τ < 1, so
+    * low-resource domains are upsampled relative to their share — the
+    * XLM-R / mT5 scheme, public across the multilingual pretraining
+    * literature). τ is fixed at 1/2 and computed as `floor(sqrt(n))`:
+    * IEEE sqrt of an exactly-representable integer is correctly rounded
+    * in every engine, and from there every step is exact int64 (the
+    * weight SUM is integer, so no float fold-order can leak in) — the
+    * whole quota table replays bit-for-bit in an external oracle.
+    *
+    * Output per domain: (domain, n_docs, weight, quota,
+    * upsample_bps = 10000·quota/n_docs — >10000 means the domain is
+    * drawn more often than its natural share). The quota redistributes
+    * the SAME total budget (Σ n_docs), matching the resampling
+    * interpretation.
+    *
+    * Scale: one keyed aggregate of the corpus; everything after runs on
+    * the metadata-sized domain table with a 1-row broadcast of the
+    * totals. */
+  def temperatureMix(docs: DataFrame, domainCol: String): DataFrame = {
+    val counts = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("budget"), sum(col("weight")).as("wsum"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("weight"),
+        expr("(budget * weight) div wsum").as("quota"),
+        expr("(10000 * ((budget * weight) div wsum)) div n_docs").as("upsample_bps"))
+  }
+
   /** Boilerplate detection (the C4 repeated-line rule): a sentence that
     * appears in `minDf`+ DISTINCT documents is boilerplate (headers,
     * footers, cookie banners); each document reports its sentence count

@@ -63,7 +63,7 @@ object ScaleProbe {
     // kcore_sharedgrams sit on the pair-scan/graph families the
     // quadratic rule excludes (their scaling subject is the candidate
     // join, probed via the minhash/pagerank artifacts already).
-    "token_budget_mix", "quality_percentile", "cluster_balance_sample",
+    "token_budget_mix", "temperature_mix", "quality_percentile", "cluster_balance_sample",
     "index_advisor", "pq_code_stats", "topk_freq_sketch",
     // round-11 additions: bigram/ppl scoring are explode + keyed
     // aggregates; median/mode, date/string/null breadth are one keyed
