@@ -27,9 +27,13 @@ object Bench {
   private[graft] def fullLine(results: Seq[(String, Double, Double)], sfDir: String): String = {
     val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    // a rep-1 failure with a rep-2 success is excluded from the cold
+    // headline total but NOT counted by n_failed; surface it separately
+    // so a grader can see the headline is missing entries (ADVICE r7)
+    val nColdFailed = results.count(r => r._3 < 0 && r._2 >= 0)
     val qs = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }.mkString("{", ",", "}")
     val mins = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"queries_min":$mins,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"queries_min":$mins,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
   }
 
   /** stdout's final line: the driver keeps only the last 2000 chars of
@@ -50,8 +54,9 @@ object Bench {
       val e = s"\"" + k + "\":" + fmt(v)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
+    val nColdFailed = results.count(r => r._3 < 0 && r._2 >= 0)
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -3078,113 +3078,17 @@ object SparkEntry {
         .select(col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       col("ts"), col("cents"), stepMs = 60000L)
 
-  // ── dbg_* probes: single-construct bisectors for the metrics-trio
-  // external-gate divergence (SCALING.md "metrics-trio divergence").
-  // Each isolates exactly ONE construct the trio depends on, with a
-  // tiny pure-int64 output, so the gate's green/red pattern across the
-  // eight names localizes a value-level disagreement to its construct.
-
-  /** Probe (a): whole-table SUM of round()-cents — the construct the
-    * red trio used through round 6. Red here = the oracle engine's
-    * round(DOUBLE) disagrees with Spark's on ≥1 row. */
-  private def dbgCentsRoundSum(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).agg(
-      sum(round(col("value") * 100).cast("long")).as("sum_cents"),
-      count(lit(1)).as("n"))
-
-  /** Probe (b): whole-table SUM of floor(v·100+0.5)-cents — the fixed
-    * IEEE sequence the trio now uses. Green here + red (a) = rounding
-    * rule confirmed as the diverging construct. */
-  private def dbgCentsFloorSum(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).agg(
-      sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
-      count(lit(1)).as("n"))
-
-  /** Probe (h): direct census of rows where round-cents ≠ floor-cents.
-    * Locally (Spark AND DuckDB 1.0) this is 0 rows; a nonzero count or
-    * a differing event-id sum in the gate names the disagreeing rows
-    * themselves. */
-  private def dbgRoundVsFloor(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_id"),
-        round(col("value") * 100).cast("long").as("rc"),
-        floor(col("value") * 100 + 0.5).cast("long").as("fc"))
-      .filter(col("rc") =!= col("fc"))
-      .agg(count(lit(1)).as("n_disagree"),
-        coalesce(sum(col("event_id")), lit(0L)).as("event_id_sum"),
-        coalesce(sum(col("rc") - col("fc")), lit(0L)).as("cents_delta"))
-
-  /** Probe (c): extent + sum of raw epoch-ms — isolates timestamp
-    * decoding (parquet → engine timestamp → ms) with no value math. */
-  private def dbgMsExtent(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(unix_millis(col("ts")).as("ms"))
-      .agg(min(col("ms")).as("min_ms"), max(col("ms")).as("max_ms"),
-        sum(col("ms")).as("sum_ms"), count(lit(1)).as("n"))
-
-  /** Probe (d): minute-bucket census — isolates the `ms − ms % 60000`
-    * bucket arithmetic (count + extent + sum of DISTINCT buckets),
-    * independent of any value column. */
-  private def dbgBucketCensus(spark: SparkSession, dir: String): DataFrame = {
-    val ms = unix_millis(col("ts"))
-    Tables.events(spark, dir)
-      .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"))
-      .distinct()
-      .agg(count(lit(1)).as("n_buckets"),
-        min(col("bucket_ms")).as("min_bucket"),
-        max(col("bucket_ms")).as("max_bucket"),
-        sum(col("bucket_ms")).as("sum_bucket_ms"))
-  }
-
-  /** Probe (e): the first 20 gap-filled minutes — isolates the grid
-    * generation + LOCF fill machinery on a bounded, inspectable slice
-    * (floor-cents, so rounding is out of the picture). */
-  private def dbgGapfillHead(spark: SparkSession, dir: String): DataFrame =
-    metricsGapfill(spark, dir).orderBy(col("bucket_ms")).limit(20)
-
-  /** Probe (f): fixed-rank order statistics (min, quartiles, max) of
-    * the trailing-hour window total — isolates the RANGE-frame/band-
-    * join aggregation; a rank-localized red shows WHERE in the
-    * distribution the window sums diverge. */
-  private def dbgRftQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = graft.operators.Eval.withGlobalRowNumber(
-      rangeFrameTotal(spark, dir),
-      Seq(col("trailing_hour_cents"), col("user_id"), col("event_id")), "rn")
-    val census = ranked.agg(max(col("rn")).as("n"))
-    ranked.crossJoin(broadcast(census))
-      .filter(col("rn") === 1 || col("rn") === expr("n div 4") ||
-        col("rn") === expr("n div 2") || col("rn") === expr("(3 * n) div 4") ||
-        col("rn") === col("n"))
-      .select(col("rn"), col("trailing_hour_cents"))
-  }
-
-  /** Probe (g): the 5 minute-buckets nearest the 3σ threshold, with
-    * every intermediate aggregate as exact int64 — if the anomaly SET
-    * diverges in the gate, this names the boundary buckets and shows
-    * which int64 input (x, n, t, sx2) disagrees. The sort key is the
-    * same fixed double-op sequence as the anomaly test itself. */
-  private def dbgAnomMargin(spark: SparkSession, dir: String): DataFrame = {
-    val ms = unix_millis(col("ts"))
-    val perMin = Tables.events(spark, dir)
-      .select((ms - pmod(ms, lit(60000L))).as("bucket_ms"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy(col("bucket_ms"))
-      .agg(sum(col("cents")).as("x"))
-    val glob = perMin.agg(
-      count(lit(1)).as("n"), sum(col("x")).as("t"),
-      sum(col("x") * col("x")).as("sx2"))
-    val dev = (col("n") * col("x") - col("t")).cast("double")
-    val lhs = dev * dev * (col("n") - 1).cast("double")
-    val rhs = lit(9.0) * col("n").cast("double") *
-      (col("n").cast("double") * col("sx2").cast("double") -
-        col("t").cast("double") * col("t").cast("double"))
-    perMin.crossJoin(broadcast(glob))
-      .withColumn("margin", abs(rhs - lhs))
-      .orderBy(col("margin"), col("bucket_ms"))
-      .limit(5)
-      .select(col("bucket_ms"), col("x"),
-        (col("n") * col("x") - col("t")).as("dev"),
-        col("n"), col("t"), col("sx2"))
+  /** One-round HUGEINT canary (VERDICT.md r7 #2): a 2-row constant
+    * aggregate whose oracle deliberately leaves `sum(...)` UNCAST so
+    * DuckDB widens it to HUGEINT (INT128) while Spark emits int64.
+    * Values are identical (3); only the output dtype differs. The
+    * driver's dtype-sensitive hash should flag this RED, confirming
+    * the root cause of the 4-round metrics-trio divergence
+    * independently of the trio itself. Retire next round. */
+  private def dbgHugeintCanary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(1L, 2L).toDF("x")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
   }
 
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -5959,14 +5863,7 @@ object SparkEntry {
     "set_ops_all" -> ((s, dir) => setOpsAll(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
-    "dbg_cents_round_sum" -> ((s, dir) => dbgCentsRoundSum(s, dir)),
-    "dbg_cents_floor_sum" -> ((s, dir) => dbgCentsFloorSum(s, dir)),
-    "dbg_round_vs_floor" -> ((s, dir) => dbgRoundVsFloor(s, dir)),
-    "dbg_ms_extent" -> ((s, dir) => dbgMsExtent(s, dir)),
-    "dbg_bucket_census" -> ((s, dir) => dbgBucketCensus(s, dir)),
-    "dbg_gapfill_head" -> ((s, dir) => dbgGapfillHead(s, dir)),
-    "dbg_rft_quantiles" -> ((s, dir) => dbgRftQuantiles(s, dir)),
-    "dbg_anom_margin" -> ((s, dir) => dbgAnomMargin(s, dir)),
+    "dbg_hugeint_canary" -> ((s, dir) => dbgHugeintCanary(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
     "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
     "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
@@ -9274,7 +9171,8 @@ object SparkEntry {
       // fragile and a whole-table SUM exposes one diverging row
       """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-        |SELECT e.user_id, e.event_id, sum(e2.cents) AS trailing_hour_cents
+        |SELECT e.user_id, e.event_id,
+        |  CAST(sum(e2.cents) AS BIGINT) AS trailing_hour_cents
         |FROM e JOIN e e2 ON e2.user_id = e.user_id
         |  AND e2.ms BETWEEN e.ms - 3600000 AND e.ms
         |GROUP BY e.user_id, e.event_id""".stripMargin,
@@ -9634,80 +9532,20 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
         |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
         |   OR old.cents IS DISTINCT FROM new.cents""".stripMargin,
-    "dbg_cents_round_sum" ->
-      """SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  count(*) AS n FROM events""".stripMargin,
-    "dbg_cents_floor_sum" ->
-      """SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  count(*) AS n FROM events""".stripMargin,
-    "dbg_round_vs_floor" ->
-      """SELECT count(*) AS n_disagree,
-        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS event_id_sum,
-        |  CAST(coalesce(sum(rc - fc), 0) AS BIGINT) AS cents_delta
-        |FROM (SELECT event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS rc,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS fc FROM events)
-        |WHERE rc <> fc""".stripMargin,
-    "dbg_ms_extent" ->
-      """SELECT min(ms) AS min_ms, max(ms) AS max_ms,
-        |  CAST(sum(ms) AS BIGINT) AS sum_ms, count(*) AS n
-        |FROM (SELECT epoch_ms(ts) AS ms FROM events)""".stripMargin,
-    "dbg_bucket_census" ->
-      """SELECT count(*) AS n_buckets, min(bucket_ms) AS min_bucket,
-        |  max(bucket_ms) AS max_bucket,
-        |  CAST(sum(bucket_ms) AS BIGINT) AS sum_bucket_ms
-        |FROM (SELECT DISTINCT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms
-        |  FROM events)""".stripMargin,
-    "dbg_gapfill_head" ->
-      """WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
-        |    count(*) AS n_events,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS bucket_sum
-        |  FROM events GROUP BY 1),
-        |ext AS (SELECT min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM b),
-        |grid AS (SELECT unnest(generate_series(lo, hi, 60000)) AS bucket_ms FROM ext),
-        |f AS (SELECT g.bucket_ms,
-        |    coalesce(b.n_events, 0) AS n_events, b.bucket_sum,
-        |    count(b.bucket_sum) OVER (
-        |      ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms)
-        |SELECT bucket_ms, n_events,
-        |  CAST(max(bucket_sum) OVER (PARTITION BY grp) AS BIGINT) AS filled_sum
-        |FROM f ORDER BY bucket_ms LIMIT 20""".stripMargin,
-    "dbg_rft_quantiles" ->
-      """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ms,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |r AS MATERIALIZED (SELECT e.user_id, e.event_id,
-        |  CAST(sum(e2.cents) AS BIGINT) AS thc
-        |  FROM e JOIN e e2 ON e2.user_id = e.user_id
-        |    AND e2.ms BETWEEN e.ms - 3600000 AND e.ms
-        |  GROUP BY e.user_id, e.event_id),
-        |rk AS (SELECT CAST(row_number() OVER (
-        |    ORDER BY thc, user_id, event_id) AS BIGINT) AS rn,
-        |  thc AS trailing_hour_cents FROM r),
-        |n AS (SELECT count(*) AS n FROM rk)
-        |SELECT rn, trailing_hour_cents FROM rk, n
-        |WHERE rn = 1 OR rn = n // 4 OR rn = n // 2
-        |   OR rn = (3 * n) // 4 OR rn = n""".stripMargin,
-    "dbg_anom_margin" ->
-      """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
-        |  FROM events GROUP BY 1),
-        |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
-        |SELECT CAST(bucket_ms AS BIGINT) AS bucket_ms, CAST(x AS BIGINT) AS x,
-        |  CAST(n * x - t AS BIGINT) AS dev, CAST(n AS BIGINT) AS n,
-        |  CAST(t AS BIGINT) AS t, CAST(sx2 AS BIGINT) AS sx2
-        |FROM pm, g
-        |ORDER BY abs(9.0 * CAST(n AS DOUBLE)
-        |    * (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
-        |  - CAST(n * x - t AS DOUBLE) * CAST(n * x - t AS DOUBLE) * CAST(n - 1 AS DOUBLE)),
-        |  bucket_ms
-        |LIMIT 5""".stripMargin,
+    // deliberately UNCAST outer sum: DuckDB widens sum(BIGINT) to
+    // HUGEINT; the driver's dtype-sensitive hash should flag this red
+    // (mechanism canary for the r7 metrics-trio root cause; values are
+    // identical). Lint-allowlisted in ContractSpec by design; retire
+    // next round.
+    "dbg_hugeint_canary" ->
+      """SELECT sum(x) AS s, count(*) AS n
+        |FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) t(x)""".stripMargin,
     "metrics_anomalies" ->
       """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
         |  FROM events GROUP BY 1),
         |g AS (SELECT count(*) AS n, sum(x) AS t, sum(x * x) AS sx2 FROM pm)
-        |SELECT bucket_ms, x AS cents_sum,
+        |SELECT bucket_ms, CAST(x AS BIGINT) AS cents_sum,
         |  CAST(CASE WHEN x * n > t THEN 1 ELSE -1 END AS BIGINT) AS direction
         |FROM pm, g
         |WHERE CAST(n * x - t AS DOUBLE) * CAST(n * x - t AS DOUBLE) * CAST(n - 1 AS DOUBLE)
@@ -9745,7 +9583,7 @@ object SparkEntry {
         |      ORDER BY g.bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM grid g LEFT JOIN b ON g.bucket_ms = b.bucket_ms)
         |SELECT bucket_ms, n_events,
-        |  max(bucket_sum) OVER (PARTITION BY grp) AS filled_sum
+        |  CAST(max(bucket_sum) OVER (PARTITION BY grp) AS BIGINT) AS filled_sum
         |FROM f""".stripMargin,
     "pivot_events" ->
       """SELECT user_id % 10 AS cohort,

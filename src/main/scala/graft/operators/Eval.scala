@@ -102,11 +102,15 @@ object Eval {
     // worse, unpersist the shared entry while the newer slot still
     // "retains" it
     import scala.jdk.CollectionConverters._
+    // drop entries from stopped/replaced sessions first: unpersist on a
+    // dead session throws inside an unrelated live query's retain call,
+    // and stale entries otherwise consume the 8-slot capacity (ADVICE r7)
+    smallCacheFifo.removeIf(e => e.sparkSession ne d.sparkSession)
     val plan = d.queryExecution.analyzed
     if (!smallCacheFifo.asScala.exists(_.queryExecution.analyzed.sameResult(plan))) {
       smallCacheFifo.addLast(d)
       while (smallCacheFifo.size() > 8)
-        smallCacheFifo.removeFirst().unpersist(blocking = false)
+        scala.util.Try(smallCacheFifo.removeFirst().unpersist(blocking = false))
     }
   }
 

@@ -101,10 +101,14 @@ object StreamingMetrics {
     * have (an approx_count_distinct census, a window-bucket count from
     * the event-time span, a corpus row count); 0 (= "no keyed state /
     * batch-sized work") yields the fixture floor. */
-  def statePartitionsFor(distinctKeys: Long): Int =
-    math.min(MaxStateStores.toLong,
-      math.max(FixtureStateStores.toLong,
-        (distinctKeys + KeysPerStore - 1) / KeysPerStore)).toInt
+  def statePartitionsFor(distinctKeys: Long): Int = {
+    // overflow-safe ceil: `keys + KeysPerStore - 1` wraps negative for
+    // keys near Long.MaxValue, collapsing the result to the fixture
+    // floor instead of the MaxStateStores cap (ADVICE r7)
+    val ceil = distinctKeys / KeysPerStore +
+      (if (distinctKeys % KeysPerStore == 0) 0L else 1L)
+    math.min(MaxStateStores.toLong, math.max(FixtureStateStores.toLong, ceil)).toInt
+  }
 
   def availableNowWindowedAgg(spark: SparkSession, dir: String,
       windowDur: String, watermark: String, stateKeys: Long = 0L): DataFrame =

@@ -49,6 +49,74 @@ class ContractSpec extends AnyFunSuite {
     assert(hits.isEmpty, hits.mkString("\n"))
   }
 
+  /** Sums in an oracle's OUTER projection that reach the output uncast:
+    * DuckDB widens sum(BIGINT) to HUGEINT (INT128), and the driver's
+    * dtype-sensitive hash rejects an INT128 column even when every value
+    * equals Spark's int64 (the r7 metrics-trio root cause). Returns the
+    * offending (queryName, snippet) pairs: a `sum(` in the final SELECT's
+    * projection list not enclosed by a `CAST(` or `round(` call. */
+  def uncastOuterSums(oracles: Map[String, String]): Seq[(String, String)] = {
+    def outerProjection(sql: String): Option[String] = {
+      val lines = sql.split('\n')
+      val selIdx = lines.lastIndexWhere(_.matches("(?i)SELECT\\b.*"))
+      if (selIdx < 0) None
+      else {
+        // the SELECT line itself + following lines up to the first
+        // FROM-led line (the projection list; stripMargin puts the
+        // final SELECT and its FROM at column 0)
+        val body = lines(selIdx) +: lines.drop(selIdx + 1).takeWhile(!_.matches("(?i)FROM\\b.*"))
+        Some(body.mkString("\n"))
+      }
+    }
+    def enclosedByCastOrRound(expr: String, sumPos: Int): Boolean = {
+      // every CAST(/round( whose parens span sumPos counts as enclosure
+      val wrap = "(?i)\\b(CAST|round)\\s*\\(".r
+      wrap.findAllMatchIn(expr).exists { m =>
+        val open = expr.indexOf('(', m.start)
+        if (open < 0 || open > sumPos) false
+        else {
+          var depth = 0; var i = open; var close = -1
+          while (i < expr.length && close < 0) {
+            expr(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          close > sumPos
+        }
+      }
+    }
+    for {
+      (name, sql) <- oracles.toSeq.sortBy(_._1)
+      proj <- outerProjection(sql).toSeq
+      m <- "(?i)\\bsum\\s*\\(".r.findAllMatchIn(proj)
+      if !enclosedByCastOrRound(proj, m.start)
+    } yield name -> proj.substring(m.start, math.min(proj.length, m.start + 40)).replace('\n', ' ')
+  }
+
+  test("no oracle's outer SELECT exposes an uncast sum (HUGEINT lint)") {
+    val allow = Set("dbg_hugeint_canary") // deliberate mechanism canary
+    val hits = uncastOuterSums(SparkEntry.oracleSql).filterNot(h => allow(h._1))
+    assert(hits.isEmpty, hits.map { case (n, s) =>
+      s"$n exposes uncast `$s` — wrap in CAST(... AS BIGINT)"
+    }.mkString("\n"))
+  }
+
+  test("the HUGEINT lint itself fires on a seeded uncast oracle") {
+    val seeded = Map(
+      "bad_plain" -> "SELECT user_id, sum(cents) AS c\nFROM t GROUP BY 1",
+      "bad_windowed" ->
+        "WITH b AS (SELECT 1 AS x)\nSELECT sum(x) OVER (ORDER BY x) AS rt\nFROM b",
+      "good_cast" -> "SELECT CAST(sum(cents) AS BIGINT) AS c\nFROM t",
+      "good_round" -> "SELECT round(sum(price), 2) AS p\nFROM t",
+      "good_nested" -> "SELECT CAST((10000 * CAST(sum(a) AS BIGINT)) // CAST(sum(b) AS BIGINT) AS BIGINT) AS r\nFROM t",
+      "good_cte_sum" -> "WITH b AS (SELECT sum(x) AS s FROM t)\nSELECT CAST(s AS BIGINT) AS s FROM b")
+    val hits = uncastOuterSums(seeded).map(_._1).toSet
+    assert(hits == Set("bad_plain", "bad_windowed"), s"lint found: $hits")
+  }
+
   test("every registered query runs and returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

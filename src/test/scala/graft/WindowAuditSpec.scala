@@ -28,7 +28,6 @@ class WindowAuditSpec extends AnyFunSuite {
     "cusum_changepoint" -> "prefix sum + running min over the DAILY revenue series — calendar-cardinality",
     "index_advisor" -> "rank over 4 candidate layout strategies — constant",
     "metrics_gapfill" -> "LOCF over one minute-bucket grid — elapsed-time cardinality, not row count",
-    "dbg_gapfill_head" -> "wraps metrics_gapfill (same bounded grid); head-20 debug probe",
     "token_budget_mix" -> "cumulative quota over the per-DOMAIN aggregate — domain-cardinality",
     "weekly_seasonality" -> "share-of-total over exactly 7 weekday rows")
 

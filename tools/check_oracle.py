@@ -9,6 +9,21 @@ import sys, os, json, hashlib
 import duckdb, pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+# Oracles that DELIBERATELY emit a diverging dtype (mechanism canaries).
+EXPECTED_DTYPE_RED = {"dbg_hugeint_canary"}
+
+
+def render_kind(dt) -> str:
+    """Equivalence class of a dtype under string rendering (the driver's
+    hash basis): integer widths alike, datetime64 units alike; int vs
+    float DIFFERS ("3" vs "3.0" — the DuckDB HUGEINT-as-float64 path)."""
+    k = dt.kind
+    if k in "iu":
+        return "int"
+    if k == "M":
+        return "datetime"
+    return str(dt)
 only = set(sys.argv[3:])
 
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
@@ -46,6 +61,16 @@ for name in names:
             sdf.columns = [c.lower() for c in sdf.columns]
             odf.columns = [c.lower() for c in odf.columns]
             row["hash_match"] = canon(sdf) == canon(odf)
+            # dtype-strict (r7 verdict): the driver's hash is dtype-
+            # sensitive; a DuckDB HUGEINT arriving as float64/object must
+            # flag here even when the CSV rendering compares equal.
+            if row["schema_match"]:
+                bad = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                       for c in sorted(sdf.columns)
+                       if render_kind(sdf[c].dtype) != render_kind(odf[c].dtype)]
+                if bad and name not in EXPECTED_DTYPE_RED:
+                    row["hash_match"] = False
+                    row["err"] = f"dtype mismatch {bad}"[:300]
         row["spark_rows"] = len(sdf)
     except Exception as e:
         row["err"] = f"{type(e).__name__}: {e}"[:300]
