@@ -989,7 +989,18 @@ object SparkEntry {
   private def svgTenantCurveChart(spark: SparkSession, dir: String): DataFrame =
     SvgPlot.multiSeriesChart(
       multiTenantCurve(spark, dir),
-      col("backend"), col("num_clients").cast("long"), col("mean_qps_rows"))
+      col("backend"), col("num_clients").cast("long"), col("mean_qps_rows"),
+      title = "Per-client QPS vs Client Count", xlabel = "Clients", ylabel = "QPS")
+
+  /** The same scaling chart in the reference's ACTUAL artifact format
+    * (multi_tenant_script.py:190-202 saves scaling_behavior via
+    * matplotlib): [[multiTenantCurve]] rendered through the
+    * deterministic PDF sink. */
+  private def pdfTenantCurveChart(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PdfPlot.multiSeriesPdf(
+      multiTenantCurve(spark, dir),
+      col("backend"), col("num_clients").cast("long"), col("mean_qps_rows"),
+      title = "Per-client QPS vs Client Count", xlabel = "Clients", ylabel = "QPS")
 
   /** M8/M9: sentinel-region pairing — each signup paired with the user's
     * next purchase. */
@@ -1066,7 +1077,8 @@ object SparkEntry {
       Tables.events(spark, dir),
       col("event_type"),
       (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
-      floor(col("value") * 100).cast("long"))
+      floor(col("value") * 100).cast("long"),
+      title = "Value over First 5 Intervals", xlabel = "Interval", ylabel = "Value bp")
 
   /** S6 in the reference's ACTUAL artifact format (plots.py:93-95 writes
     * PDFs): the interval chart as a complete deterministic vector PDF —
@@ -1078,7 +1090,8 @@ object SparkEntry {
       Tables.events(spark, dir),
       col("event_type"),
       (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
-      floor(col("value") * 100).cast("long"))
+      floor(col("value") * 100).cast("long"),
+      title = "Value over First 5 Intervals", xlabel = "Interval", ylabel = "Value bp")
 
   /** The dual-axis QPS/latency figure (logs/plot.py:39-70) in the
     * reference's actual PDF format — same inputs as
@@ -1097,7 +1110,10 @@ object SparkEntry {
         col("start_event_id"))
       .limit(3)
       .select(col("start_ms").as("xs"), col("end_ms").as("xe"))
-    graft.sources.PdfPlot.dualAxisPdf(rows, regions)
+    graft.sources.PdfPlot.dualAxisPdf(rows, regions,
+      title = "QPS and Latency with Phase Regions", xlabel = "Time ms",
+      ylabel = "QPS bp", y2label = "Latency bp",
+      aLabel = "QPS", bLabel = "Latency", regionLabel = "Phase")
   }
 
   /** S6 plot sink, chart 2 (logs/plot.py:39-70): dual-axis QPS/latency
@@ -1119,7 +1135,10 @@ object SparkEntry {
       .limit(3)
       .select(col("start_ms").as("xs"), col("end_ms").as("xe"),
         lit("phase").as("cls"))
-    SvgPlot.dualAxisChart(rows, regions)
+    SvgPlot.dualAxisChart(rows, regions,
+      title = "QPS and Latency with Phase Regions", xlabel = "Time ms",
+      ylabel = "QPS bp", y2label = "Latency bp",
+      aLabel = "QPS", bLabel = "Latency", regionLabel = "Phase")
   }
 
   /** Temporal as-of join: each click matched to the user's latest signup
@@ -5722,6 +5741,7 @@ object SparkEntry {
     "multi_tenant_agg" -> ((s, dir) => multiTenantAgg(s, dir)),
     "multi_tenant_curve" -> ((s, dir) => multiTenantCurve(s, dir)),
     "svg_tenant_curve_chart" -> ((s, dir) => svgTenantCurveChart(s, dir)),
+    "pdf_tenant_curve_chart" -> ((s, dir) => pdfTenantCurveChart(s, dir)),
     "event_regions" -> ((s, dir) => eventRegions(s, dir)),
     "sessionize" -> ((s, dir) => sessionizeEvents(s, dir)),
     "session_windows" -> ((s, dir) => sessionWindows(s, dir)),
@@ -7317,6 +7337,297 @@ object SparkEntry {
       |UNION ALL SELECT 'linenumber_unique', n_dup, n_dup = 0 FROM d
       |UNION ALL SELECT 'orders_fk', n_orphan, n_orphan = 0 FROM o""".stripMargin
 
+  // ── chart-oracle templates ──────────────────────────────────────────
+  // The decoration constants (axis frame, title/label text, legends,
+  // document framing) are spliced from the SAME Scala values the sinks
+  // render, so sink and oracle cannot drift; only the data-dependent
+  // pieces (tick geometry from the extrema, per-series legend) are
+  // recomputed in SQL with the sinks' integer pixel math.
+
+  /** The multi-tenant per-client-QPS curve's leading CTEs (shared by the
+    * SVG and PDF chart oracles): per-(backend, clients) mean rows-served
+    * per client over the {10..50}-client sweep. */
+  private val tenantCurveBaseCtes: String =
+    """s0 AS (SELECT event_type AS backend, nc.num_clients,
+      |    user_id % nc.num_clients AS client,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events, (SELECT unnest([10, 20, 30, 40, 50]) AS num_clients) nc),
+      |c0 AS (SELECT backend, num_clients, client, count(*) AS n_rows
+      |  FROM s0 GROUP BY 1, 2, 3),
+      |base AS (SELECT backend AS s, CAST(num_clients AS BIGINT) AS x,
+      |    CAST(sum(n_rows) // count(*) AS BIGINT) AS y
+      |  FROM c0 GROUP BY 1, 2)""".stripMargin
+
+  /** The interval chart's base CTE (shared by the SVG and PDF oracles). */
+  private val intervalChartBaseCtes: String =
+    """base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
+      |  CAST(floor(value * 100) AS BIGINT) AS y FROM events)""".stripMargin
+
+  /** Tick CTE columns for one value domain: tick value `v` and its pixel
+    * `p` (`flip` = SVG y; unflipped = PDF y / SVG x with extent 640). */
+  private def tickColsSql(vmin: String, vmax: String, extent: Int,
+      flip: Boolean, v: String, p: String): String = {
+    val scaled = s"CAST(floor((($vmax - $vmin) * i // 4) * ${extent - 1} " +
+      s"/ greatest($vmax - $vmin, 1)) AS BIGINT)"
+    s"$vmin + (($vmax - $vmin) * i) // 4 AS $v,\n" +
+      s"  ${if (flip) s"${extent - 1} - $scaled" else scaled} AS $p"
+  }
+
+  /** SVG tick elements for the bottom edge (x) from tick CTE cols. */
+  private val svgXTickAggSql =
+    """string_agg('<line class="tick" x1="' || xp::VARCHAR || '" y1="399" x2="' ||
+      |      xp::VARCHAR || '" y2="393"/><text class="xtick" x="' || xp::VARCHAR ||
+      |      '" y="390">' || xv::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
+
+  /** SVG tick elements for a left/right y edge from tick CTE cols. */
+  private def svgYTickAggSql(v: String, p: String, cls: String, right: Boolean): String =
+    if (right)
+      s"""string_agg('<line class="tick" x1="633" y1="' || $p::VARCHAR || '" x2="639" y2="' ||
+         |      $p::VARCHAR || '"/><text class="$cls" x="560" y="' || $p::VARCHAR || '">' ||
+         |      $v::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
+    else
+      s"""string_agg('<line class="tick" x1="0" y1="' || $p::VARCHAR || '" x2="6" y2="' ||
+         |      $p::VARCHAR || '"/><text class="$cls" x="8" y="' || $p::VARCHAR || '">' ||
+         |      $v::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
+
+  /** PDF tick ops for the bottom edge from tick CTE cols. */
+  private val pdfXTickAggSql =
+    """string_agg(xp::VARCHAR || ' 0 m ' || xp::VARCHAR || ' 6 l S' || chr(10) ||
+      |      'BT /F1 8 Tf ' || xp::VARCHAR || ' 10 Td (' || xv::VARCHAR || ') Tj ET' ||
+      |      chr(10), '' ORDER BY i)""".stripMargin
+
+  /** PDF tick ops for a left/right y edge from tick CTE cols. */
+  private def pdfYTickAggSql(v: String, p: String, right: Boolean): String =
+    if (right)
+      s"""string_agg('633 ' || $p::VARCHAR || ' m 639 ' || $p::VARCHAR || ' l S' || chr(10) ||
+         |      'BT /F1 8 Tf 560 ' || $p::VARCHAR || ' Td (' || $v::VARCHAR || ') Tj ET' ||
+         |      chr(10), '' ORDER BY i)""".stripMargin
+    else
+      s"""string_agg('0 ' || $p::VARCHAR || ' m 6 ' || $p::VARCHAR || ' l S' || chr(10) ||
+         |      'BT /F1 8 Tf 8 ' || $p::VARCHAR || ' Td (' || $v::VARCHAR || ') Tj ET' ||
+         |      chr(10), '' ORDER BY i)""".stripMargin
+
+  /** PDF document framing around a `doc` CTE exposing `obj4`: splices the
+    * sink's exact constant prefix/xref bytes and computed startxref. */
+  private def pdfFramingSql: String = {
+    import graft.sources.PdfPlot.{DocPrefix, XrefAndTrailer, Off4}
+    s"'$DocPrefix' || obj4 || '$XrefAndTrailer' || ($Off4 + length(obj4))::VARCHAR " +
+      s"|| chr(10) || '%%EOF' || chr(10)"
+  }
+
+  /** Full oracle for [[graft.sources.SvgPlot.multiSeriesChart]] over any
+    * leading CTE chain ending in `base(s, x, y)`. */
+  private def svgMultiSeriesOracle(leadingCtes: String,
+      title: String, xlabel: String, ylabel: String): String = {
+    import graft.sources.SvgPlot.{AxisElem, labelElems}
+    s"""WITH $leadingCtes,
+       |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |               min(y) AS ymin, max(y) AS ymax FROM base),
+       |ticks AS (SELECT i,
+       |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
+       |  ${tickColsSql("ymin", "ymax", 400, flip = true, "yv", "yp")}
+       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext),
+       |decor AS (SELECT '$AxisElem'
+       |  || $svgXTickAggSql
+       |  || ${svgYTickAggSql("yv", "yp", "ytick", right = false)}
+       |  || '${labelElems(title, xlabel, ylabel)}' AS decor_elems FROM ticks),
+       |pts AS (SELECT s,
+       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+       |  FROM base, ext),
+       |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
+       |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
+       |  '<polyline class="' || s || '" fill="none" points="' ||
+       |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
+       |  '"/>' AS elem
+       |  FROM env GROUP BY s),
+       |leg AS (SELECT string_agg('<text class="legend" x="520" y="' ||
+       |    (20 + 14 * (rn - 1))::VARCHAR || '">' || s || '</text>', '' ORDER BY s) AS legend_elems
+       |  FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM lines) rl)
+       |SELECT CAST(count(*) AS BIGINT) AS n_series,
+       |  CAST(sum(n_points) AS BIGINT) AS n_points,
+       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+       |  decor_elems || string_agg(elem, '' ORDER BY s) || legend_elems || '</svg>' AS svg
+       |FROM lines, decor, leg
+       |GROUP BY decor_elems, legend_elems""".stripMargin
+  }
+
+  /** Full oracle for [[graft.sources.PdfPlot.multiSeriesPdf]] over any
+    * leading CTE chain ending in `base(s, x, y)`. */
+  private def pdfMultiSeriesOracle(leadingCtes: String,
+      title: String, xlabel: String, ylabel: String): String = {
+    import graft.sources.PdfPlot.{AxisOps, labelOps}
+    s"""WITH $leadingCtes,
+       |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |               min(y) AS ymin, max(y) AS ymax FROM base),
+       |ticks AS (SELECT i,
+       |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
+       |  ${tickColsSql("ymin", "ymax", 400, flip = false, "yv", "yp")}
+       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext),
+       |decor AS (SELECT '$AxisOps'
+       |  || $pdfXTickAggSql
+       |  || ${pdfYTickAggSql("yv", "yp", right = false)}
+       |  || '${labelOps(title, xlabel, ylabel)}' AS decor_ops FROM ticks),
+       |pts AS (SELECT s,
+       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+       |  FROM base, ext),
+       |env AS (SELECT s, px, max(py) AS py FROM pts GROUP BY 1, 2),
+       |tok AS (SELECT s, px, py,
+       |  CASE WHEN row_number() OVER (PARTITION BY s ORDER BY px) = 1
+       |       THEN ' m' ELSE ' l' END AS op FROM env),
+       |paths AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
+       |  string_agg(px::VARCHAR || ' ' || py::VARCHAR || op, ' ' ORDER BY px) AS path
+       |  FROM tok GROUP BY s),
+       |ranked AS (SELECT s, n_points, path,
+       |  row_number() OVER (ORDER BY s) AS rn FROM paths),
+       |blocks AS (SELECT s, n_points,
+       |  (['0 0 1','1 0 0','0 1 0','1 0 1','0 1 1','1 1 0'])[
+       |      CAST((rn - 1) % 6 AS INTEGER) + 1]
+       |    || ' RG 1 w' || chr(10) || path || ' S' || chr(10) AS block,
+       |  (['0 0 1','1 0 0','0 1 0','1 0 1','0 1 1','1 1 0'])[
+       |      CAST((rn - 1) % 6 AS INTEGER) + 1]
+       |    || ' RG 1 w' || chr(10) || '520 ' || (380 - 14 * (rn - 1))::VARCHAR ||
+       |    ' m 540 ' || (380 - 14 * (rn - 1))::VARCHAR || ' l S' || chr(10) ||
+       |    'BT /F1 8 Tf 544 ' || (377 - 14 * (rn - 1))::VARCHAR || ' Td (' || s ||
+       |    ') Tj ET' || chr(10) AS legend_block FROM ranked),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
+       |  CAST(sum(n_points) AS BIGINT) AS n_points,
+       |  decor_ops || string_agg(block, '' ORDER BY s) || '0 0 0 rg' || chr(10) ||
+       |    string_agg(legend_block, '' ORDER BY s) AS content
+       |  FROM blocks, decor GROUP BY decor_ops),
+       |doc AS (SELECT n_series, n_points,
+       |  CAST(length(content) AS BIGINT) AS content_len,
+       |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
+       |    || ' >>' || chr(10) || 'stream' || chr(10) || content
+       |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
+       |SELECT n_series, n_points, content_len,
+       |  $pdfFramingSql AS pdf
+       |FROM doc""".stripMargin
+  }
+
+  /** The dual-axis QPS/latency chart's shared leading CTEs: the
+    * (x, abp, bbp) series plus the 3 longest signup→purchase spans as
+    * pixel regions (logs/plot.py's axvspan inputs). */
+  private val dualAxisLeadCtes: String =
+    """base AS (SELECT epoch_ms(ts) AS x,
+      |  CAST(floor(value * 100) AS BIGINT) AS abp,
+      |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
+      |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
+      |  min(abp) AS amin, max(abp) AS amax,
+      |  min(bbp) AS bmin, max(bbp) AS bmax FROM base),
+      |f AS (SELECT user_id, event_id, event_type, ts FROM events
+      |  WHERE event_type IN ('signup', 'purchase')),
+      |m AS (SELECT user_id, event_id AS start_event_id, event_type,
+      |  epoch_ms(ts) AS start_ms,
+      |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
+      |  FROM f),
+      |top3 AS (SELECT start_ms AS xs, end_ms AS xe FROM m
+      |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
+      |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
+      |spx AS (SELECT
+      |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
+      |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
+      |  FROM top3, ext)""".stripMargin
+
+  /** The dual-axis charts' tick CTE (x bottom, a left, b right). */
+  private def dualTicksCteSql(flip: Boolean): String =
+    s"""ticks AS (SELECT i,
+       |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
+       |  ${tickColsSql("amin", "amax", 400, flip, "av", "ap")},
+       |  ${tickColsSql("bmin", "bmax", 400, flip, "bv", "bp")}
+       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext)""".stripMargin
+
+  /** Full oracle for `svg_qps_latency_chart` — the decorated
+    * [[graft.sources.SvgPlot.dualAxisChart]] byte replay. */
+  private def svgDualAxisOracle: String = {
+    import graft.sources.SvgPlot.{AxisElem, labelElems, legendEntry}
+    val legend = legendEntry("QPS", 0) + legendEntry("Latency", 1) +
+      legendEntry("Phase", 2)
+    val labels = labelElems("QPS and Latency with Phase Regions", "Time ms",
+      "QPS bp", "Latency bp")
+    s"""WITH $dualAxisLeadCtes,
+       |${dualTicksCteSql(flip = true)},
+       |decor AS (SELECT '$AxisElem'
+       |  || $svgXTickAggSql
+       |  || ${svgYTickAggSql("av", "ap", "ytick", right = false)}
+       |  || ${svgYTickAggSql("bv", "bp", "ytick2", right = true)}
+       |  || '$labels' AS decor_elems FROM ticks),
+       |b AS (SELECT
+       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  399 - CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+       |  399 - CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+       |  FROM base, ext),
+       |env AS (SELECT px, min(pya) AS pya, min(pyb) AS pyb FROM b GROUP BY px),
+       |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  '<polyline class="a" fill="none" points="' ||
+       |  string_agg(px::VARCHAR || ',' || pya::VARCHAR, ' ' ORDER BY px) || '"/>' ||
+       |  '<polyline class="b" fill="none" points="' ||
+       |  string_agg(px::VARCHAR || ',' || pyb::VARCHAR, ' ' ORDER BY px) || '"/>' AS line_elems
+       |  FROM env),
+       |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
+       |  coalesce(string_agg('<rect class="phase" x="' || pxs::VARCHAR ||
+       |    '" y="0" width="' || greatest(pxe - pxs, 1)::VARCHAR ||
+       |    '" height="400"/>', '' ORDER BY pxs, pxe), '') AS rect_elems
+       |  FROM spx)
+       |SELECT n_points, n_regions,
+       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+       |  decor_elems || rect_elems || line_elems || '$legend' || '</svg>' AS svg
+       |FROM lns, rects, decor""".stripMargin
+  }
+
+  /** Full oracle for `pdf_qps_latency_chart` — the decorated
+    * [[graft.sources.PdfPlot.dualAxisPdf]] byte replay. */
+  private def pdfDualAxisOracle: String = {
+    import graft.sources.PdfPlot.{AxisOps, labelOps, legendOps}
+    val legend = legendOps(
+      Seq("0 0 1" -> "QPS", "1 0 0" -> "Latency", "1 1 0" -> "Phase"))
+    val labels = labelOps("QPS and Latency with Phase Regions", "Time ms",
+      "QPS bp", "Latency bp")
+    s"""WITH $dualAxisLeadCtes,
+       |${dualTicksCteSql(flip = false)},
+       |decor AS (SELECT '$AxisOps'
+       |  || $pdfXTickAggSql
+       |  || ${pdfYTickAggSql("av", "ap", right = false)}
+       |  || ${pdfYTickAggSql("bv", "bp", right = true)}
+       |  || '$labels' AS decor_ops FROM ticks),
+       |b AS (SELECT
+       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+       |  CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+       |  FROM base, ext),
+       |env AS (SELECT px, max(pya) AS pya, max(pyb) AS pyb FROM b GROUP BY px),
+       |tok AS (SELECT px, pya, pyb,
+       |  CASE WHEN row_number() OVER (ORDER BY px) = 1 THEN ' m' ELSE ' l' END AS op
+       |  FROM env),
+       |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  '0 0 1 RG 1 w' || chr(10) ||
+       |  string_agg(px::VARCHAR || ' ' || pya::VARCHAR || op, ' ' ORDER BY px)
+       |  || ' S' || chr(10) ||
+       |  '1 0 0 RG 1 w' || chr(10) ||
+       |  string_agg(px::VARCHAR || ' ' || pyb::VARCHAR || op, ' ' ORDER BY px)
+       |  || ' S' || chr(10) AS line_ops
+       |  FROM tok),
+       |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
+       |  coalesce(string_agg('1 1 0 rg ' || pxs::VARCHAR || ' 0 ' ||
+       |    greatest(pxe - pxs, 1)::VARCHAR || ' 400 re f' || chr(10),
+       |    '' ORDER BY pxs, pxe), '') AS rect_ops
+       |  FROM spx),
+       |agg AS (SELECT n_points, n_regions,
+       |  decor_ops || rect_ops || line_ops || '$legend' AS content
+       |  FROM lns, rects, decor),
+       |doc AS (SELECT n_points, n_regions,
+       |  CAST(length(content) AS BIGINT) AS content_len,
+       |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
+       |    || ' >>' || chr(10) || 'stream' || chr(10) || content
+       |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
+       |SELECT n_points, n_regions, content_len,
+       |  $pdfFramingSql AS pdf
+       |FROM doc""".stripMargin
+  }
+
   private val ewmaOracle: String =
     """WITH RECURSIVE ev AS (SELECT user_id, event_id,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -7916,33 +8227,10 @@ object SparkEntry {
         |  CAST(sum(n_rows) AS BIGINT) AS sum_qps_rows,
         |  CAST(sum(recall_bps) // count(*) AS BIGINT) AS mean_recall_bps
         |FROM r GROUP BY 1, 2""".stripMargin,
-    "svg_tenant_curve_chart" ->
-      """WITH s0 AS (SELECT event_type AS backend, nc.num_clients,
-        |    user_id % nc.num_clients AS client,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events, (SELECT unnest([10, 20, 30, 40, 50]) AS num_clients) nc),
-        |c0 AS (SELECT backend, num_clients, client, count(*) AS n_rows
-        |  FROM s0 GROUP BY 1, 2, 3),
-        |base AS (SELECT backend AS s, CAST(num_clients AS BIGINT) AS x,
-        |    CAST(sum(n_rows) // count(*) AS BIGINT) AS y
-        |  FROM c0 GROUP BY 1, 2),
-        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
-        |               min(y) AS ymin, max(y) AS ymax FROM base),
-        |pts AS (SELECT s,
-        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-        |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
-        |  FROM base, ext),
-        |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
-        |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
-        |  '<polyline class="' || s || '" fill="none" points="' ||
-        |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
-        |  '"/>' AS elem
-        |  FROM env GROUP BY s)
-        |SELECT CAST(count(*) AS BIGINT) AS n_series,
-        |  CAST(sum(n_points) AS BIGINT) AS n_points,
-        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
-        |  string_agg(elem, '' ORDER BY s) || '</svg>' AS svg
-        |FROM lines""".stripMargin,
+    "svg_tenant_curve_chart" -> svgMultiSeriesOracle(tenantCurveBaseCtes,
+      "Per-client QPS vs Client Count", "Clients", "QPS"),
+    "pdf_tenant_curve_chart" -> pdfMultiSeriesOracle(tenantCurveBaseCtes,
+      "Per-client QPS vs Client Count", "Clients", "QPS"),
     "event_regions" ->
       """WITH f AS (SELECT user_id, event_id, event_type, ts FROM events
         |  WHERE event_type IN ('signup', 'purchase')),
@@ -7998,193 +8286,12 @@ object SparkEntry {
         |  CAST(regexp_extract(line, 'Latency = ([0-9.]+)', 1) AS DOUBLE) AS latency_ms,
         |  CAST(regexp_extract(line, 'Recall = ([0-9.]+)', 1) AS DOUBLE) AS recall
         |FROM lines WHERE regexp_matches(line, 'Interval')""".stripMargin,
-    "pdf_interval_chart" ->
-      // byte-exact PDF replay: same pixel math as the SVG oracle (y kept
-      // UNFLIPPED — PDF's axis grows upward), path ops with first-point
-      // 'm' markers, palette by series rank, and the document framing
-      // (object 4's /Length, startxref = 202 + len(obj4)) from
-      // part-length arithmetic. Constant offsets 9/58/115/202 are the
-      // fixed catalog/pages/page object sizes.
-      """WITH base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
-        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
-        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
-        |               min(y) AS ymin, max(y) AS ymax FROM base),
-        |pts AS (SELECT s,
-        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-        |  CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
-        |  FROM base, ext),
-        |env AS (SELECT s, px, max(py) AS py FROM pts GROUP BY 1, 2),
-        |tok AS (SELECT s, px, py,
-        |  CASE WHEN row_number() OVER (PARTITION BY s ORDER BY px) = 1
-        |       THEN ' m' ELSE ' l' END AS op FROM env),
-        |paths AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
-        |  string_agg(px::VARCHAR || ' ' || py::VARCHAR || op, ' ' ORDER BY px) AS path
-        |  FROM tok GROUP BY s),
-        |blocks AS (SELECT s, n_points,
-        |  (['0 0 1','1 0 0','0 1 0','1 0 1','0 1 1','1 1 0'])[
-        |      CAST((row_number() OVER (ORDER BY s) - 1) % 6 AS INTEGER) + 1]
-        |    || ' RG 1 w' || chr(10) || path || ' S' || chr(10) AS block FROM paths),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
-        |  CAST(sum(n_points) AS BIGINT) AS n_points,
-        |  string_agg(block, '' ORDER BY s) AS content FROM blocks),
-        |doc AS (SELECT n_series, n_points,
-        |  CAST(length(content) AS BIGINT) AS content_len,
-        |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
-        |    || ' >>' || chr(10) || 'stream' || chr(10) || content
-        |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
-        |SELECT n_series, n_points, content_len,
-        |  '%PDF-1.4' || chr(10)
-        |  || '1 0 obj' || chr(10) || '<< /Type /Catalog /Pages 2 0 R >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || '2 0 obj' || chr(10) || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || '3 0 obj' || chr(10)
-        |  || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 640 400] /Contents 4 0 R >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || obj4
-        |  || 'xref' || chr(10) || '0 5' || chr(10)
-        |  || '0000000000 65535 f ' || chr(10)
-        |  || '0000000009 00000 n ' || chr(10) || '0000000058 00000 n ' || chr(10)
-        |  || '0000000115 00000 n ' || chr(10) || '0000000202 00000 n ' || chr(10)
-        |  || 'trailer' || chr(10) || '<< /Size 5 /Root 1 0 R >>' || chr(10)
-        |  || 'startxref' || chr(10) || (202 + length(obj4))::VARCHAR || chr(10)
-        |  || '%%EOF' || chr(10) AS pdf
-        |FROM doc""".stripMargin,
-    "svg_interval_chart" ->
-      """WITH base AS (SELECT event_type AS s, (event_id % 5) + 1 AS x,
-        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
-        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
-        |               min(y) AS ymin, max(y) AS ymax FROM base),
-        |pts AS (SELECT s,
-        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-        |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
-        |  FROM base, ext),
-        |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
-        |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
-        |  '<polyline class="' || s || '" fill="none" points="' ||
-        |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
-        |  '"/>' AS elem
-        |  FROM env GROUP BY s)
-        |SELECT CAST(count(*) AS BIGINT) AS n_series,
-        |  CAST(sum(n_points) AS BIGINT) AS n_points,
-        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
-        |  string_agg(elem, '' ORDER BY s) || '</svg>' AS svg
-        |FROM lines""".stripMargin,
-    "pdf_qps_latency_chart" ->
-      // PDF twin of svg_qps_latency_chart: unflipped y (PDF axis grows
-      // up, envelope = max), region fills before the stroked paths, and
-      // the same computed document framing as pdf_interval_chart
-      """WITH base AS (SELECT epoch_ms(ts) AS x,
-        |  CAST(floor(value * 100) AS BIGINT) AS abp,
-        |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
-        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
-        |  min(abp) AS amin, max(abp) AS amax,
-        |  min(bbp) AS bmin, max(bbp) AS bmax FROM base),
-        |b AS (SELECT
-        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-        |  CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
-        |  CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
-        |  FROM base, ext),
-        |env AS (SELECT px, max(pya) AS pya, max(pyb) AS pyb FROM b GROUP BY px),
-        |tok AS (SELECT px, pya, pyb,
-        |  CASE WHEN row_number() OVER (ORDER BY px) = 1 THEN ' m' ELSE ' l' END AS op
-        |  FROM env),
-        |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
-        |  '0 0 1 RG 1 w' || chr(10) ||
-        |  string_agg(px::VARCHAR || ' ' || pya::VARCHAR || op, ' ' ORDER BY px)
-        |  || ' S' || chr(10) ||
-        |  '1 0 0 RG 1 w' || chr(10) ||
-        |  string_agg(px::VARCHAR || ' ' || pyb::VARCHAR || op, ' ' ORDER BY px)
-        |  || ' S' || chr(10) AS line_ops
-        |  FROM tok),
-        |f AS (SELECT user_id, event_id, event_type, ts FROM events
-        |  WHERE event_type IN ('signup', 'purchase')),
-        |m AS (SELECT user_id, event_id AS start_event_id, event_type,
-        |  epoch_ms(ts) AS start_ms,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
-        |  FROM f),
-        |top3 AS (SELECT start_ms AS xs, end_ms AS xe FROM m
-        |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
-        |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
-        |spx AS (SELECT
-        |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
-        |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
-        |  FROM top3, ext),
-        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
-        |  coalesce(string_agg('1 1 0 rg ' || pxs::VARCHAR || ' 0 ' ||
-        |    greatest(pxe - pxs, 1)::VARCHAR || ' 400 re f' || chr(10),
-        |    '' ORDER BY pxs, pxe), '') AS rect_ops
-        |  FROM spx),
-        |agg AS (SELECT n_points, n_regions, rect_ops || line_ops AS content
-        |  FROM lns, rects),
-        |doc AS (SELECT n_points, n_regions,
-        |  CAST(length(content) AS BIGINT) AS content_len,
-        |  '4 0 obj' || chr(10) || '<< /Length ' || length(content)::VARCHAR
-        |    || ' >>' || chr(10) || 'stream' || chr(10) || content
-        |    || 'endstream' || chr(10) || 'endobj' || chr(10) AS obj4 FROM agg)
-        |SELECT n_points, n_regions, content_len,
-        |  '%PDF-1.4' || chr(10)
-        |  || '1 0 obj' || chr(10) || '<< /Type /Catalog /Pages 2 0 R >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || '2 0 obj' || chr(10) || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || '3 0 obj' || chr(10)
-        |  || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 640 400] /Contents 4 0 R >>'
-        |    || chr(10) || 'endobj' || chr(10)
-        |  || obj4
-        |  || 'xref' || chr(10) || '0 5' || chr(10)
-        |  || '0000000000 65535 f ' || chr(10)
-        |  || '0000000009 00000 n ' || chr(10) || '0000000058 00000 n ' || chr(10)
-        |  || '0000000115 00000 n ' || chr(10) || '0000000202 00000 n ' || chr(10)
-        |  || 'trailer' || chr(10) || '<< /Size 5 /Root 1 0 R >>' || chr(10)
-        |  || 'startxref' || chr(10) || (202 + length(obj4))::VARCHAR || chr(10)
-        |  || '%%EOF' || chr(10) AS pdf
-        |FROM doc""".stripMargin,
-    "svg_qps_latency_chart" ->
-      """WITH base AS (SELECT epoch_ms(ts) AS x,
-        |  CAST(floor(value * 100) AS BIGINT) AS abp,
-        |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
-        |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
-        |  min(abp) AS amin, max(abp) AS amax,
-        |  min(bbp) AS bmin, max(bbp) AS bmax FROM base),
-        |b AS (SELECT
-        |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-        |  399 - CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
-        |  399 - CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
-        |  FROM base, ext),
-        |env AS (SELECT px, min(pya) AS pya, min(pyb) AS pyb FROM b GROUP BY px),
-        |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
-        |  '<polyline class="a" fill="none" points="' ||
-        |  string_agg(px::VARCHAR || ',' || pya::VARCHAR, ' ' ORDER BY px) || '"/>' ||
-        |  '<polyline class="b" fill="none" points="' ||
-        |  string_agg(px::VARCHAR || ',' || pyb::VARCHAR, ' ' ORDER BY px) || '"/>' AS line_elems
-        |  FROM env),
-        |f AS (SELECT user_id, event_id, event_type, ts FROM events
-        |  WHERE event_type IN ('signup', 'purchase')),
-        |m AS (SELECT user_id, event_id AS start_event_id, event_type,
-        |  epoch_ms(ts) AS start_ms,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS end_ms
-        |  FROM f),
-        |top3 AS (SELECT start_ms AS xs, end_ms AS xe FROM m
-        |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
-        |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
-        |spx AS (SELECT
-        |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
-        |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
-        |  FROM top3, ext),
-        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
-        |  coalesce(string_agg('<rect class="phase" x="' || pxs::VARCHAR ||
-        |    '" y="0" width="' || greatest(pxe - pxs, 1)::VARCHAR ||
-        |    '" height="400"/>', '' ORDER BY pxs, pxe), '') AS rect_elems
-        |  FROM spx)
-        |SELECT n_points, n_regions,
-        |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
-        |  rect_elems || line_elems || '</svg>' AS svg
-        |FROM lns, rects""".stripMargin,
+    "pdf_interval_chart" -> pdfMultiSeriesOracle(intervalChartBaseCtes,
+      "Value over First 5 Intervals", "Interval", "Value bp"),
+    "svg_interval_chart" -> svgMultiSeriesOracle(intervalChartBaseCtes,
+      "Value over First 5 Intervals", "Interval", "Value bp"),
+    "pdf_qps_latency_chart" -> pdfDualAxisOracle,
+    "svg_qps_latency_chart" -> svgDualAxisOracle,
     "event_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,

@@ -23,7 +23,9 @@ class PdfSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/events.parquet"),
       col("event_type"),
       (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
-      floor(col("value") * 100).cast("long")).head()
+      floor(col("value") * 100).cast("long"),
+      title = "Value over First 5 Intervals", xlabel = "Interval",
+      ylabel = "Value bp").head()
     (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
   }
 
@@ -53,11 +55,24 @@ class PdfSpec extends AnyFunSuite {
     assert(pdf.startsWith("xref\n", sxr))
     // pure ASCII: chars == bytes, so the length arithmetic above is bytes
     assert(pdf.forall(_ < 128))
-    // path grammar: one color+path block per series, m before l
     val streams = pdf.substring(streamStart, streamEnd)
-    assert(streams.count(_ == 'm') == nSeries)
-    assert("""\d+ \d+ m""".r.findAllIn(streams).size == nSeries)
-    assert(streams.split("\n").count(_.endsWith(" S")) == nSeries)
+    // stroked-block inventory: 1 axis frame + 10 ticks + nSeries paths
+    // + nSeries legend swatches
+    assert(streams.split("\n").count(_.endsWith(" S")) == 1 + 10 + 2 * nSeries)
+    // path grammar: `x y m` starts — axis 1, ticks 10, series nSeries,
+    // legend swatches nSeries
+    assert("""\d+ \d+ m""".r.findAllIn(streams).size == 11 + 2 * nSeries)
+    // decorations are a contract: the Helvetica resource, tick labels,
+    // title/axis labels and the per-series legend (plots.py:68-93)
+    assert(pdf.contains("/BaseFont /Helvetica"))
+    assert("""Tf \d+ 10 Td \(-?\d+\) Tj ET""".r.findAllIn(streams).size == 5) // x ticks
+    assert("""Tf 8 \d+ Td \(-?\d+\) Tj ET""".r.findAllIn(streams).size >= 5) // y ticks
+    assert(streams.contains("(Value over First 5 Intervals) Tj"))
+    assert(streams.contains("(Interval) Tj"))
+    assert(streams.contains("Tm (Value bp) Tj")) // rotated y label
+    // legend: one label per series, preceded by the black-fill reset
+    assert(streams.contains("0 0 0 rg\n"))
+    assert("""Tf 544 \d+ Td \([^)]+\) Tj ET""".r.findAllIn(streams).size == nSeries)
   }
 
   private def assertValidPdf(pdf: String): Unit = {
@@ -88,14 +103,29 @@ class PdfSpec extends AnyFunSuite {
         col("start_event_id"))
       .limit(3)
       .select(col("start_ms").as("xs"), col("end_ms").as("xe"))
-    val row = PdfPlot.dualAxisPdf(rows, regions).head()
+    val row = PdfPlot.dualAxisPdf(rows, regions,
+      title = "QPS and Latency with Phase Regions", xlabel = "Time ms",
+      ylabel = "QPS bp", y2label = "Latency bp",
+      aLabel = "QPS", bLabel = "Latency", regionLabel = "Phase").head()
     val (nRegions, pdf) = (row.getLong(1), row.getString(3))
     assertValidPdf(pdf)
     val content = pdf.substring(pdf.indexOf("stream\n") + 7, pdf.indexOf("endstream"))
     assert(content.split("\n").count(_.endsWith(" re f")) == nRegions)
-    assert(content.count(_ == 'm') == 2) // two path starts (a + b)
-    // paint order: every region fill precedes the first stroked path
-    assert(content.lastIndexOf(" re f") < content.indexOf(" RG"))
+    // paint order: every region fill precedes the first SERIES stroke
+    // (the decor frame/ticks legitimately precede the fills)
+    assert(content.lastIndexOf(" re f") < content.indexOf("0 0 1 RG 1 w"))
+    // exactly two series path starts after the series strokes begin
+    val seriesOn = content.substring(content.indexOf("0 0 1 RG 1 w"))
+    val beforeLegend = seriesOn.substring(0, seriesOn.indexOf("0 0 0 rg"))
+    assert("""\d+ \d+ m""".r.findAllIn(beforeLegend).size == 2)
+    // left AND right tick columns (independent scales, twinx)
+    assert("""(?m)^0 \d+ m 6 \d+ l S$""".r.findAllIn(content).size == 5)
+    assert("""(?m)^633 \d+ m 639 \d+ l S$""".r.findAllIn(content).size == 5)
+    // combined legend (logs/plot.py:51-64): three entries in order
+    assert(content.contains("(QPS) Tj"))
+    assert(content.contains("(Latency) Tj"))
+    assert(content.contains("(Phase) Tj"))
+    assert(content.contains("Tm (QPS bp) Tj") && content.contains("Tm (Latency bp) Tj"))
     // independent y scales: both paths stay inside the page box
     val coords = raw"(\d+) (\d+) [ml]".r.findAllMatchIn(content).toSeq
     assert(coords.nonEmpty)
@@ -114,7 +144,9 @@ class PdfSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/events.parquet"),
         col("event_type"),
         (pmod(col("event_id"), lit(5L)) + 1L).cast("long"),
-        floor(col("value") * 100).cast("long")),
+        floor(col("value") * 100).cast("long"),
+        title = "Value over First 5 Intervals", xlabel = "Interval",
+        ylabel = "Value bp"),
       path)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     assert(new String(bytes, java.nio.charset.StandardCharsets.US_ASCII) == a)

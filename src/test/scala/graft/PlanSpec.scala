@@ -232,15 +232,15 @@ class PlanSpec extends AnyFunSuite {
   test("svg charts: pixel bucket is a partial aggregate, extrema never SMJ") {
     // The S6 sink's scale property: the downsample happens as a map-side
     // partial HashAggregate on the ≤640-key pixel grid; the chart extrema
-    // are a 1-row artifact — broadcast in the single-consumer chart,
-    // collected-to-literals in the dual-axis chart (two consumers, one
-    // scan) — never a sort-merge join, never a shuffle of the raw series
-    // past the bucket.
+    // are a 1-row artifact collected to literals in BOTH chart shapes
+    // (the point pass and the tick decorations are two consumers, and
+    // branches never exchange-reuse a broadcast aggregate) — never a
+    // sort-merge join, never a shuffle of the raw series past the bucket.
     val p1 = planOf("svg_interval_chart")
     assert(p1.contains("HashAggregate"), s"svg_interval_chart: expected hash aggregation\n$p1")
-    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastExchange"),
-      s"svg_interval_chart: extrema must broadcast\n$p1")
     assert(!p1.contains("SortMergeJoin"), s"svg_interval_chart: no SMJ in a chart plan\n$p1")
+    // literal-injected extrema: the rendered plan scans events exactly once
+    assert("Scan parquet".r.findAllIn(p1).size <= 1, s"svg_interval_chart: extra scans\n$p1")
     val p2 = planOf("svg_qps_latency_chart")
     assert(p2.contains("HashAggregate"), s"svg_qps_latency_chart: expected hash aggregation\n$p2")
     assert(!p2.contains("SortMergeJoin"), s"svg_qps_latency_chart: no SMJ in a chart plan\n$p2")
