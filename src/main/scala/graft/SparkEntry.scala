@@ -7367,23 +7367,26 @@ object SparkEntry {
     * `p` (`flip` = SVG y; unflipped = PDF y / SVG x with extent 640). */
   private def tickColsSql(vmin: String, vmax: String, extent: Int,
       flip: Boolean, v: String, p: String): String = {
-    val scaled = s"CAST(floor((($vmax - $vmin) * i // 4) * ${extent - 1} " +
+    val seg = graft.sources.SvgPlot.Ticks - 1
+    val scaled = s"CAST(floor((($vmax - $vmin) * i // $seg) * ${extent - 1} " +
       s"/ greatest($vmax - $vmin, 1)) AS BIGINT)"
-    s"$vmin + (($vmax - $vmin) * i) // 4 AS $v,\n" +
+    s"$vmin + (($vmax - $vmin) * i) // $seg AS $v,\n" +
       s"  ${if (flip) s"${extent - 1} - $scaled" else scaled} AS $p"
   }
 
   /** SVG tick elements for the bottom edge (x) from tick CTE cols. */
-  private val svgXTickAggSql =
-    """string_agg('<line class="tick" x1="' || xp::VARCHAR || '" y1="399" x2="' ||
-      |      xp::VARCHAR || '" y2="393"/><text class="xtick" x="' || xp::VARCHAR ||
-      |      '" y="390">' || xv::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
+  private val svgXTickAggSql = {
+    import graft.sources.SvgPlot.H
+    s"""string_agg('<line class="tick" x1="' || xp::VARCHAR || '" y1="${H - 1}" x2="' ||
+       |      xp::VARCHAR || '" y2="${H - 7}"/><text class="xtick" x="' || xp::VARCHAR ||
+       |      '" y="${H - 10}">' || xv::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
+  }
 
   /** SVG tick elements for a left/right y edge from tick CTE cols. */
   private def svgYTickAggSql(v: String, p: String, cls: String, right: Boolean): String =
     if (right)
-      s"""string_agg('<line class="tick" x1="633" y1="' || $p::VARCHAR || '" x2="639" y2="' ||
-         |      $p::VARCHAR || '"/><text class="$cls" x="560" y="' || $p::VARCHAR || '">' ||
+      s"""string_agg('<line class="tick" x1="${graft.sources.SvgPlot.W - 7}" y1="' || $p::VARCHAR || '" x2="${graft.sources.SvgPlot.W - 1}" y2="' ||
+         |      $p::VARCHAR || '"/><text class="$cls" x="${graft.sources.SvgPlot.W - 80}" y="' || $p::VARCHAR || '">' ||
          |      $v::VARCHAR || '</text>', '' ORDER BY i)""".stripMargin
     else
       s"""string_agg('<line class="tick" x1="0" y1="' || $p::VARCHAR || '" x2="6" y2="' ||
@@ -7399,8 +7402,8 @@ object SparkEntry {
   /** PDF tick ops for a left/right y edge from tick CTE cols. */
   private def pdfYTickAggSql(v: String, p: String, right: Boolean): String =
     if (right)
-      s"""string_agg('633 ' || $p::VARCHAR || ' m 639 ' || $p::VARCHAR || ' l S' || chr(10) ||
-         |      'BT /F1 8 Tf 560 ' || $p::VARCHAR || ' Td (' || $v::VARCHAR || ') Tj ET' ||
+      s"""string_agg('${graft.sources.SvgPlot.W - 7} ' || $p::VARCHAR || ' m ${graft.sources.SvgPlot.W - 1} ' || $p::VARCHAR || ' l S' || chr(10) ||
+         |      'BT /F1 8 Tf ${graft.sources.SvgPlot.W - 80} ' || $p::VARCHAR || ' Td (' || $v::VARCHAR || ') Tj ET' ||
          |      chr(10), '' ORDER BY i)""".stripMargin
     else
       s"""string_agg('0 ' || $p::VARCHAR || ' m 6 ' || $p::VARCHAR || ' l S' || chr(10) ||
@@ -7426,14 +7429,14 @@ object SparkEntry {
        |ticks AS (SELECT i,
        |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
        |  ${tickColsSql("ymin", "ymax", 400, flip = true, "yv", "yp")}
-       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext),
+       |  FROM (SELECT unnest(generate_series(0, ${graft.sources.SvgPlot.Ticks - 1})) AS i), ext),
        |decor AS (SELECT '$AxisElem'
        |  || $svgXTickAggSql
        |  || ${svgYTickAggSql("yv", "yp", "ytick", right = false)}
        |  || '${labelElems(title, xlabel, ylabel)}' AS decor_elems FROM ticks),
        |pts AS (SELECT s,
-       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-       |  399 - CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+       |  CAST(floor((x - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  ${graft.sources.SvgPlot.H - 1} - CAST(floor((y - ymin) * ${graft.sources.SvgPlot.H - 1} / greatest(ymax - ymin, 1)) AS BIGINT) AS py
        |  FROM base, ext),
        |env AS (SELECT s, px, min(py) AS py FROM pts GROUP BY 1, 2),
        |lines AS (SELECT s, CAST(count(*) AS BIGINT) AS n_points,
@@ -7441,12 +7444,12 @@ object SparkEntry {
        |  string_agg(px::VARCHAR || ',' || py::VARCHAR, ' ' ORDER BY px) ||
        |  '"/>' AS elem
        |  FROM env GROUP BY s),
-       |leg AS (SELECT string_agg('<text class="legend" x="520" y="' ||
+       |leg AS (SELECT string_agg('<text class="legend" x="${graft.sources.SvgPlot.W - 120}" y="' ||
        |    (20 + 14 * (rn - 1))::VARCHAR || '">' || s || '</text>', '' ORDER BY s) AS legend_elems
        |  FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM lines) rl)
        |SELECT CAST(count(*) AS BIGINT) AS n_series,
        |  CAST(sum(n_points) AS BIGINT) AS n_points,
-       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 ${graft.sources.SvgPlot.W} ${graft.sources.SvgPlot.H}">' ||
        |  decor_elems || string_agg(elem, '' ORDER BY s) || legend_elems || '</svg>' AS svg
        |FROM lines, decor, leg
        |GROUP BY decor_elems, legend_elems""".stripMargin
@@ -7463,14 +7466,14 @@ object SparkEntry {
        |ticks AS (SELECT i,
        |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
        |  ${tickColsSql("ymin", "ymax", 400, flip = false, "yv", "yp")}
-       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext),
+       |  FROM (SELECT unnest(generate_series(0, ${graft.sources.SvgPlot.Ticks - 1})) AS i), ext),
        |decor AS (SELECT '$AxisOps'
        |  || $pdfXTickAggSql
        |  || ${pdfYTickAggSql("yv", "yp", right = false)}
        |  || '${labelOps(title, xlabel, ylabel)}' AS decor_ops FROM ticks),
        |pts AS (SELECT s,
-       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-       |  CAST(floor((y - ymin) * 399 / greatest(ymax - ymin, 1)) AS BIGINT) AS py
+       |  CAST(floor((x - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  CAST(floor((y - ymin) * ${graft.sources.SvgPlot.H - 1} / greatest(ymax - ymin, 1)) AS BIGINT) AS py
        |  FROM base, ext),
        |env AS (SELECT s, px, max(py) AS py FROM pts GROUP BY 1, 2),
        |tok AS (SELECT s, px, py,
@@ -7487,9 +7490,9 @@ object SparkEntry {
        |    || ' RG 1 w' || chr(10) || path || ' S' || chr(10) AS block,
        |  (['0 0 1','1 0 0','0 1 0','1 0 1','0 1 1','1 1 0'])[
        |      CAST((rn - 1) % 6 AS INTEGER) + 1]
-       |    || ' RG 1 w' || chr(10) || '520 ' || (380 - 14 * (rn - 1))::VARCHAR ||
-       |    ' m 540 ' || (380 - 14 * (rn - 1))::VARCHAR || ' l S' || chr(10) ||
-       |    'BT /F1 8 Tf 544 ' || (377 - 14 * (rn - 1))::VARCHAR || ' Td (' || s ||
+       |    || ' RG 1 w' || chr(10) || '${graft.sources.SvgPlot.W - 120} ' || (${graft.sources.SvgPlot.H - 20} - 14 * (rn - 1))::VARCHAR ||
+       |    ' m ${graft.sources.SvgPlot.W - 100} ' || (${graft.sources.SvgPlot.H - 20} - 14 * (rn - 1))::VARCHAR || ' l S' || chr(10) ||
+       |    'BT /F1 8 Tf ${graft.sources.SvgPlot.W - 96} ' || (${graft.sources.SvgPlot.H - 23} - 14 * (rn - 1))::VARCHAR || ' Td (' || s ||
        |    ') Tj ET' || chr(10) AS legend_block FROM ranked),
        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
        |  CAST(sum(n_points) AS BIGINT) AS n_points,
@@ -7510,7 +7513,7 @@ object SparkEntry {
     * (x, abp, bbp) series plus the 3 longest signup→purchase spans as
     * pixel regions (logs/plot.py's axvspan inputs). */
   private val dualAxisLeadCtes: String =
-    """base AS (SELECT epoch_ms(ts) AS x,
+    s"""base AS (SELECT epoch_ms(ts) AS x,
       |  CAST(floor(value * 100) AS BIGINT) AS abp,
       |  CAST(floor(value * 200) AS BIGINT) AS bbp FROM events),
       |ext AS (SELECT min(x) AS xmin, max(x) AS xmax,
@@ -7528,8 +7531,8 @@ object SparkEntry {
       |  WHERE event_type = 'signup' AND end_ms IS NOT NULL
       |  ORDER BY (end_ms - start_ms) DESC, start_ms, start_event_id LIMIT 3),
       |spx AS (SELECT
-      |  CAST(floor((xs - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
-      |  CAST(floor((xe - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
+      |  CAST(floor((xs - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS pxs,
+      |  CAST(floor((xe - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS pxe
       |  FROM top3, ext)""".stripMargin
 
   /** The dual-axis charts' tick CTE (x bottom, a left, b right). */
@@ -7538,7 +7541,7 @@ object SparkEntry {
        |  ${tickColsSql("xmin", "xmax", 640, flip = false, "xv", "xp")},
        |  ${tickColsSql("amin", "amax", 400, flip, "av", "ap")},
        |  ${tickColsSql("bmin", "bmax", 400, flip, "bv", "bp")}
-       |  FROM (SELECT unnest(generate_series(0, 4)) AS i), ext)""".stripMargin
+       |  FROM (SELECT unnest(generate_series(0, ${graft.sources.SvgPlot.Ticks - 1})) AS i), ext)""".stripMargin
 
   /** Full oracle for `svg_qps_latency_chart` — the decorated
     * [[graft.sources.SvgPlot.dualAxisChart]] byte replay. */
@@ -7556,9 +7559,9 @@ object SparkEntry {
        |  || ${svgYTickAggSql("bv", "bp", "ytick2", right = true)}
        |  || '$labels' AS decor_elems FROM ticks),
        |b AS (SELECT
-       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-       |  399 - CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
-       |  399 - CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+       |  CAST(floor((x - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  ${graft.sources.SvgPlot.H - 1} - CAST(floor((abp - amin) * ${graft.sources.SvgPlot.H - 1} / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+       |  ${graft.sources.SvgPlot.H - 1} - CAST(floor((bbp - bmin) * ${graft.sources.SvgPlot.H - 1} / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
        |  FROM base, ext),
        |env AS (SELECT px, min(pya) AS pya, min(pyb) AS pyb FROM b GROUP BY px),
        |lns AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
@@ -7570,10 +7573,10 @@ object SparkEntry {
        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
        |  coalesce(string_agg('<rect class="phase" x="' || pxs::VARCHAR ||
        |    '" y="0" width="' || greatest(pxe - pxs, 1)::VARCHAR ||
-       |    '" height="400"/>', '' ORDER BY pxs, pxe), '') AS rect_elems
+       |    '" height="${graft.sources.SvgPlot.H}"/>', '' ORDER BY pxs, pxe), '') AS rect_elems
        |  FROM spx)
        |SELECT n_points, n_regions,
-       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 640 400">' ||
+       |  '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 ${graft.sources.SvgPlot.W} ${graft.sources.SvgPlot.H}">' ||
        |  decor_elems || rect_elems || line_elems || '$legend' || '</svg>' AS svg
        |FROM lns, rects, decor""".stripMargin
   }
@@ -7594,9 +7597,9 @@ object SparkEntry {
        |  || ${pdfYTickAggSql("bv", "bp", right = true)}
        |  || '$labels' AS decor_ops FROM ticks),
        |b AS (SELECT
-       |  CAST(floor((x - xmin) * 639 / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
-       |  CAST(floor((abp - amin) * 399 / greatest(amax - amin, 1)) AS BIGINT) AS pya,
-       |  CAST(floor((bbp - bmin) * 399 / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
+       |  CAST(floor((x - xmin) * ${graft.sources.SvgPlot.W - 1} / greatest(xmax - xmin, 1)) AS BIGINT) AS px,
+       |  CAST(floor((abp - amin) * ${graft.sources.SvgPlot.H - 1} / greatest(amax - amin, 1)) AS BIGINT) AS pya,
+       |  CAST(floor((bbp - bmin) * ${graft.sources.SvgPlot.H - 1} / greatest(bmax - bmin, 1)) AS BIGINT) AS pyb
        |  FROM base, ext),
        |env AS (SELECT px, max(pya) AS pya, max(pyb) AS pyb FROM b GROUP BY px),
        |tok AS (SELECT px, pya, pyb,
@@ -7612,7 +7615,7 @@ object SparkEntry {
        |  FROM tok),
        |rects AS (SELECT CAST(count(*) AS BIGINT) AS n_regions,
        |  coalesce(string_agg('1 1 0 rg ' || pxs::VARCHAR || ' 0 ' ||
-       |    greatest(pxe - pxs, 1)::VARCHAR || ' 400 re f' || chr(10),
+       |    greatest(pxe - pxs, 1)::VARCHAR || ' ${graft.sources.SvgPlot.H} re f' || chr(10),
        |    '' ORDER BY pxs, pxe), '') AS rect_ops
        |  FROM spx),
        |agg AS (SELECT n_points, n_regions,

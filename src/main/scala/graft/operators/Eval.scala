@@ -102,10 +102,14 @@ object Eval {
     // worse, unpersist the shared entry while the newer slot still
     // "retains" it
     import scala.jdk.CollectionConverters._
-    // drop entries from stopped/replaced sessions first: unpersist on a
-    // dead session throws inside an unrelated live query's retain call,
-    // and stale entries otherwise consume the 8-slot capacity (ADVICE r7)
-    smallCacheFifo.removeIf(e => e.sparkSession ne d.sparkSession)
+    // drop entries whose CONTEXT is stopped first: unpersist on a dead
+    // context throws inside an unrelated live query's retain call, and
+    // stale entries otherwise consume the 8-slot capacity (ADVICE r7).
+    // Entries from other LIVE sessions stay counted — the shared-context
+    // CacheManager is one pool, and evicting them via the Try-unpersist
+    // below still releases their storage (dropping them untracked would
+    // reintroduce the unbounded growth this FIFO exists to bound).
+    smallCacheFifo.removeIf(e => e.sparkSession.sparkContext.isStopped)
     val plan = d.queryExecution.analyzed
     if (!smallCacheFifo.asScala.exists(_.queryExecution.analyzed.sameResult(plan))) {
       smallCacheFifo.addLast(d)

@@ -148,10 +148,17 @@ object PdfPlot {
   def multiSeriesPdf(rows: DataFrame, series: Column, x: Column, ybp: Column,
       title: String = "", xlabel: String = "", ylabel: String = ""): DataFrame = {
     val base = rows.select(series.as("s"), x.as("x"), ybp.as("y"))
+    // extrema + series-name validation in ONE pass: series values reach
+    // PDF `(...)` string operands in the legend unescaped — `(`/`)`/`\`
+    // in data would corrupt the content stream, so fail loudly
     val ext = base.agg(
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-      min(col("y")).as("ymin"), max(col("y")).as("ymax")).head()
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+      max(coalesce(col("s").rlike("[^A-Za-z0-9 %_.-]").cast("int"), lit(1))).as("badS")).head()
     require(!ext.isNullAt(0), "multiSeriesPdf: rows input is empty")
+    require(ext.getInt(4) == 0,
+      "multiSeriesPdf: series values must be ASCII [A-Za-z0-9 %_.-] " +
+        "(spliced into PDF text ops unescaped)")
     val (xmin, xmax, ymin, ymax) =
       (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
     val decor = AxisOps + xTickOps(xmin, xmax) + yTickOps(ymin, ymax) +

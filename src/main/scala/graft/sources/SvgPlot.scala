@@ -80,8 +80,12 @@ object SvgPlot {
     * them into both markup and PDF string ops unescaped, and the oracle
     * replays the same bytes. */
   private[graft] def checkLabel(s: String): String = {
-    require(s.forall(c => c.isLetterOrDigit || c == ' ' || c == '-' || c == '%'),
-      s"chart label '$s' must be [A-Za-z0-9 %-] only (spliced into SVG and PDF unescaped)")
+    // ASCII-only explicitly: isLetterOrDigit alone admits non-ASCII
+    // letters, which break the PDF sink's chars==bytes /Length
+    // arithmetic and the US_ASCII file write
+    require(s.forall(c => c < 128 &&
+        (c.isLetterOrDigit || c == ' ' || c == '-' || c == '%')),
+      s"chart label '$s' must be ASCII [A-Za-z0-9 %-] only (spliced into SVG and PDF unescaped)")
     s
   }
 
@@ -174,10 +178,18 @@ object SvgPlot {
   def multiSeriesChart(rows: DataFrame, series: Column, x: Column, ybp: Column,
       title: String = "", xlabel: String = "", ylabel: String = ""): DataFrame = {
     val base = rows.select(series.as("s"), x.as("x"), ybp.as("y"))
+    // extrema + series-name validation in ONE pass: series values are
+    // spliced into class attributes, legend text (and the PDF twin's
+    // text ops) unescaped, so markup/PDF-active characters in DATA
+    // must fail loudly, not corrupt the document
     val e = base.agg(
       min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-      min(col("y")).as("ymin"), max(col("y")).as("ymax")).head()
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+      max(coalesce(col("s").rlike("[^A-Za-z0-9 %_.-]").cast("int"), lit(1))).as("badS")).head()
     require(!e.isNullAt(0), "multiSeriesChart: rows input is empty")
+    require(e.getInt(4) == 0,
+      "multiSeriesChart: series values must be ASCII [A-Za-z0-9 %_.-] " +
+        "(spliced into markup and legend text unescaped)")
     val (xmin, xmax, ymin, ymax) =
       (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
     val decor = AxisElem + xTickElems(xmin, xmax) + yTickElems(ymin, ymax) +

@@ -56,16 +56,18 @@ class ContractSpec extends AnyFunSuite {
     * offending (queryName, snippet) pairs: a `sum(` in the final SELECT's
     * projection list not enclosed by a `CAST(` or `round(` call. */
   def uncastOuterSums(oracles: Map[String, String]): Seq[(String, String)] = {
-    def outerProjection(sql: String): Option[String] = {
+    // ALL top-level projection regions, not just the last: every
+    // column-0 SELECT (the final projection AND each UNION branch —
+    // stripMargin puts them at column 0, CTE selects are indented or
+    // inline after `AS (`) up to its FROM-led line. A branch's uncast
+    // sum reaches the output dtype exactly like the final SELECT's.
+    def outerProjections(sql: String): Seq[String] = {
       val lines = sql.split('\n')
-      val selIdx = lines.lastIndexWhere(_.matches("(?i)SELECT\\b.*"))
-      if (selIdx < 0) None
-      else {
-        // the SELECT line itself + following lines up to the first
-        // FROM-led line (the projection list; stripMargin puts the
-        // final SELECT and its FROM at column 0)
-        val body = lines(selIdx) +: lines.drop(selIdx + 1).takeWhile(!_.matches("(?i)FROM\\b.*"))
-        Some(body.mkString("\n"))
+      val starts = lines.indices.filter(i =>
+        lines(i).matches("(?i)(SELECT|UNION(\\s+ALL)?\\s+SELECT)\\b.*"))
+      starts.map { i =>
+        (lines(i) +: lines.drop(i + 1).takeWhile(!_.matches("(?i)FROM\\b.*")))
+          .mkString("\n")
       }
     }
     def enclosedByCastOrRound(expr: String, sumPos: Int): Boolean = {
@@ -90,7 +92,7 @@ class ContractSpec extends AnyFunSuite {
     }
     for {
       (name, sql) <- oracles.toSeq.sortBy(_._1)
-      proj <- outerProjection(sql).toSeq
+      proj <- outerProjections(sql)
       m <- "(?i)\\bsum\\s*\\(".r.findAllMatchIn(proj)
       if !enclosedByCastOrRound(proj, m.start)
     } yield name -> proj.substring(m.start, math.min(proj.length, m.start + 40)).replace('\n', ' ')
@@ -112,9 +114,14 @@ class ContractSpec extends AnyFunSuite {
       "good_cast" -> "SELECT CAST(sum(cents) AS BIGINT) AS c\nFROM t",
       "good_round" -> "SELECT round(sum(price), 2) AS p\nFROM t",
       "good_nested" -> "SELECT CAST((10000 * CAST(sum(a) AS BIGINT)) // CAST(sum(b) AS BIGINT) AS BIGINT) AS r\nFROM t",
-      "good_cte_sum" -> "WITH b AS (SELECT sum(x) AS s FROM t)\nSELECT CAST(s AS BIGINT) AS s FROM b")
+      "good_cte_sum" -> "WITH b AS (SELECT sum(x) AS s FROM t)\nSELECT CAST(s AS BIGINT) AS s FROM b",
+      "bad_union_branch" ->
+        "SELECT CAST(sum(a) AS BIGINT) AS v FROM x\nUNION ALL SELECT sum(b) AS v\nFROM y",
+      "good_union_branch" ->
+        "SELECT CAST(sum(a) AS BIGINT) AS v FROM x\nUNION ALL SELECT CAST(sum(b) AS BIGINT) AS v\nFROM y")
     val hits = uncastOuterSums(seeded).map(_._1).toSet
-    assert(hits == Set("bad_plain", "bad_windowed"), s"lint found: $hits")
+    assert(hits == Set("bad_plain", "bad_windowed", "bad_union_branch"),
+      s"lint found: $hits")
   }
 
   test("every registered query runs and returns rows at sf0.001") {

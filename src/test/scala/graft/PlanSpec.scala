@@ -240,7 +240,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p1.contains("HashAggregate"), s"svg_interval_chart: expected hash aggregation\n$p1")
     assert(!p1.contains("SortMergeJoin"), s"svg_interval_chart: no SMJ in a chart plan\n$p1")
     // literal-injected extrema: the rendered plan scans events exactly once
-    assert("Scan parquet".r.findAllIn(p1).size <= 1, s"svg_interval_chart: extra scans\n$p1")
+    assert("Scan parquet".r.findAllIn(p1).size == 1, s"svg_interval_chart: scan count\n$p1")
     val p2 = planOf("svg_qps_latency_chart")
     assert(p2.contains("HashAggregate"), s"svg_qps_latency_chart: expected hash aggregation\n$p2")
     assert(!p2.contains("SortMergeJoin"), s"svg_qps_latency_chart: no SMJ in a chart plan\n$p2")

@@ -75,7 +75,12 @@ for name in names:
     except Exception as e:
         row["err"] = f"{type(e).__name__}: {e}"[:300]
     results[name] = row
-    flag = "OK " if row.get("hash_match") else ("?? " if row["err"] else "BAD")
+    # BAD whenever the hash check concretely failed (including the
+    # dtype-strict override, which also sets err); ?? only when the
+    # check could not run (exception / rows-only)
+    flag = ("OK " if row.get("hash_match")
+            else "BAD" if row.get("hash_match") is False
+            else "?? ")
     print(flag, name, "" if not row["err"] else row["err"])
 
 n_ok = sum(1 for r in results.values() if r.get("hash_match"))
