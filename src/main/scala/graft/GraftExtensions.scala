@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MaxSimScore, MinHashBands, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
+import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MaxSimScore, MinHashBands, NfcNormalize, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `l2sq(a, b)`, `dot_product(a, b)` and `topk_by_dist(id, dist, k)` so
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("maxsim_score"),
       new ExpressionInfo(classOf[MaxSimScore].getName, "maxsim_score"),
       (children: Seq[Expression]) => MaxSimScore(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
   }
 }
 
@@ -109,5 +113,7 @@ object GraftFunctions {
       "minhash_bands", es => GraftExtensions.minhashBandsFromSql(es), "built-in")
     registry.createOrReplaceTempFunction(
       "maxsim_score", es => MaxSimScore(es(0), es(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "nfc_normalize", es => NfcNormalize(es(0)), "built-in")
   }
 }

@@ -5422,6 +5422,115 @@ object SparkEntry {
     graft.text.ImportanceScoring.bigramDigitScore(
       Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Interpolated Kneser–Ney bigram-LM scoring
+    * ([[graft.text.ImportanceScoring.kneserNeyBigramScore]]) — the
+    * actual KenLM smoothing next to `bigram_logprob`'s unsmoothed
+    * surrogate; the whole LM (train + score) replays exactly in the
+    * oracle as integer rationals. */
+  private def knBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    graft.text.ImportanceScoring.kneserNeyBigramScore(
+      Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Unicode text normalization
+    * ([[graft.text.TextFunctions.normalizeText]] — NFC via the native
+    * [[graft.functions.NfcNormalize]] codegen kernel with an ASCII fast
+    * path, then control/zero-width strip and whitespace collapse). The
+    * ASCII fixtures are decorated deterministically per doc with NFD
+    * sequences, C0 controls, CRLF and a ZERO WIDTH SPACE so the pass
+    * does real work; the oracle builds the identical raw string and
+    * replays the pipeline with DuckDB's `nfc_normalize`. */
+  // NFD (decomposed) decorations for text_normalize: base letter +
+  // combining mark, so NFC composition does real work on the ASCII
+  // fixtures. ONE definition shared by the Spark query and the oracle
+  // SQL (interpolated into the SQL text as raw UTF-8) -- they cannot
+  // drift.
+  private val NfdDecor0 = " Cafe\u0301 du the\u0301"
+  private val NfdDecor1 = " A\u030Angstro\u0308m"
+  private val NfdDecor2 = " pin\u0303a colada"
+  // ZWSP + double-space tail, shared the same way; the BEL/TAB/CRLF
+  // prefix is built with chr() in the SQL (control bytes inside a SQL
+  // literal are legal but unreadable) and as escapes here.
+  private val ZwspTail = " zero\u200Bwidth  end "
+
+  private def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val m4 = pmod(col("doc_id"), lit(4L))
+    val decor = when(m4 === 0, lit(NfdDecor0))
+      .when(m4 === 1, lit(NfdDecor1))
+      .when(m4 === 2, lit(NfdDecor2))
+      .otherwise(lit(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), decor,
+          lit("\u0007\t tail\r\n" + ZwspTail)).as("raw"))
+      .select(col("doc_id"),
+        graft.text.TextFunctions.normalizeText(col("raw")).as("norm_text"),
+        length(col("raw")).cast("long").as("n_raw"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+  }
+
+  /** URL canonicalization + registered-domain extraction — the
+    * dedup-key step of a web-corpus pipeline (two scrapes of one page
+    * differ only in scheme/host case, default ports, utm_* tracking
+    * params, fragments and trailing slashes; canonicalizing first is
+    * what makes URL-level dedup sound). URLs are synthesized
+    * deterministically from (source, doc_id) to exercise every rule;
+    * the canonical form lowercases scheme+host, strips default ports
+    * (443/https, 80/http — the :8080 arm survives), drops the fragment
+    * and utm_* params (other params kept in order), and trims trailing
+    * slashes. Row-local regex/HOF work, no shuffle. */
+  private def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val m2 = pmod(col("doc_id"), lit(2L))
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val m5 = pmod(col("doc_id"), lit(5L))
+    val rawUrl = concat(
+      when(m2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      when(m3 === 0, lit("WWW.News.")).when(m3 === 1, lit("www.blog."))
+        .otherwise(lit("CDN.")),
+      col("source"), lit(".ExAmple.COM"),
+      when(m2 === 0, lit(":443")).otherwise(lit(":8080")),
+      lit("/Articles/"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      when(m5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&utm_campaign=x&ref=home"),
+      lit("#sec"), m3.cast("string"))
+    val scheme = lower(regexp_extract(col("raw"), "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(col("raw"), "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val canonPath = regexp_replace(
+      regexp_extract(col("raw"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val canonQs = array_join(
+      filter(split(regexp_extract(col("raw"), "\\?([^#]*)", 1), "&"),
+        p => !p.startsWith("utm_")), "&")
+    val defaultPort = (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80")
+    val canon = concat(scheme, lit("://"), host,
+      when(port === "" || defaultPort, lit(""))
+        .otherwise(concat(lit(":"), port)),
+      canonPath,
+      when(canonQs === "", lit("")).otherwise(concat(lit("?"), canonQs)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rawUrl.as("raw"))
+      .select(col("doc_id"), canon.as("canon_url"), host.as("host"),
+        regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("reg_domain"),
+        size(filter(split(canonPath, "/"), s => s =!= ""))
+          .cast("long").as("path_depth"))
+  }
+
+  /** Margin-based bitext mining
+    * ([[graft.operators.Bitext.mutualMarginPairs]], Artetxe & Schwenk
+    * 2019) over the embeddings table split by vec_id parity — the
+    * parallel-corpus alignment pass of LASER/CCMatrix pipelines,
+    * decided entirely in quantized int64 arithmetic so the mining
+    * replays in the oracle. */
+  private def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Bitext.mutualMarginPairs(
+      emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding")),
+      k = 4)
+  }
+
   /** Feature-hashed document cosine top-k
     * ([[graft.text.HashEmbed.cosineTopK]]) — similarity search over
     * embeddings DERIVED from the corpus text itself (hashing trick), no
@@ -5781,6 +5890,10 @@ object SparkEntry {
     "ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
     "ivf_autotune" -> ((s, dir) => ivfAutotune(s, dir)),
     "bigram_logprob" -> ((s, dir) => bigramLogprob(s, dir)),
+    "kn_bigram_logprob" -> ((s, dir) => knBigramLogprob(s, dir)),
+    "text_normalize" -> ((s, dir) => textNormalize(s, dir)),
+    "url_canonicalize" -> ((s, dir) => urlCanonicalize(s, dir)),
+    "bitext_margin" -> ((s, dir) => bitextMargin(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -7781,6 +7894,119 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigram, CAST(sum(d) AS BIGINT) AS lm2_digit_score,
         |  CAST((10000 * CAST(sum(d) AS BIGINT)) // count(*) AS BIGINT) AS avg2_digit_bp
         |FROM j GROUP BY 1""".stripMargin,
+    // interpolated Kneser-Ney bigram LM: the four count tables (bigram
+    // types, left-context totals, continuation counts, total types) and
+    // the discounted-probability floor(1e6*P) all train + score as exact
+    // integer rationals in both engines
+    "kn_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS a FROM documents),
+        |i AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |  FROM t WHERE len(a) >= 2),
+        |g AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM i),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS m FROM g GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1w1
+        |  FROM cb GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nw2 FROM cb GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM cb),
+        |ts AS (SELECT w1, w2,
+        |  (1000000 * (greatest(4 * c12 - 3, 0) * nn + 3 * n1w1 * nw2))
+        |    // (4 * c1 * nn) AS kn_ppm
+        |  FROM cb JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigram,
+        |  CAST(sum(m * kn_ppm) AS BIGINT) AS kn_ppm_sum,
+        |  CAST(CAST(sum(m * kn_ppm) AS BIGINT) // CAST(sum(m) AS BIGINT)
+        |    AS BIGINT) AS avg_kn_ppm
+        |FROM db JOIN ts USING (w1, w2) GROUP BY 1""".stripMargin,
+    // NFC-normalize -> strip controls/zero-width -> collapse whitespace ->
+    // trim; the raw string is rebuilt from the SAME Scala constants the
+    // Spark query uses (NfdDecor*/ZwspTail interpolated as raw UTF-8)
+    "text_normalize" ->
+      s"""WITH r AS (SELECT doc_id, text ||
+         |  (CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN '$NfdDecor0' WHEN 1 THEN '$NfdDecor1'
+         |    WHEN 2 THEN '$NfdDecor2' ELSE '' END) ||
+         |  chr(7) || chr(9) || ' tail' || chr(13) || chr(10) ||
+         |  '$ZwspTail' AS raw FROM documents),
+         |n AS (SELECT doc_id, raw,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}]', '', 'g'),
+         |    '\\s+', ' ', 'g')) AS norm_text FROM r)
+         |SELECT doc_id, norm_text, CAST(length(raw) AS BIGINT) AS n_raw,
+         |  CAST(length(norm_text) AS BIGINT) AS n_norm FROM n""".stripMargin,
+    // same synthesized raw URL, same rule set: lowercase scheme+host,
+    // strip default port / fragment / utm_* params / trailing slashes
+    "url_canonicalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.News.'
+        |    WHEN doc_id % 3 = 1 THEN 'www.blog.' ELSE 'CDN.' END) ||
+        |  source || '.ExAmple.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END) ||
+        |  '/Articles/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+        |  '&utm_campaign=x&ref=home' ||
+        |  '#sec' || CAST(doc_id % 3 AS VARCHAR) AS raw FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  lower(regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
+        |    '^([^:]+)', 1)) AS host,
+        |  regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
+        |    ':([0-9]+)$', 1) AS port,
+        |  regexp_replace(regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |    '/+$', '') AS canon_path,
+        |  array_to_string(list_filter(
+        |    string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+        |    q -> NOT starts_with(q, 'utm_')), '&') AS canon_qs
+        |FROM r)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+        |      OR (scheme = 'http' AND port = '80')
+        |      THEN '' ELSE ':' || port END) ||
+        |    canon_path ||
+        |    (CASE WHEN canon_qs = '' THEN '' ELSE '?' || canon_qs END)
+        |    AS canon_url,
+        |  host,
+        |  regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS reg_domain,
+        |  CAST(len(list_filter(string_split(canon_path, '/'), s -> s <> ''))
+        |    AS BIGINT) AS path_depth
+        |FROM p""".stripMargin,
+    // margin-based bitext mining: cosine floor-quantized to int64
+    // nano-units, top-4 neighborhoods per side, ratio margin in ppm via
+    // integer division (all positive), mutual argmax with id tie-break
+    "bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id % 2 <> 0),
+        |sc AS (SELECT s.src_id, t.tgt_id,
+        |  CAST(floor(list_cosine_similarity(s.emb, t.emb) * 1000000000.0)
+        |    AS BIGINT) AS cos_q
+        |  FROM s CROSS JOIN t),
+        |ta AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+        |  PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r FROM sc),
+        |tb AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+        |  PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r FROM sc),
+        |sa AS (SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS sum_a
+        |  FROM ta WHERE r <= 4 GROUP BY 1),
+        |sb AS (SELECT tgt_id, CAST(sum(cos_q) AS BIGINT) AS sum_b
+        |  FROM tb WHERE r <= 4 GROUP BY 1),
+        |cand AS (SELECT src_id, tgt_id, cos_q FROM ta WHERE r <= 4
+        |  UNION SELECT src_id, tgt_id, cos_q FROM tb WHERE r <= 4),
+        |m AS (SELECT c.src_id, c.tgt_id, c.cos_q,
+        |  (8 * 1000000 * c.cos_q) // (sum_a + sum_b) AS margin_ppm
+        |  FROM cand c JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+        |  WHERE c.cos_q > 0 AND sum_a + sum_b > 0),
+        |w AS (SELECT src_id, tgt_id, cos_q, margin_ppm,
+        |  row_number() OVER (PARTITION BY src_id
+        |    ORDER BY margin_ppm DESC, tgt_id) AS rs,
+        |  row_number() OVER (PARTITION BY tgt_id
+        |    ORDER BY margin_ppm DESC, src_id) AS rt
+        |  FROM m)
+        |SELECT src_id, tgt_id, cos_q, margin_ppm FROM w
+        |WHERE rs = 1 AND rt = 1""".stripMargin,
     "knn_text_hashembed" -> hashEmbedKnnOracle,
     "date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -52,4 +52,9 @@ object GraftFunctions {
   def maxSimScore(queryVecs: Column, docVecs: Column): Column =
     bridge.column(MaxSimScore(
       bridge.expression(queryVecs), bridge.expression(docVecs)))
+
+  /** Unicode NFC normalization with an ASCII fast path — see
+    * [[NfcNormalize]]. */
+  def nfcNormalize(s: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(s)))
 }

@@ -683,3 +683,54 @@ object CharNgrams {
     }
   }
 }
+
+/** Unicode NFC normalization of a string column — the first step of the
+  * text-cleaning pass every web-scale corpus pipeline runs before
+  * fingerprinting or tokenizing (the ftfy/"fix-text" stage of
+  * CCNet/Dolma-class pipelines): canonically-equivalent byte sequences
+  * (`e` + COMBINING ACUTE vs the precomposed `é`) must map to ONE form or
+  * exact dedup, shingling, and token counts silently fracture across
+  * sources. Spark has no built-in NFC function, so this is a native
+  * codegen expression rather than a UDF: the common case (pure-ASCII
+  * text, which is NFC by construction) is detected with one byte scan and
+  * returns the input UTF8String untouched — no String decode, no
+  * allocation — and only rows that actually carry non-ASCII pay the ICU
+  * normalization. DuckDB's `nfc_normalize` replays it exactly (both
+  * implement Unicode canonical composition).
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($v);")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and codegen. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        // non-ASCII present: decode once; skip re-encoding when already NFC
+        val str = s.toString
+        return if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+        else org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s // pure ASCII is NFC by construction
+  }
+}

@@ -67,6 +67,65 @@ object ImportanceScoring {
         expr("(10000 * lm2_digit_score) div n_bigram").as("avg2_digit_bp"))
   }
 
+  /** Per-document interpolated Kneser–Ney bigram-LM score — the smoothing
+    * the KenLM filters of CCNet-class pipelines actually use (Kneser &
+    * Ney 1995; Chen & Goodman 1998), where [[bigramDigitScore]] is the
+    * unsmoothed surrogate. With absolute discount D = 3/4:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * i.e. discounted bigram evidence backed off to the CONTINUATION
+    * probability of w₂ (in how many distinct contexts does w₂ appear),
+    * which is what separates KN from plain add-k: frequent-but-bound
+    * tokens ("Francisco") stop inflating unseen-bigram mass. Multiplying
+    * through by 4·c(w₁·)·N₁₊(··) makes the probability an exact integer
+    * rational; the emitted per-bigram score is floor(10⁶·P) — every
+    * count, product and division is int64 (the worst numerator is
+    * 10⁶·4·c₁₂·N ≈ 10⁶·4·|bigrams|·|types|, far under 2⁶³ at any
+    * fixture scale), so the whole LM trains AND scores exactly in the
+    * SQL oracle. All quantities are positive, so Spark `div` and DuckDB
+    * `//` agree.
+    *
+    * Scale shape: one explode pass, map-combined groupBys for the four
+    * count tables (bigram types, left-context totals, continuation
+    * counts, the 1-row type total broadcast), one equi-join back to
+    * per-document bigram multiplicities. Same plan family as
+    * [[unigramDigitScore]] — no new shuffle class. */
+  def kneserNeyBigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+    val bi = arr.select(col(idCol),
+      explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1))).as("z"))
+      .select(col(idCol), col("z.0").as("w1"), col("z.1").as("w2"))
+    // per-document bigram multiplicity (join scores once per TYPE per doc)
+    val docBi = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    // corpus LM tables. c12 has four consumers below and its aggregate
+    // recomputes per consumer, but it is deliberately NOT checkpointed:
+    // the map-combined re-aggregation is cheaper than the checkpoint
+    // barrier (A/B at sf0.1: 1.34 s plain vs 2.09 s checkpointed warm)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nw2"))
+    val total = c12.agg(count(lit(1)).as("nn"))
+    val typeScore = c12
+      .join(left, "w1").join(cont, "w2").crossJoin(broadcast(total))
+      .withColumn("kn_ppm", expr(
+        """(1000000 * (greatest(4 * c12 - 3, 0) * nn + 3 * n1w1 * nw2))
+          | div (4 * c1 * nn)""".stripMargin.replace("\n", "")))
+      .select(col("w1"), col("w2"), col("kn_ppm"))
+    docBi.join(typeScore, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigram"),
+        sum(col("m") * col("kn_ppm")).as("kn_ppm_sum"))
+      .select(col(idCol), col("n_bigram"), col("kn_ppm_sum"),
+        expr("kn_ppm_sum div n_bigram").as("avg_kn_ppm"))
+  }
+
   /** DSIR importance weight per document, target vs raw distribution over
     * hashed unigram buckets: w = Σ_tokens [digitlog(tgt_cnt(b)+1) −
     * digitlog(raw_cnt(b)+1)], b = PolyHash(tok) mod `buckets`. Documents

@@ -58,6 +58,28 @@ object TextFunctions {
     }.otherwise(lit("unknown"))
   }
 
+  /** Characters the cleaning pass strips AFTER NFC: C0 controls (minus
+    * \t \n \r, which are whitespace and fold in the collapse step), DEL,
+    * and ZERO WIDTH SPACE — the invisible-character set that fractures
+    * exact dedup and inflates token counts in scraped text. VERTICAL TAB
+    * (\x0B) is stripped here explicitly because Java's `\s` includes it
+    * but RE2's does not — removing it first keeps the collapse step
+    * engine-portable. */
+  val StripClassJava = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B]"
+
+  /** Full text-normalization pass (the ftfy/clean step of a CCNet/Dolma
+    * pipeline): Unicode NFC (native codegen kernel with an ASCII fast
+    * path, [[graft.functions.NfcNormalize]]) → strip controls/zero-width
+    * ([[StripClassJava]]) → collapse whitespace runs to one space → trim.
+    * Row-local, no shuffle; DuckDB replays it as
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(x), strip, '',
+    * 'g'), '\s+', ' ', 'g'))`. */
+  def normalizeText(raw: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.GraftFunctions.nfcNormalize(raw),
+        StripClassJava, ""),
+      "\\s+", " "))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

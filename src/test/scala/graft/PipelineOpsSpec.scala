@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.text.TextFunctions
+
+/** Round-8 pipeline operators: Unicode text normalization
+  * ([[graft.functions.NfcNormalize]] + TextFunctions.normalizeText), URL
+  * canonicalization, interpolated Kneser-Ney bigram scoring, and
+  * margin-based bitext mining ([[graft.operators.Bitext]]).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- NfcNormalize kernel -------------------------------------------
+
+  test("NfcNormalize composes NFD sequences and is a no-op on NFC/ASCII") {
+    val nfdCafe = "Café" // e + COMBINING ACUTE
+    val rows = Seq((1L, nfdCafe), (2L, "Café"), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s")
+      .select(col("id"), GraftFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) == "Café")
+    assert(rows(1L).length == 4) // composed: 4 code points, not 5
+    assert(rows(2L) == "Café")
+    assert(rows(3L) == "plain ascii")
+    assert(rows(4L) == null)
+  }
+
+  test("NfcNormalize compute: interpreted path matches codegen path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the DataFrame above exercised codegen; this is the shared kernel
+    val nfd = UTF8String.fromString("Ångström x")
+    assert(graft.functions.NfcNormalize.compute(nfd).toString == "Ångström x")
+    val ascii = UTF8String.fromString("abc 123")
+    // ASCII fast path returns the SAME object (no decode, no copy)
+    assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
+    val nfc = UTF8String.fromString("Café")
+    assert(graft.functions.NfcNormalize.compute(nfc) eq nfc)
+  }
+
+  test("normalizeText strips controls/zero-width and collapses whitespace") {
+    val raw = "ab​c \t d\r\n\r\n e f  g "
+    val out = Seq(Tuple1(raw)).toDF("s")
+      .select(TextFunctions.normalizeText(col("s")).as("n"))
+      .head().getString(0)
+    assert(out == "abc d e f g")
+  }
+
+  // ---- url_canonicalize (via the registered query at sf0.001) --------
+
+  test("url_canonicalize strips default port/fragment/utm and lowercases") {
+    val out = SparkEntry.queries("url_canonicalize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val url = r.getString(1); val host = r.getString(2)
+      assert(!url.contains("#"), url)
+      assert(!url.contains("utm_"), url)
+      assert(!url.contains(":443"), url) // https default stripped
+      assert(url.startsWith("https://") || url.startsWith("http://"), url)
+      assert(host == host.toLowerCase, host)
+      assert(r.getString(3) == "example.com") // reg_domain
+      assert(!url.endsWith("/"), url) // trailing slash trimmed
+      // non-default port kept, aligned with the http arm
+      if (url.startsWith("http://")) assert(url.contains(":8080"), url)
+      // kept params survive in order
+      assert(url.contains("?id="), url)
+      assert(url.contains("&ref=home"), url)
+    }
+  }
+
+  // ---- Kneser-Ney bigram LM ------------------------------------------
+
+  test("kneserNeyBigramScore matches the hand-computed integer rationals") {
+    // corpus bigrams: d1 = (a,b),(b,a),(a,b),(b,c); d2 = (a,b)
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; N1+(w1.): a=1 b=2
+    // N1+(.w2): a=1 b=1 c=1; N1+(..)=3
+    // kn_ppm(a,b) = 1e6*(max(12-3,0)*3 + 3*1*1) / (4*3*3) = 833333
+    // kn_ppm(b,a) = 1e6*(max(4-3,0)*3 + 3*2*1) / (4*2*3) = 375000
+    // kn_ppm(b,c) = 375000
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.text.ImportanceScoring
+      .kneserNeyBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 2L * 833333L + 2L * 375000L, (2L * 833333L + 2L * 375000L) / 4L)))
+    assert(got(2L) == ((1L, 833333L, 833333L)))
+  }
+
+  test("kneserNey: discounted mass + continuation backoff sums below 1") {
+    // for every left context w1, sum of P(w2|w1) over SEEN w2 must be < 1
+    // (the discount reserves mass for unseen continuations)
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val perDoc = graft.text.ImportanceScoring
+      .kneserNeyBigramScore(docs, "doc_id", "text").collect()
+    perDoc.foreach { r => assert(r.getLong(3) > 0 && r.getLong(3) < 1000000L) }
+  }
+
+  // ---- bitext margin mining ------------------------------------------
+
+  test("bitext mutualMarginPairs finds the planted alignments") {
+    // three src/tgt pairs of near-identical directions + one tgt decoy
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.0f, 0.1f, 0.9f)),
+      (7L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 5L)))
+    // mutuality: no src or tgt appears twice
+    val all = graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 2).collect()
+    assert(all.map(_.getLong(0)).distinct.length == all.length)
+    assert(all.map(_.getLong(1)).distinct.length == all.length)
+    all.foreach { r =>
+      assert(r.getLong(2) > 0) // cos_q positive by filter
+      assert(r.getLong(3) > 0) // margin positive
+    }
+  }
+
+  test("bitext margin: the aligned pair out-margins the hub decoy") {
+    // tgt 7 is a "hub" (close to everything); margin normalization must
+    // prevent it from claiming any src whose true twin exists
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.95f, 0.05f, 0.0f)),
+      (3L, Array(0.05f, 0.95f, 0.0f)),
+      (7L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+}

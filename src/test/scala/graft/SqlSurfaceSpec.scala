@@ -82,4 +82,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(got == 60L)
   }
+
+  test("nfc_normalize callable from SQL, composes NFD input") {
+    GraftFunctions.register(spark)
+    // 'Cafe' + COMBINING ACUTE (U+0301): 5 code points in, 4 out
+    val row = spark.sql(
+      "SELECT nfc_normalize('Café') AS s, " +
+        "length(nfc_normalize('Café')) AS n, " +
+        "nfc_normalize('ascii stays') AS a").collect()(0)
+    assert(row.getString(0) == "Café")
+    assert(row.getInt(1) == 4)
+    assert(row.getString(2) == "ascii stays")
+  }
 }
