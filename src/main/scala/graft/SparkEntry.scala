@@ -5431,6 +5431,37 @@ object SparkEntry {
     graft.text.ImportanceScoring.kneserNeyBigramScore(
       Tables.documents(spark, dir), "doc_id", "text")
 
+  /** ROUGE-1/2 overlap scoring ([[graft.text.Rouge.rouge12]]) — CLIPPED
+    * n-gram matches over (candidate, reference) doc pairs (even doc_id
+    * paired with its successor), recall + F1 in exact floor-ppm. The
+    * clipped counting (min of multiplicities per gram) is what the
+    * set-based `ngram_jaccard_pairs` cannot express. */
+  private def rougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pair_id"), col("text").as("cand_text"))
+    val ref = docs.filter(col("doc_id") % 2 =!= 0)
+      .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref_text"))
+    graft.text.Rouge.rouge12(cand.join(ref, "pair_id"))
+  }
+
+  /** k-occurrence (hubness) diagnostic over the exact kNN graph
+    * (Radovanović et al., JMLR 2010 "Hubs in Space"): the in-degree
+    * distribution of the degree-16 adjacency, zeros included — hubs
+    * (vectors in many neighbor lists) are where ANN recall degrades
+    * first and antihubs are unreachable, so this histogram is the
+    * standard pre-flight read on an embedding space before sizing an
+    * index. One groupBy over the memoized adjacency artifact. */
+  private def hubnessStats(spark: SparkSession, dir: String): DataFrame = {
+    val occ = graphAdj(spark, dir)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+      .withColumnRenamed("neighbor_id", "vec_id")
+    Tables.embeddingBase(spark, dir).select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Unicode text normalization
     * ([[graft.text.TextFunctions.normalizeText]] — NFC via the native
     * [[graft.functions.NfcNormalize]] codegen kernel with an ASCII fast
@@ -5894,6 +5925,8 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => textNormalize(s, dir)),
     "url_canonicalize" -> ((s, dir) => urlCanonicalize(s, dir)),
     "bitext_margin" -> ((s, dir) => bitextMargin(s, dir)),
+    "rouge_overlap" -> ((s, dir) => rougeOverlap(s, dir)),
+    "hubness_stats" -> ((s, dir) => hubnessStats(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -8007,6 +8040,52 @@ object SparkEntry {
         |  FROM m)
         |SELECT src_id, tgt_id, cos_q, margin_ppm FROM w
         |WHERE rs = 1 AND rt = 1""".stripMargin,
+    // ROUGE-1/2: clipped per-gram multiplicity matches (min of the two
+    // sides' counts), recall/F1 as floor-ppm integer division
+    "rouge_overlap" ->
+      """WITH c AS (SELECT doc_id AS pair_id, string_split(trim(text), ' ') AS a
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id - 1 AS pair_id, string_split(trim(text), ' ') AS a
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |p AS (SELECT c.pair_id, c.a AS ca, r.a AS ra FROM c JOIN r USING (pair_id)),
+        |c1 AS (SELECT pair_id, g, count(*) AS cc FROM
+        |  (SELECT pair_id, unnest(ca) AS g FROM p) GROUP BY 1, 2),
+        |r1 AS (SELECT pair_id, g, count(*) AS cr FROM
+        |  (SELECT pair_id, unnest(ra) AS g FROM p) GROUP BY 1, 2),
+        |m1 AS (SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS m_1
+        |  FROM c1 JOIN r1 USING (pair_id, g) GROUP BY 1),
+        |c2 AS (SELECT pair_id, g, count(*) AS cc FROM
+        |  (SELECT pair_id, ca[i] || ' ' || ca[i + 1] AS g FROM
+        |    (SELECT pair_id, ca, unnest(generate_series(1, len(ca) - 1)) AS i
+        |     FROM p WHERE len(ca) >= 2)) GROUP BY 1, 2),
+        |r2 AS (SELECT pair_id, g, count(*) AS cr FROM
+        |  (SELECT pair_id, ra[i] || ' ' || ra[i + 1] AS g FROM
+        |    (SELECT pair_id, ra, unnest(generate_series(1, len(ra) - 1)) AS i
+        |     FROM p WHERE len(ra) >= 2)) GROUP BY 1, 2),
+        |m2 AS (SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS m_2
+        |  FROM c2 JOIN r2 USING (pair_id, g) GROUP BY 1),
+        |t AS (SELECT pair_id,
+        |  CAST(len(ca) AS BIGINT) AS t_cand_1, CAST(len(ra) AS BIGINT) AS t_ref_1,
+        |  CAST(greatest(len(ca) - 1, 0) AS BIGINT) AS t_cand_2,
+        |  CAST(greatest(len(ra) - 1, 0) AS BIGINT) AS t_ref_2 FROM p)
+        |SELECT pair_id, coalesce(m_1, 0) AS m_1, t_cand_1, t_ref_1,
+        |  (1000000 * coalesce(m_1, 0)) // greatest(t_ref_1, 1) AS rouge1_r_ppm,
+        |  (2000000 * coalesce(m_1, 0)) // greatest(t_ref_1 + t_cand_1, 1)
+        |    AS rouge1_f_ppm,
+        |  coalesce(m_2, 0) AS m_2, t_cand_2, t_ref_2,
+        |  (1000000 * coalesce(m_2, 0)) // greatest(t_ref_2, 1) AS rouge2_r_ppm,
+        |  (2000000 * coalesce(m_2, 0)) // greatest(t_ref_2 + t_cand_2, 1)
+        |    AS rouge2_f_ppm
+        |FROM t LEFT JOIN m1 USING (pair_id) LEFT JOIN m2 USING (pair_id)""".stripMargin,
+    // hubness: in-degree census of the exact degree-16 adjacency,
+    // zero-occurrence vectors included via the left join
+    "hubness_stats" ->
+      (s"WITH $graphBaseCtes,\n" +
+        """occ AS (SELECT neighbor_id, count(*) AS k_occ FROM gadj GROUP BY 1)
+          |SELECT coalesce(k_occ, CAST(0 AS BIGINT)) AS k_occ,
+          |  count(*) AS n_vectors
+          |FROM b LEFT JOIN occ ON b.vec_id = occ.neighbor_id
+          |GROUP BY 1""".stripMargin),
     "knn_text_hashembed" -> hashEmbedKnnOracle,
     "date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

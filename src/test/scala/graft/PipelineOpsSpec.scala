@@ -128,6 +128,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ROUGE-N clipped overlap ----------------------------------------
+
+  test("rouge12 matches hand-computed clipped counts") {
+    // cand "a a b c" vs ref "a b b d": clipped unigrams = min(2,1)[a] +
+    // min(1,2)[b] = 2 of 4/4; bigrams share only "a b" = 1 of 3/3
+    val pairs = Seq((0L, "a a b c", "a b b d")).toDF("pair_id", "cand_text", "ref_text")
+    val r = graft.text.Rouge.rouge12(pairs).head()
+    assert(r.getAs[Long]("m_1") == 2L)
+    assert(r.getAs[Long]("t_cand_1") == 4L && r.getAs[Long]("t_ref_1") == 4L)
+    assert(r.getAs[Long]("rouge1_r_ppm") == 500000L)
+    assert(r.getAs[Long]("rouge1_f_ppm") == 500000L)
+    assert(r.getAs[Long]("m_2") == 1L)
+    assert(r.getAs[Long]("t_cand_2") == 3L && r.getAs[Long]("t_ref_2") == 3L)
+    assert(r.getAs[Long]("rouge2_r_ppm") == 333333L)
+    assert(r.getAs[Long]("rouge2_f_ppm") == 333333L)
+  }
+
+  test("rouge12: clipping caps repeated candidate grams; no-match pair is 0") {
+    // candidate spams "a": clipped match stays at ref's multiplicity (1)
+    val rows = graft.text.Rouge.rouge12(Seq(
+      (0L, "a a a a", "a b"),
+      (2L, "x y", "p q")).toDF("pair_id", "cand_text", "ref_text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Long]("m_1") == 1L)
+    assert(rows(2L).getAs[Long]("m_1") == 0L)
+    assert(rows(2L).getAs[Long]("rouge1_f_ppm") == 0L)
+    assert(rows(2L).getAs[Long]("m_2") == 0L)
+  }
+
+  // ---- hubness census --------------------------------------------------
+
+  test("hubness_stats: census covers every base vector, mass = degree * n") {
+    val out = SparkEntry.queries("hubness_stats")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nBase = graft.sources.Tables
+      .embeddingBase(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_.getLong(1)).sum == nBase) // every vector binned once
+    // every adjacency edge lands in exactly one bin: sum(k_occ * n) = 16n
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == 16L * nBase)
+  }
+
   test("bitext margin: the aligned pair out-margins the hub decoy") {
     // tgt 7 is a "hub" (close to everything); margin normalization must
     // prevent it from claiming any src whose true twin exists
