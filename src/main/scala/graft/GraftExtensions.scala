@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance, MaxSimScore, MinHashBands, NfcNormalize, PqAdcDistanceLong, SortedIntersectCount, TopKByDistance}
 
@@ -54,7 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children(0))))
+      (children: Seq[Expression]) => NfcNormalize(Cast(children(0), StringType))))
   }
 }
 
@@ -114,6 +114,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "maxsim_score", es => MaxSimScore(es(0), es(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "nfc_normalize", es => NfcNormalize(es(0)), "built-in")
+      // cast like topKFromSql: a non-string argument should fail the
+      // Cast's analysis-time rules, not ClassCastException mid-job
+      "nfc_normalize", es => NfcNormalize(Cast(es(0), StringType)), "built-in")
   }
 }

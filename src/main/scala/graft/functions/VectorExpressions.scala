@@ -716,13 +716,15 @@ case class NfcNormalize(child: Expression)
 }
 
 object NfcNormalize {
-  /** Shared by interpreted eval and codegen. */
+  /** Shared by interpreted eval and codegen. The ASCII scan reads bytes
+    * in place via getByte — getBytes would copy the whole buffer for
+    * UnsafeRow-backed strings and defeat the fast path's point. */
   def compute(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
-    val bytes = s.getBytes
+    val n = s.numBytes()
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0x80) != 0) {
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) {
         // non-ASCII present: decode once; skip re-encoding when already NFC
         val str = s.toString
         return if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s

@@ -92,17 +92,27 @@ object ImportanceScoring {
     * counts, the 1-row type total broadcast), one equi-join back to
     * per-document bigram multiplicities. Same plan family as
     * [[unigramDigitScore]] — no new shuffle class. */
-  def kneserNeyBigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Bigram instance stream (idCol, w1, w2), row-local build. */
+  private def bigramInstances(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val arr = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("a"))
       .filter(size(col("a")) >= 2)
-    val bi = arr.select(col(idCol),
+    arr.select(col(idCol),
       explode(arrays_zip(
         slice(col("a"), lit(1), size(col("a")) - 1),
         slice(col("a"), lit(2), size(col("a")) - 1))).as("z"))
       .select(col(idCol), col("z.0").as("w1"), col("z.1").as("w2"))
-    // per-document bigram multiplicity (join scores once per TYPE per doc)
-    val docBi = bi.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("m"))
+  }
+
+  /** The trained KN bigram table `(w1, w2, kn_ppm)` of
+    * [[kneserNeyBigramScore]] — public so the per-context mass invariant
+    * (Σ_seen-w2 P(w2|w1) ≤ 1, the discount reserving mass for unseen
+    * continuations) is directly testable against the LM itself. */
+  def kneserNeyTypeScores(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    typeScoresFromInstances(bigramInstances(docs, idCol, textCol))
+
+  private def typeScoresFromInstances(bi: DataFrame): DataFrame = {
     // corpus LM tables. c12 has four consumers below and its aggregate
     // recomputes per consumer, but it is deliberately NOT checkpointed:
     // the map-combined re-aggregation is cheaper than the checkpoint
@@ -112,13 +122,20 @@ object ImportanceScoring {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
     val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nw2"))
     val total = c12.agg(count(lit(1)).as("nn"))
-    val typeScore = c12
+    c12
       .join(left, "w1").join(cont, "w2").crossJoin(broadcast(total))
       .withColumn("kn_ppm", expr(
         """(1000000 * (greatest(4 * c12 - 3, 0) * nn + 3 * n1w1 * nw2))
           | div (4 * c1 * nn)""".stripMargin.replace("\n", "")))
       .select(col("w1"), col("w2"), col("kn_ppm"))
-    docBi.join(typeScore, Seq("w1", "w2"))
+  }
+
+  def kneserNeyBigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = bigramInstances(docs, idCol, textCol)
+    // per-document bigram multiplicity (join scores once per TYPE per doc)
+    val docBi = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    docBi.join(typeScoresFromInstances(bi), Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("m")).as("n_bigram"),
         sum(col("m") * col("kn_ppm")).as("kn_ppm_sum"))

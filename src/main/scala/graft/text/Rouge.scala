@@ -27,20 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Rouge {
 
-  /** Word n-grams of a text column as an array (n = 1 → tokens). */
-  private def grams(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    if (n == 1) toks
-    else zip_with(
-      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - (n - 1), lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  /** Word n-grams WITH multiplicities of an already-tokenized array
+    * column — genuinely n-generic (unlike a fixed two-slice zip, which
+    * silently yields bigrams for any n ≥ 2), and deliberately NOT
+    * deduplicated: clipped counting needs every occurrence, which is why
+    * [[TextFunctions.shinglesOfTokens]] (array_distinct semantics) is
+    * not reused. Texts shorter than n yield an empty array, never a
+    * truncated "gram". The tokens must live in their own column first —
+    * HOF lambdas re-evaluate per element (same caveat as
+    * shinglesOfTokens). */
+  private def gramsOfTokens(tokensCol: String, n: Int): Column =
+    if (n <= 1) col(tokensCol)
+    else expr(
+      s"""CASE WHEN size($tokensCol) < $n THEN array()
+         |ELSE transform(sequence(1, size($tokensCol) - ${n - 1}),
+         |  i -> array_join(slice($tokensCol, i, $n), ' ')) END""".stripMargin)
 
   /** Per-(pair, gram) multiplicities for one side. */
   private def gramCounts(side: DataFrame, textCol: String, n: Int,
       out: String): DataFrame =
-    side.select(col("pair_id"), explode(grams(col(textCol), n)).as("g"))
+    side.select(col("pair_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("pair_id"), explode(gramsOfTokens("__toks", n)).as("g"))
       .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as(out))
 
   /** Clipped-match and total-gram columns for one n, named with the
@@ -53,9 +60,13 @@ object Rouge {
     val m = cand.join(ref, Seq("pair_id", "g"))
       .groupBy(col("pair_id"))
       .agg(sum(least(col("c_cand"), col("c_ref"))).as(s"m_$sfx"))
+    // |grams| = max(|tokens| − n + 1, 0), computed directly — no second
+    // gram materialization just to take its size
+    def total(textCol: String, out: String): Column =
+      greatest(size(TextFunctions.tokens(col(textCol))) - (n - 1), lit(0))
+        .cast("long").as(out)
     val totals = pairs.select(col("pair_id"),
-      size(grams(col("cand_text"), n)).cast("long").as(s"t_cand_$sfx"),
-      size(grams(col("ref_text"), n)).cast("long").as(s"t_ref_$sfx"))
+      total("cand_text", s"t_cand_$sfx"), total("ref_text", s"t_ref_$sfx"))
     totals.join(m, Seq("pair_id"), "left")
       .withColumn(s"m_$sfx", coalesce(col(s"m_$sfx"), lit(0L)))
   }

@@ -91,13 +91,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 833333L, 833333L)))
   }
 
-  test("kneserNey: discounted mass + continuation backoff sums below 1") {
-    // for every left context w1, sum of P(w2|w1) over SEEN w2 must be < 1
-    // (the discount reserves mass for unseen continuations)
-    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
-    val perDoc = graft.text.ImportanceScoring
-      .kneserNeyBigramScore(docs, "doc_id", "text").collect()
-    perDoc.foreach { r => assert(r.getLong(3) > 0 && r.getLong(3) < 1000000L) }
+  test("kneserNey: per-context seen mass never exceeds 1 (discount reserve)") {
+    // the KN invariant proper, asserted against the trained LM table on a
+    // real corpus: for EVERY left context w1, Σ_seen-w2 P(w2|w1) ≤ 1
+    // (floor-ppm sums ≤ 10⁶), and the discount genuinely reserves mass
+    // somewhere (not every context saturates)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mass = graft.text.ImportanceScoring
+      .kneserNeyTypeScores(docs, "doc_id", "text")
+      .groupBy(col("w1")).agg(sum(col("kn_ppm")).as("mass_ppm"))
+      .collect().map(_.getLong(1))
+    assert(mass.nonEmpty)
+    mass.foreach(m => assert(m > 0 && m <= 1000000L, s"context mass $m"))
+    assert(mass.exists(_ < 1000000L))
+    // and on the hand corpus the exact context masses are known:
+    // w1=a: 833333; w1=b: 375000 + 375000 = 750000
+    val tiny = graft.text.ImportanceScoring.kneserNeyTypeScores(
+      Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .groupBy(col("w1")).agg(sum(col("kn_ppm")).as("mass_ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("a" -> 833333L, "b" -> 750000L))
   }
 
   // ---- bitext margin mining ------------------------------------------
