@@ -204,4 +204,31 @@ class KernelPropSpec extends AnyFunSuite {
       .eval(null).asInstanceOf[ArrayData]
     assert(out.numElements() == 0)
   }
+
+  test("NfcNormalize equals java.text.Normalizer NFC and is idempotent") {
+    // mix of ASCII, precomposed (é ß 中), decomposed bases + combining
+    // marks (acute, ring, diaeresis, tilde) — the forms web text carries
+    val genStr = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('é', 'ß', '中', ' '),
+      1 -> Gen.oneOf('e', 'A', 'o', 'n'),
+      1 -> Gen.oneOf('\u0301', '\u030A', '\u0308', '\u0303')))
+      .map(_.mkString)
+    check(Prop.forAll(genStr) { s =>
+      val got = graft.functions.NfcNormalize
+        .compute(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val again = graft.functions.NfcNormalize
+        .compute(UTF8String.fromString(got)).toString
+      got == want && again == got
+    })
+  }
+
+  test("NfcNormalize ASCII fast path returns the input object unchanged") {
+    val genAscii = Gen.listOf(Gen.choose(0.toChar, 127.toChar)).map(_.mkString)
+    check(Prop.forAll(genAscii) { s =>
+      val in = UTF8String.fromString(s)
+      graft.functions.NfcNormalize.compute(in) eq in
+    })
+  }
 }
