@@ -5524,28 +5524,14 @@ object SparkEntry {
       lit("?utm_source=feed&id="), col("doc_id").cast("string"),
       lit("&utm_campaign=x&ref=home"),
       lit("#sec"), m3.cast("string"))
-    val scheme = lower(regexp_extract(col("raw"), "^([A-Za-z]+)://", 1))
-    val hostport = regexp_extract(col("raw"), "^[A-Za-z]+://([^/?#]+)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val canonPath = regexp_replace(
-      regexp_extract(col("raw"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
-    val canonQs = array_join(
-      filter(split(regexp_extract(col("raw"), "\\?([^#]*)", 1), "&"),
-        p => !p.startsWith("utm_")), "&")
-    val defaultPort = (scheme === "https" && port === "443") ||
-      (scheme === "http" && port === "80")
-    val canon = concat(scheme, lit("://"), host,
-      when(port === "" || defaultPort, lit(""))
-        .otherwise(concat(lit(":"), port)),
-      canonPath,
-      when(canonQs === "", lit("")).otherwise(concat(lit("?"), canonQs)))
+    import graft.text.UrlFunctions
     Tables.documents(spark, dir)
       .select(col("doc_id"), rawUrl.as("raw"))
-      .select(col("doc_id"), canon.as("canon_url"), host.as("host"),
-        regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("reg_domain"),
-        size(filter(split(canonPath, "/"), s => s =!= ""))
-          .cast("long").as("path_depth"))
+      .select(col("doc_id"),
+        UrlFunctions.canonicalize(col("raw")).as("canon_url"),
+        UrlFunctions.host(col("raw")).as("host"),
+        UrlFunctions.registeredDomain(col("raw")).as("reg_domain"),
+        UrlFunctions.pathDepth(col("raw")).cast("long").as("path_depth"))
   }
 
   /** Margin-based bitext mining

@@ -73,6 +73,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("UrlFunctions.canonicalize: edge cases the fixture never produces") {
+    import graft.text.UrlFunctions
+    val cases = Seq(
+      // no port, no qs, root path with trailing slash
+      ("https://Example.COM/", "https://example.com"),
+      // default http port stripped; non-default https port kept
+      ("http://a.example.com:80/x", "http://a.example.com/x"),
+      ("https://a.example.com:8443/x", "https://a.example.com:8443/x"),
+      // only-utm query drops entirely (no dangling '?')
+      ("https://e.com/p?utm_source=a&utm_medium=b", "https://e.com/p"),
+      // fragment-only tail; multiple trailing slashes
+      ("HTTP://E.com/a/b///#frag", "http://e.com/a/b"),
+      // params keep order around the dropped utm
+      ("https://e.com/p?a=1&utm_x=2&b=3", "https://e.com/p?a=1&b=3"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlFunctions.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    val parts = Seq(Tuple1("https://www.News.Example.com:443/a/b/c?x=1#f")).toDF("u")
+      .select(UrlFunctions.host(col("u")), UrlFunctions.registeredDomain(col("u")),
+        UrlFunctions.pathDepth(col("u")), UrlFunctions.port(col("u")))
+      .head()
+    assert(parts.getString(0) == "www.news.example.com")
+    assert(parts.getString(1) == "example.com")
+    assert(parts.getInt(2) == 3)
+    assert(parts.getString(3) == "443")
+  }
+
   // ---- Kneser-Ney bigram LM ------------------------------------------
 
   test("kneserNeyBigramScore matches the hand-computed integer rationals") {
