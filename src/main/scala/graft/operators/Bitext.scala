@@ -57,26 +57,8 @@ object Bitext {
     val srcQ = src.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
     val tgtQ = tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"))
 
-    // pass 1: top-k neighbor IDS per side via the bounded-heap aggregate
-    // over a broadcast-queries scan (dist = -cos_q; int64 → double is
-    // exact below 2^53, so heap order == (cos_q desc, id asc))
-    def topIds(scanSide: DataFrame, bcastSide: DataFrame, scanId: String,
-        bcastId: String, scanEmb: String, bcastEmb: String): DataFrame =
-      scanSide.crossJoin(broadcast(bcastSide))
-        .select(col(bcastId), col(scanId),
-          cosQ(col(bcastEmb), col(scanEmb)).as("cq"))
-        .groupBy(col(bcastId))
-        .agg(topKByDist(col(scanId), -col("cq").cast("double"), k).as("nn"))
-        .select(col(bcastId), explode(col("nn")).as(scanId))
-
-    val topA = topIds(tgtQ, srcQ, "tgt_id", "src_id", "t_emb", "s_emb")
-    val topB = topIds(srcQ, tgtQ, "src_id", "tgt_id", "s_emb", "t_emb")
-
-    // pass 2: re-score only the selected pairs (row-local kernel after
-    // two id equi-joins) — no all-pairs rejoin
-    def rescored(pairs: DataFrame): DataFrame =
-      pairs.join(srcQ, "src_id").join(tgtQ, "tgt_id")
-        .select(col("src_id"), col("tgt_id"), cosQ(col("s_emb"), col("t_emb")).as("cos_q"))
+    val topA = topIds(tgtQ, srcQ, "tgt_id", "src_id", "t_emb", "s_emb", k)
+    val topB = topIds(srcQ, tgtQ, "src_id", "tgt_id", "s_emb", "t_emb", k)
 
     // each side is consumed twice (neighborhood sum + candidate set), so
     // the top-k pass recomputes per consumer (the broadcast build sides
@@ -84,8 +66,69 @@ object Bitext {
     // than the materialization barrier at fixture scale (A/B at sf0.1:
     // 1.82 s plain vs 2.52 s checkpointed warm). A caller swapping in an
     // EXPENSIVE candidate generator should persist at its own call site.
-    val scoredA = rescored(topA)
-    val scoredB = rescored(topB)
+    val scoredA = rescored(srcQ, tgtQ, topA)
+    val scoredB = rescored(srcQ, tgtQ, topB)
+    mineFromNeighborhoods(scoredA, scoredB, k)
+  }
+
+  /** [[mutualMarginPairs]] with the candidate pass on a `prefixDim`-dim
+    * embedding PREFIX — the concrete scale path the exact variant's
+    * all-pairs pass cannot take (same move as
+    * [[Knn.prefixRerank]]/Matryoshka): the cheap pass scores
+    * prefixDim/dim of the bytes (physically smaller with a stored-prefix
+    * layout), keeps a per-node `shortlist`, and only shortlisted pairs
+    * are scored full-dim; each node's neighborhood is then its top-k BY
+    * FULL cosine within the shortlist, and the margin machinery is
+    * IDENTICAL from there. How much of the exact mining this recovers is
+    * a measured query (`bitext_prefix_recovery`), not a guess. */
+  def mutualMarginPairsPrefix(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      prefixDim: Int = 32, shortlist: Int = 8): DataFrame = {
+    val srcQ = src.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
+    val tgtQ = tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"))
+    val srcP = srcQ.select(col("src_id"), slice(col("s_emb"), 1, prefixDim).as("s_emb"))
+    val tgtP = tgtQ.select(col("tgt_id"), slice(col("t_emb"), 1, prefixDim).as("t_emb"))
+
+    val shortA = topIds(tgtP, srcP, "tgt_id", "src_id", "t_emb", "s_emb", shortlist)
+    val shortB = topIds(srcP, tgtP, "src_id", "tgt_id", "s_emb", "t_emb", shortlist)
+
+    // full-dim rescore of the shortlists, then per-node top-k by full
+    // cosine — a window over ≤ shortlist rows per node
+    def topOfShortlist(pairs: DataFrame, nodeCol: String, otherCol: String): DataFrame = {
+      val w = Window.partitionBy(col(nodeCol))
+        .orderBy(col("cos_q").desc, col(otherCol).asc)
+      rescored(srcQ, tgtQ, pairs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("src_id"), col("tgt_id"), col("cos_q"))
+    }
+    mineFromNeighborhoods(
+      topOfShortlist(shortA, "src_id", "tgt_id"),
+      topOfShortlist(shortB, "tgt_id", "src_id"), k)
+  }
+
+  /** Top-`m` neighbor IDS per node of `bcastSide` via the bounded-heap
+    * aggregate over a broadcast-queries scan (dist = -cos_q; int64 →
+    * double is exact below 2^53, so heap order == (cos_q desc, id
+    * asc)). */
+  private def topIds(scanSide: DataFrame, bcastSide: DataFrame, scanId: String,
+      bcastId: String, scanEmb: String, bcastEmb: String, m: Int): DataFrame =
+    scanSide.crossJoin(broadcast(bcastSide))
+      .select(col(bcastId), col(scanId),
+        cosQ(col(bcastEmb), col(scanEmb)).as("cq"))
+      .groupBy(col(bcastId))
+      .agg(topKByDist(col(scanId), -col("cq").cast("double"), m).as("nn"))
+      .select(col(bcastId), explode(col("nn")).as(scanId))
+
+  /** Full-dim re-score of selected (src_id, tgt_id) pairs — row-local
+    * kernel after two id equi-joins, no all-pairs rejoin. */
+  private def rescored(srcQ: DataFrame, tgtQ: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.join(srcQ, "src_id").join(tgtQ, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), cosQ(col("s_emb"), col("t_emb")).as("cos_q"))
+
+  /** The margin decision, shared by every candidate generator:
+    * neighborhood sums → ratio margin in ppm → mutual argmax. */
+  private def mineFromNeighborhoods(scoredA: DataFrame, scoredB: DataFrame,
+      k: Int): DataFrame = {
     val sumA = scoredA.groupBy(col("src_id")).agg(sum(col("cos_q")).as("sum_a"))
     val sumB = scoredB.groupBy(col("tgt_id")).agg(sum(col("cos_q")).as("sum_b"))
 

@@ -210,6 +210,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == 16L * nBase)
   }
 
+  test("bitext prefix variant: mutuality holds and full-prefix equals exact") {
+    // 3-dim vectors with prefixDim = 3: the "cheap" pass sees the full
+    // vector, so the prefix pipeline must reproduce the exact mining
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.0f, 0.1f, 0.9f)),
+      (7L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 2))
+    val viaPrefix = pairsOf(graft.operators.Bitext.mutualMarginPairsPrefix(
+      src, tgt, k = 2, prefixDim = 3, shortlist = 4))
+    assert(viaPrefix == exact)
+    // a genuinely partial prefix still yields a mutual matching
+    val partial = graft.operators.Bitext.mutualMarginPairsPrefix(
+      src, tgt, k = 2, prefixDim = 1, shortlist = 2).collect()
+    assert(partial.map(_.getLong(0)).distinct.length == partial.length)
+    assert(partial.map(_.getLong(1)).distinct.length == partial.length)
+  }
+
   test("bitext margin: the aligned pair out-margins the hub decoy") {
     // tgt 7 is a "hub" (close to everything); margin normalization must
     // prevent it from claiming any src whose true twin exists
