@@ -5546,37 +5546,48 @@ object SparkEntry {
       emb.filter(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding")))
   }
 
-  private def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
-    val (src, tgt) = bitextSplit(spark, dir)
-    graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 4)
-  }
+  // the mined pair sets are per-dir ARTIFACTS like graphAdjCache: three
+  // queries consume them (the two mining queries + the recovery
+  // comparison), so the pipelines run once per fixture dir — the
+  // cross-QUERY memoization that the within-query checkpoint A/Bs
+  // (comments in Bitext.scala / bitextPrefixRecovery) showed is the
+  // only checkpointing that pays here
+  private val bitextExactCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bitextPrefixCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def bitextExactPairs(spark: SparkSession, dir: String): DataFrame =
+    bitextExactCache.getOrElseUpdate(dir, {
+      val (src, tgt) = bitextSplit(spark, dir)
+      graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 4).localCheckpoint()
+    })
+
+  private def bitextPrefixPairs(spark: SparkSession, dir: String): DataFrame =
+    bitextPrefixCache.getOrElseUpdate(dir, {
+      val (src, tgt) = bitextSplit(spark, dir)
+      graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
+        k = 4, prefixDim = 32, shortlist = 16).localCheckpoint()
+    })
+
+  private def bitextMargin(spark: SparkSession, dir: String): DataFrame =
+    bitextExactPairs(spark, dir)
 
   /** The bitext scale path made concrete
     * ([[graft.operators.Bitext.mutualMarginPairsPrefix]]): candidate
     * generation on the 32-dim embedding PREFIX (the Matryoshka/
     * prefix-rerank move — prefixDim/dim of the bytes through the cheap
     * pass), shortlist 16, full-dim margin machinery from there. */
-  private def bitextMarginPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val (src, tgt) = bitextSplit(spark, dir)
-    graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
-      k = 4, prefixDim = 32, shortlist = 16)
-  }
+  private def bitextMarginPrefix(spark: SparkSession, dir: String): DataFrame =
+    bitextPrefixPairs(spark, dir)
 
   /** Measured recovery of the prefix-candidate mining vs the exact one —
     * the recall-ladder companion every other index family gets: how many
-    * of the exact mutual pairs the cheap-pass pipeline reproduces. */
+    * of the exact mutual pairs the cheap-pass pipeline reproduces. Both
+    * sides serve from the per-dir artifacts. */
   private def bitextPrefixRecovery(spark: SparkSession, dir: String): DataFrame = {
-    val (src, tgt) = bitextSplit(spark, dir)
-    // each pair set is consumed twice (count + intersection), yet NOT
-    // checkpointed — the third checkpoint A/B of this family with the
-    // same outcome (sf0.1 warm: 3.1 s plain vs 5.2 s checkpointed; cold
-    // 3.9 vs 16.8): within one action the planner reuses the repeated
-    // exchanges, while the checkpoint pays two full eager pipelines
-    val exact = graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 4)
-      .select(col("src_id"), col("tgt_id"))
-    val pref = graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
-      k = 4, prefixDim = 32, shortlist = 16)
-      .select(col("src_id"), col("tgt_id"))
+    val exact = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    val pref = bitextPrefixPairs(spark, dir).select(col("src_id"), col("tgt_id"))
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(pref.agg(count(lit(1)).as("n_prefix")))
       .crossJoin(exact.join(pref, Seq("src_id", "tgt_id"))
