@@ -5557,18 +5557,27 @@ object SparkEntry {
   private val bitextPrefixCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // a localCheckpointed artifact dies with its SparkContext: a same-JVM
+  // session restart must rebuild, not serve a LogicalRDD whose blocks
+  // died with the old session (round-8 review)
+  private def cachedArtifact(cache: scala.collection.concurrent.TrieMap[String, DataFrame],
+      dir: String)(build: => DataFrame): DataFrame = {
+    cache.get(dir).filter(df => !df.sparkSession.sparkContext.isStopped)
+      .getOrElse { val df = build; cache.put(dir, df); df }
+  }
+
   private def bitextExactPairs(spark: SparkSession, dir: String): DataFrame =
-    bitextExactCache.getOrElseUpdate(dir, {
+    cachedArtifact(bitextExactCache, dir) {
       val (src, tgt) = bitextSplit(spark, dir)
       graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 4).localCheckpoint()
-    })
+    }
 
   private def bitextPrefixPairs(spark: SparkSession, dir: String): DataFrame =
-    bitextPrefixCache.getOrElseUpdate(dir, {
+    cachedArtifact(bitextPrefixCache, dir) {
       val (src, tgt) = bitextSplit(spark, dir)
       graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
         k = 4, prefixDim = 32, shortlist = 16).localCheckpoint()
-    })
+    }
 
   private def bitextMargin(spark: SparkSession, dir: String): DataFrame =
     bitextExactPairs(spark, dir)
@@ -8093,7 +8102,7 @@ object SparkEntry {
         |    '/+$', '') AS canon_path,
         |  array_to_string(list_filter(
         |    string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
-        |    q -> NOT starts_with(q, 'utm_')), '&') AS canon_qs
+        |    q -> NOT starts_with(q, 'utm_') AND q <> ''), '&') AS canon_qs
         |FROM r)
         |SELECT doc_id,
         |  scheme || '://' || host ||

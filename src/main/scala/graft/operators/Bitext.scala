@@ -82,7 +82,7 @@ object Bitext {
     * IDENTICAL from there. How much of the exact mining this recovers is
     * a measured query (`bitext_prefix_recovery`), not a guess. */
   def mutualMarginPairsPrefix(src: DataFrame, tgt: DataFrame, k: Int = 4,
-      prefixDim: Int = 32, shortlist: Int = 8): DataFrame = {
+      prefixDim: Int = 32, shortlist: Int = 16): DataFrame = {
     val srcQ = src.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
     val tgtQ = tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"))
     val srcP = srcQ.select(col("src_id"), slice(col("s_emb"), 1, prefixDim).as("s_emb"))
