@@ -30,6 +30,47 @@ object SparkEntry {
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
   private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Drop every memoized per-dir DataFrame artifact and clear the Spark
+    * block cache — the "cold rep" state for same-JVM cold-cost
+    * adjudication (SCALING.md protocol): JIT/codegen stay warm, every
+    * engine-side artifact rebuilds. Model/layout caches (trained
+    * codebooks, written file layouts) are on-purpose NOT dropped — they
+    * are deterministic replays / on-disk artifacts whose cost queries
+    * like `knn_pq_flat` measure separately. Used by
+    * [[graft.tools.ColdReps]]. */
+  private[graft] def resetArtifactCaches(spark: SparkSession): Unit = {
+    def drop[K](c: scala.collection.concurrent.TrieMap[K, DataFrame]): Unit = {
+      c.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      c.clear()
+    }
+    Seq(gtCache, lateAuditCache, sharedGramEdgeCache, graphAdjCache,
+      graphSearchCache, nndAdjCache, nndSearchCache, upsertSearchCache,
+      deleteSearchCache, manifestCache, bitextExactCache, bitextPrefixCache)
+      .foreach(drop(_))
+    drop(searchCache)
+    spark.catalog.clearCache()
+  }
+
+  /** Guarded per-key memo for DataFrame artifacts (cached/localCheckpointed
+    * builds). Two hazards the raw `getOrElseUpdate` had (round-8 review):
+    * (a) a checkpointed/cached artifact dies with its SparkContext — a
+    * same-JVM session restart must rebuild, not serve a LogicalRDD whose
+    * blocks died with the old session; (b) get-then-put is not atomic —
+    * concurrent first callers (the spec suites drive queries in parallel)
+    * could each build; `putIfAbsent` makes one the winner and the losing
+    * build is discarded (correct either way, just wasted work avoided
+    * for every later caller). */
+  private def cachedArtifact[K](cache: scala.collection.concurrent.TrieMap[K, DataFrame],
+      key: K)(build: => DataFrame): DataFrame = {
+    cache.get(key).filter(df => !df.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val df = build
+        val winner = cache.putIfAbsent(key, df).getOrElse(df)
+        if (!winner.sparkSession.sparkContext.isStopped) winner
+        else { cache.put(key, df); df }
+      }
+  }
+
   private def sqModel(spark: SparkSession, dir: String): graft.index.SqModel =
     sqCache.getOrElseUpdate(dir, {
       val base = Tables.embeddingBase(spark, dir)
@@ -39,7 +80,7 @@ object SparkEntry {
   /** Exact ground truth, cached per dir (the `sift_groundtruth` analog —
     * computed once, scored against by every recall query). */
   private def groundTruth(spark: SparkSession, dir: String): DataFrame =
-    gtCache.getOrElseUpdate(dir,
+    cachedArtifact(gtCache, dir)(
       Knn.exact(Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir), KnnK)
         .cache())
 
@@ -49,7 +90,7 @@ object SparkEntry {
     * inside the recall query would benchmark the same work twice. */
   private val searchCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def memoSearch(name: String, dir: String)(build: => DataFrame): DataFrame =
-    searchCache.getOrElseUpdate((name, dir), build.cache())
+    cachedArtifact(searchCache, (name, dir))(build.cache())
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact brute-force kNN over the embeddings split — the reference's one
@@ -2550,14 +2591,14 @@ object SparkEntry {
     * whose day-window already closed. Cached per dir — the two-phase
     * run is one logical query. */
   private def streamLateData(spark: SparkSession, dir: String): DataFrame =
-    lateAuditCache.getOrElseUpdate(dir, {
+    cachedArtifact(lateAuditCache, dir) {
       graft.streaming.StreamingMetrics.lateDataAudit(spark,
         Tables.events(spark, dir).select(col("event_id"), col("ts")),
         s"target/stream_late/${java.lang.Integer.toHexString(dir.hashCode)}",
         // day-window-keyed state: one key per day in the event span
         stateKeys = streamCensus(spark, dir).windowBuckets(86400000L))
         .cache()
-    })
+    }
 
   /** Skew-safe salted join, oracled against the plain join it must equal:
     * lineitem (probe, salted by row id) ⋈ nation-sized dim (build,
@@ -2663,7 +2704,7 @@ object SparkEntry {
     * NN-Descent adjacency): derive once per fixture dir and reuse across
     * the analytics that consume it (PageRank, triangles). */
   private def sharedGramEdges(spark: SparkSession, dir: String): DataFrame =
-    sharedGramEdgeCache.getOrElseUpdate(dir, buildSharedGramEdges(spark, dir).localCheckpoint())
+    cachedArtifact(sharedGramEdgeCache, dir)(buildSharedGramEdges(spark, dir).localCheckpoint())
 
   private def buildSharedGramEdges(spark: SparkSession, dir: String): DataFrame = {
     // Shingle-hashing is the corpus-sized CPU work: repartition first so
@@ -3097,19 +3138,6 @@ object SparkEntry {
         .select(col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       col("ts"), col("cents"), stepMs = 60000L)
 
-  /** One-round HUGEINT canary (VERDICT.md r7 #2): a 2-row constant
-    * aggregate whose oracle deliberately leaves `sum(...)` UNCAST so
-    * DuckDB widens it to HUGEINT (INT128) while Spark emits int64.
-    * Values are identical (3); only the output dtype differs. The
-    * driver's dtype-sensitive hash should flag this RED, confirming
-    * the root cause of the 4-round metrics-trio divergence
-    * independently of the trio itself. Retire next round. */
-  private def dbgHugeintCanary(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Seq(1L, 2L).toDF("x")
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-  }
-
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -3460,7 +3488,7 @@ object SparkEntry {
     // localCheckpoint, not cache: consumers reference the adjacency
     // subplan many times per beam hop — a LogicalRDD leaf keeps their
     // analyzed plans small where a cached plan tree would not
-    graphAdjCache.getOrElseUpdate(dir,
+    cachedArtifact(graphAdjCache, dir)(
       graft.index.GraphIndex.buildExact(Tables.embeddingBase(spark, dir), GraphDegree)
         .localCheckpoint())
 
@@ -3474,7 +3502,7 @@ object SparkEntry {
   private def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
     // cached per dir: recall evaluation reuses the search output, the way
     // the reference scores recall on the batch it just searched
-    graphSearchCache.getOrElseUpdate(dir, graft.index.GraphIndex.search(
+    cachedArtifact(graphSearchCache, dir)(graft.index.GraphIndex.search(
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
       graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
       .cache())
@@ -3558,7 +3586,7 @@ object SparkEntry {
     * [[graphAdj]]'s all-pairs pass at 100 TB
     * (see [[graft.index.GraphIndex.buildNNDescent]]). */
   private def nndAdj(spark: SparkSession, dir: String): DataFrame =
-    nndAdjCache.getOrElseUpdate(dir,
+    cachedArtifact(nndAdjCache, dir)(
       graft.index.GraphIndex.buildNNDescent(
         Tables.embeddingBase(spark, dir), GraphDegree, rounds = 3)
         .cache())
@@ -3581,7 +3609,7 @@ object SparkEntry {
   /** Graph search over the NN-Descent adjacency — same beam search as
     * [[knnGraphSearch]], approximate build instead of exact. */
   private def knnGraphNnd(spark: SparkSession, dir: String): DataFrame =
-    nndSearchCache.getOrElseUpdate(dir, graft.index.GraphIndex.search(
+    cachedArtifact(nndSearchCache, dir)(graft.index.GraphIndex.search(
       Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
       nndAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
       .cache())
@@ -3673,7 +3701,7 @@ object SparkEntry {
     * during this phase; the incremental insert touches O(|new|·degree)
     * rows instead. */
   private def knnGraphUpsert(spark: SparkSession, dir: String): DataFrame =
-    upsertSearchCache.getOrElseUpdate(dir, {
+    cachedArtifact(upsertSearchCache, dir) {
       val base = Tables.embeddingBase(spark, dir)
       val pre = base.filter(col("vec_id") % 5 =!= 4)
       val ins = base.filter(col("vec_id") % 5 === 4)
@@ -3682,7 +3710,7 @@ object SparkEntry {
       graft.index.GraphIndex.search(
         Tables.embeddingQueries(spark, dir), base, adjAug, KnnK,
         seedMod = 16, seedK = 8, hops = 3, beam = 32).cache()
-    })
+    }
 
   /** End-to-end recall after the incremental insert — the reference's
     * post-re-insert recovery measurement (BASELINE: FAISS-HNSW recovers
@@ -3698,14 +3726,14 @@ object SparkEntry {
     * metadata-cheap predicate, no index work — and search the surviving
     * base through what remains. */
   private def knnGraphDelete(spark: SparkSession, dir: String): DataFrame =
-    deleteSearchCache.getOrElseUpdate(dir, {
+    cachedArtifact(deleteSearchCache, dir) {
       val surviving = Tables.embeddingBase(spark, dir).filter(col("vec_id") % 5 =!= 4)
       val adjDel = nndAdj(spark, dir)
         .filter(col("node_id") % 5 =!= 4 && col("neighbor_id") % 5 =!= 4)
       graft.index.GraphIndex.search(
         Tables.embeddingQueries(spark, dir), surviving, adjDel, KnnK,
         seedMod = 16, seedK = 8, hops = 3, beam = 32).cache()
-    })
+    }
 
   /** Post-delete recall vs exact ground truth over the SURVIVING base —
     * index quality after edge-filter deletion (the reference's
@@ -4095,7 +4123,7 @@ object SparkEntry {
         "ts_ms", p)
       p
     })
-    val manifest = manifestCache.getOrElseUpdate(dir,
+    val manifest = cachedArtifact(manifestCache, dir)(
       graft.sources.Layout.buildManifest(spark, path, "ts_ms").cache())
     // [2024-01-10, 2024-01-12) in epoch ms
     val (pruned, _, _) = graft.sources.Layout.manifestPrunedScan(
@@ -5508,7 +5536,10 @@ object SparkEntry {
     * the canonical form lowercases scheme+host, strips default ports
     * (443/https, 80/http — the :8080 arm survives), drops the fragment
     * and utm_* params (other params kept in order), and trims trailing
-    * slashes. Row-local regex/HOF work, no shuffle. */
+    * slashes. doc_id %% 7 == 0 rows sit under `.co.uk` so the
+    * public-suffix branch of [[graft.text.UrlFunctions.registeredDomain]]
+    * (last THREE labels under a multi-label suffix) is fixture-covered.
+    * Row-local regex/HOF work, no shuffle. */
   private def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     val m2 = pmod(col("doc_id"), lit(2L))
     val m3 = pmod(col("doc_id"), lit(3L))
@@ -5517,7 +5548,11 @@ object SparkEntry {
       when(m2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
       when(m3 === 0, lit("WWW.News.")).when(m3 === 1, lit("www.blog."))
         .otherwise(lit("CDN.")),
-      col("source"), lit(".ExAmple.COM"),
+      col("source"),
+      // doc_id % 7 == 0 rows live under a TWO-LEVEL public suffix so the
+      // registeredDomain PSL branch is exercised by the fixture
+      when(pmod(col("doc_id"), lit(7L)) === 0, lit(".ExAmple.CO.UK"))
+        .otherwise(lit(".ExAmple.COM")),
       when(m2 === 0, lit(":443")).otherwise(lit(":8080")),
       lit("/Articles/"), pmod(col("doc_id"), lit(7L)).cast("string"),
       when(m5 === 0, lit("/")).otherwise(lit("")),
@@ -5540,6 +5575,20 @@ object SparkEntry {
     * parallel-corpus alignment pass of LASER/CCMatrix pipelines,
     * decided entirely in quantized int64 arithmetic so the mining
     * replays in the oracle. */
+  /** Bitext mining knobs, shared by the Scala call sites AND the oracle
+    * CTE builders (which s-interpolate them) so the neighborhood size k,
+    * the margin numerator 2k*10^6, the prefix dim, and the shortlist
+    * cannot drift between the two sides (round-8 review). */
+  private val BitextK = 4
+  private val BitextPrefixDim = 32
+  private val BitextShortlist = 16
+
+  /** Margin thresholds (ppm of the ratio margin) for the mining census —
+    * shared with the oracle's VALUES ladder. 1.00–1.08× in the band
+    * where CCMatrix-style pipelines pick their operating point. */
+  private val BitextThresholdLadder: Seq[Long] =
+    Seq(1000000L, 1010000L, 1020000L, 1040000L, 1060000L, 1080000L)
+
   private def bitextSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
     (emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
@@ -5557,26 +5606,22 @@ object SparkEntry {
   private val bitextPrefixCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  // a localCheckpointed artifact dies with its SparkContext: a same-JVM
-  // session restart must rebuild, not serve a LogicalRDD whose blocks
-  // died with the old session (round-8 review)
-  private def cachedArtifact(cache: scala.collection.concurrent.TrieMap[String, DataFrame],
-      dir: String)(build: => DataFrame): DataFrame = {
-    cache.get(dir).filter(df => !df.sparkSession.sparkContext.isStopped)
-      .getOrElse { val df = build; cache.put(dir, df); df }
-  }
+  // (helper lives with the bitext caches historically; used by every
+  // per-dir DataFrame artifact cache in this object — see cachedArtifact
+  // scaladoc at its definition near the top of the file)
 
   private def bitextExactPairs(spark: SparkSession, dir: String): DataFrame =
     cachedArtifact(bitextExactCache, dir) {
       val (src, tgt) = bitextSplit(spark, dir)
-      graft.operators.Bitext.mutualMarginPairs(src, tgt, k = 4).localCheckpoint()
+      graft.operators.Bitext.mutualMarginPairs(src, tgt, k = BitextK).localCheckpoint()
     }
 
   private def bitextPrefixPairs(spark: SparkSession, dir: String): DataFrame =
     cachedArtifact(bitextPrefixCache, dir) {
       val (src, tgt) = bitextSplit(spark, dir)
       graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
-        k = 4, prefixDim = 32, shortlist = 16).localCheckpoint()
+        k = BitextK, prefixDim = BitextPrefixDim, shortlist = BitextShortlist)
+        .localCheckpoint()
     }
 
   private def bitextMargin(spark: SparkSession, dir: String): DataFrame =
@@ -5603,6 +5648,83 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_common")))
       .select(col("n_exact"), col("n_prefix"), col("n_common"),
         expr("(1000000 * n_common) div greatest(n_exact, 1)").as("recovery_ppm"))
+  }
+
+  /** Cross-lingual dedup COMPOSITION (r8 verdict item 7a): the mined
+    * mutual bitext pairs ([[bitextExactPairs]]) become a dedup keep
+    * list over the whole split corpus — the CCMatrix/LASER pipeline
+    * step where an aligned (src, tgt) pair is one logical document and
+    * only the lower id survives (the `dedup_keep_list` canonicalization
+    * applied to cross-lingual clusters). Mutual-argmax pairs are 1:1,
+    * so clusters are exactly the pairs; unpaired docs keep themselves.
+    * Cost beyond the shared pair artifact: two hash joins on id,
+    * linear at any scale. */
+  private def crosslingualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    val keep = pairs.select(col("src_id").as("vec_id"),
+        least(col("src_id"), col("tgt_id")).as("keep_id"))
+      .unionByName(pairs.select(col("tgt_id").as("vec_id"),
+        least(col("src_id"), col("tgt_id")).as("keep_id")))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(keep, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+      .withColumn("is_kept",
+        when(col("keep_id") === col("vec_id"), 1L).otherwise(0L))
+  }
+
+  /** Margin-threshold ladder for the mining census (r8 verdict item 7b)
+    * — the CCMatrix knob curve (Schwenk et al. 2021 sweep margin
+    * thresholds and read off pair yield): for each threshold in
+    * [[BitextThresholdLadder]], how many mutual pairs clear it and
+    * their summed quantized cosine. One broadcast join of the 6-row
+    * ladder against the shared pair artifact; zero-yield rungs stay
+    * visible via the left join. */
+  private def bitextThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = bitextExactPairs(spark, dir)
+    val th = BitextThresholdLadder.toDF("threshold_ppm")
+    th.join(pairs, pairs("margin_ppm") >= th("threshold_ppm"), "left")
+      .groupBy(col("threshold_ppm"))
+      .agg(count(col("src_id")).as("n_pairs"),
+        coalesce(sum(col("cos_q")), lit(0L)).as("sum_cos_q"))
+  }
+
+  /** Hubness REMEDIATION (r8 verdict item 7c) — the treatment for the
+    * disease [[hubnessStats]] reads: centering. Subtracting the global
+    * mean is the standard hubness-reduction transform (Radovanović et
+    * al. JMLR 2010 observe hubs concentrate near the data mean; Suzuki
+    * et al. EMNLP 2013 show centering weakens exactly that effect); the
+    * query rebuilds the exact degree-16 graph on the centered space and
+    * emits the before/after in-degree census side by side so the cure
+    * is MEASURED, not asserted. Replay parity: the mean is computed on
+    * the 2²⁰ quantized grid (order-free integer sums; the s/n division
+    * and the centered coordinates are bit-identical doubles in both
+    * engines), distances are the same left-to-right double fold both
+    * engines already rank [[knnExact]] by. The 64-row mean collect is
+    * metadata-sized. At 100 TB the centering is a broadcast subtract
+    * feeding any index build; the all-pairs rebuild here is the exact
+    * BASELINE (the scale path is the cell-blocked build, unchanged). */
+  private def hubnessCentered(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val qb = base.select(col("vec_id"),
+      graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+    val means = qb.select(posexplode(col("qv")).as(Seq("pos", "e")))
+      .groupBy(col("pos")).agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("pos"))
+      .collect().map(r => r.getLong(1).toDouble / r.getLong(2))
+    val centered = qb.select(col("vec_id"),
+      zip_with(col("qv"), typedLit(means.toSeq),
+        (x, m) => x.cast("double") - m).as("embedding"))
+    val adjCentered = graft.index.GraphIndex.buildExact(centered, GraphDegree)
+    def census(adj: DataFrame, variant: String): DataFrame =
+      base.select(col("vec_id"))
+        .join(adj.groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+          .withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+        .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+        .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+        .select(lit(variant).as("variant"), col("k_occ"), col("n_vectors"))
+    census(graphAdj(spark, dir), "raw")
+      .unionByName(census(adjCentered, "centered"))
   }
 
   /** Feature-hashed document cosine top-k
@@ -5972,6 +6094,9 @@ object SparkEntry {
     "hubness_stats" -> ((s, dir) => hubnessStats(s, dir)),
     "bitext_margin_prefix" -> ((s, dir) => bitextMarginPrefix(s, dir)),
     "bitext_prefix_recovery" -> ((s, dir) => bitextPrefixRecovery(s, dir)),
+    "crosslingual_dedup" -> ((s, dir) => crosslingualDedup(s, dir)),
+    "bitext_threshold_curve" -> ((s, dir) => bitextThresholdCurve(s, dir)),
+    "hubness_centered" -> ((s, dir) => hubnessCentered(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -6074,7 +6199,6 @@ object SparkEntry {
     "set_ops_all" -> ((s, dir) => setOpsAll(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "metrics_anomalies" -> ((s, dir) => metricsAnomalies(s, dir)),
-    "dbg_hugeint_canary" -> ((s, dir) => dbgHugeintCanary(s, dir)),
     "metrics_correlation" -> ((s, dir) => metricsCorrelation(s, dir)),
     "events_histogram" -> ((s, dir) => eventsHistogram(s, dir)),
     "metrics_gapfill" -> ((s, dir) => metricsGapfill(s, dir)),
@@ -6222,7 +6346,14 @@ object SparkEntry {
 
   // -- bitext mining oracle pieces (shared by the prefix variant and the
   // recovery query; the exact `bitext_margin` oracle predates these and
-  // stays monolithic — identical SQL text, proven hash-green) -----------
+  // stays monolithic for hash stability, but its k-derived constants are
+  // now s-interpolated from the same BitextK the Scala side uses) ------
+
+  /** The frozen public-suffix subset rendered as a SQL IN-list — ONE
+    * source of truth ([[graft.text.UrlFunctions.MultiLabelSuffixes]])
+    * for both the Spark registeredDomain branch and the oracle. */
+  private val urlSuffixInList: String =
+    graft.text.UrlFunctions.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
 
   /** Parity split + full-dim quantized cosine over all pairs. */
   private val bitextBaseCtes: String =
@@ -6235,37 +6366,38 @@ object SparkEntry {
       |    AS BIGINT) AS cos_q
       |  FROM s CROSS JOIN t)""".stripMargin
 
-  /** Exact per-side neighborhoods `ena`/`enb`: top-4 by full cosine. */
+  /** Exact per-side neighborhoods `ena`/`enb`: top-k by full cosine. */
   private val bitextExactNbhCtes: String =
-    """eta AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
-      |  PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r FROM sc),
-      |etb AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
-      |  PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r FROM sc),
-      |ena AS (SELECT src_id, tgt_id, cos_q FROM eta WHERE r <= 4),
-      |enb AS (SELECT src_id, tgt_id, cos_q FROM etb WHERE r <= 4)""".stripMargin
+    s"""eta AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+       |  PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r FROM sc),
+       |etb AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+       |  PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r FROM sc),
+       |ena AS (SELECT src_id, tgt_id, cos_q FROM eta WHERE r <= $BitextK),
+       |enb AS (SELECT src_id, tgt_id, cos_q FROM etb WHERE r <= $BitextK)""".stripMargin
 
   /** Prefix-pass neighborhoods `pna`/`pnb`: shortlist 16 by 32-dim prefix
     * cosine, then top-4 by FULL cosine within the shortlist. */
   private val bitextPrefixNbhCtes: String =
-    """spre AS (SELECT s.src_id, t.tgt_id,
-      |  CAST(floor(list_cosine_similarity(s.emb[1:32], t.emb[1:32])
-      |    * 1000000000.0) AS BIGINT) AS pcos
-      |  FROM s CROSS JOIN t),
-      |pra AS (SELECT src_id, tgt_id, row_number() OVER (
-      |  PARTITION BY src_id ORDER BY pcos DESC, tgt_id) AS r FROM spre),
-      |prb AS (SELECT src_id, tgt_id, row_number() OVER (
-      |  PARTITION BY tgt_id ORDER BY pcos DESC, src_id) AS r FROM spre),
-      |pna AS (SELECT src_id, tgt_id, cos_q FROM (
-      |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
-      |    PARTITION BY f.src_id ORDER BY sc.cos_q DESC, f.tgt_id) AS rr
-      |  FROM pra f JOIN sc USING (src_id, tgt_id) WHERE f.r <= 16) WHERE rr <= 4),
-      |pnb AS (SELECT src_id, tgt_id, cos_q FROM (
-      |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
-      |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
-      |  FROM prb f JOIN sc USING (src_id, tgt_id) WHERE f.r <= 16) WHERE rr <= 4)""".stripMargin
+    s"""spre AS (SELECT s.src_id, t.tgt_id,
+       |  CAST(floor(list_cosine_similarity(s.emb[1:$BitextPrefixDim], t.emb[1:$BitextPrefixDim])
+       |    * 1000000000.0) AS BIGINT) AS pcos
+       |  FROM s CROSS JOIN t),
+       |pra AS (SELECT src_id, tgt_id, row_number() OVER (
+       |  PARTITION BY src_id ORDER BY pcos DESC, tgt_id) AS r FROM spre),
+       |prb AS (SELECT src_id, tgt_id, row_number() OVER (
+       |  PARTITION BY tgt_id ORDER BY pcos DESC, src_id) AS r FROM spre),
+       |pna AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
+       |    PARTITION BY f.src_id ORDER BY sc.cos_q DESC, f.tgt_id) AS rr
+       |  FROM pra f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $BitextShortlist) WHERE rr <= $BitextK),
+       |pnb AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
+       |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
+       |  FROM prb f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $BitextShortlist) WHERE rr <= $BitextK)""".stripMargin
 
   /** Margin tail over neighborhoods `${p}na`/`${p}nb` → mutual set
-    * `${p}mut` (k = 4, so 2k·10⁶ = 8·10⁶). */
+    * `${p}mut`; the ratio-margin numerator 2k·10⁶ is generated from
+    * [[BitextK]] so it cannot drift from the Scala side. */
   private def bitextTailSql(p: String): String =
     s"""${p}sa AS (SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS sum_a
        |  FROM ${p}na GROUP BY 1),
@@ -6274,7 +6406,7 @@ object SparkEntry {
        |${p}cand AS (SELECT src_id, tgt_id, cos_q FROM ${p}na
        |  UNION SELECT src_id, tgt_id, cos_q FROM ${p}nb),
        |${p}m AS (SELECT c.src_id, c.tgt_id, c.cos_q,
-       |  (8 * 1000000 * c.cos_q) // (sum_a + sum_b) AS margin_ppm
+       |  (${2 * BitextK} * 1000000 * c.cos_q) // (sum_a + sum_b) AS margin_ppm
        |  FROM ${p}cand c JOIN ${p}sa USING (src_id) JOIN ${p}sb USING (tgt_id)
        |  WHERE c.cos_q > 0 AND sum_a + sum_b > 0),
        |${p}w AS (SELECT src_id, tgt_id, cos_q, margin_ppm,
@@ -8081,76 +8213,84 @@ object SparkEntry {
     // same synthesized raw URL, same rule set: lowercase scheme+host,
     // strip default port / fragment / utm_* params / trailing slashes
     "url_canonicalize" ->
-      """WITH r AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.News.'
-        |    WHEN doc_id % 3 = 1 THEN 'www.blog.' ELSE 'CDN.' END) ||
-        |  source || '.ExAmple.COM' ||
-        |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END) ||
-        |  '/Articles/' || CAST(doc_id % 7 AS VARCHAR) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-        |  '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
-        |  '&utm_campaign=x&ref=home' ||
-        |  '#sec' || CAST(doc_id % 3 AS VARCHAR) AS raw FROM documents),
-        |p AS (SELECT doc_id,
-        |  lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
-        |  lower(regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
-        |    '^([^:]+)', 1)) AS host,
-        |  regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
-        |    ':([0-9]+)$', 1) AS port,
-        |  regexp_replace(regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-        |    '/+$', '') AS canon_path,
-        |  array_to_string(list_filter(
-        |    string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
-        |    q -> NOT starts_with(q, 'utm_') AND q <> ''), '&') AS canon_qs
-        |FROM r)
-        |SELECT doc_id,
-        |  scheme || '://' || host ||
-        |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-        |      OR (scheme = 'http' AND port = '80')
-        |      THEN '' ELSE ':' || port END) ||
-        |    canon_path ||
-        |    (CASE WHEN canon_qs = '' THEN '' ELSE '?' || canon_qs END)
-        |    AS canon_url,
-        |  host,
-        |  regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS reg_domain,
-        |  CAST(len(list_filter(string_split(canon_path, '/'), s -> s <> ''))
-        |    AS BIGINT) AS path_depth
-        |FROM p""".stripMargin,
+      s"""WITH r AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.News.'
+         |    WHEN doc_id % 3 = 1 THEN 'www.blog.' ELSE 'CDN.' END) ||
+         |  source ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '.ExAmple.CO.UK' ELSE '.ExAmple.COM' END) ||
+         |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END) ||
+         |  '/Articles/' || CAST(doc_id % 7 AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |  '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+         |  '&utm_campaign=x&ref=home' ||
+         |  '#sec' || CAST(doc_id % 3 AS VARCHAR) AS raw FROM documents),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+         |  lower(regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
+         |    '^([^:]+)', 1)) AS host,
+         |  regexp_extract(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1),
+         |    ':([0-9]+)$$', 1) AS port,
+         |  regexp_replace(regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+         |    '/+$$', '') AS canon_path,
+         |  array_to_string(list_filter(
+         |    string_split(regexp_extract(raw, '\\?([^#]*)', 1), '&'),
+         |    q -> NOT starts_with(q, 'utm_') AND q <> ''), '&') AS canon_qs
+         |FROM r)
+         |SELECT doc_id,
+         |  scheme || '://' || host ||
+         |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+         |      OR (scheme = 'http' AND port = '80')
+         |      THEN '' ELSE ':' || port END) ||
+         |    canon_path ||
+         |    (CASE WHEN canon_qs = '' THEN '' ELSE '?' || canon_qs END)
+         |    AS canon_url,
+         |  host,
+         |  (CASE WHEN regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1)
+         |      IN ($urlSuffixInList)
+         |    AND regexp_extract(host,
+         |      '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) <> ''
+         |   THEN regexp_extract(host,
+         |      '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1)
+         |   ELSE regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1)
+         |   END) AS reg_domain,
+         |  CAST(len(list_filter(string_split(canon_path, '/'), s -> s <> ''))
+         |    AS BIGINT) AS path_depth
+         |FROM p""".stripMargin,
     // margin-based bitext mining: cosine floor-quantized to int64
     // nano-units, top-4 neighborhoods per side, ratio margin in ppm via
     // integer division (all positive), mutual argmax with id tie-break
     "bitext_margin" ->
-      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings WHERE vec_id % 2 = 0),
-        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings WHERE vec_id % 2 <> 0),
-        |sc AS (SELECT s.src_id, t.tgt_id,
-        |  CAST(floor(list_cosine_similarity(s.emb, t.emb) * 1000000000.0)
-        |    AS BIGINT) AS cos_q
-        |  FROM s CROSS JOIN t),
-        |ta AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
-        |  PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r FROM sc),
-        |tb AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
-        |  PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r FROM sc),
-        |sa AS (SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS sum_a
-        |  FROM ta WHERE r <= 4 GROUP BY 1),
-        |sb AS (SELECT tgt_id, CAST(sum(cos_q) AS BIGINT) AS sum_b
-        |  FROM tb WHERE r <= 4 GROUP BY 1),
-        |cand AS (SELECT src_id, tgt_id, cos_q FROM ta WHERE r <= 4
-        |  UNION SELECT src_id, tgt_id, cos_q FROM tb WHERE r <= 4),
-        |m AS (SELECT c.src_id, c.tgt_id, c.cos_q,
-        |  (8 * 1000000 * c.cos_q) // (sum_a + sum_b) AS margin_ppm
-        |  FROM cand c JOIN sa USING (src_id) JOIN sb USING (tgt_id)
-        |  WHERE c.cos_q > 0 AND sum_a + sum_b > 0),
-        |w AS (SELECT src_id, tgt_id, cos_q, margin_ppm,
-        |  row_number() OVER (PARTITION BY src_id
-        |    ORDER BY margin_ppm DESC, tgt_id) AS rs,
-        |  row_number() OVER (PARTITION BY tgt_id
-        |    ORDER BY margin_ppm DESC, src_id) AS rt
-        |  FROM m)
-        |SELECT src_id, tgt_id, cos_q, margin_ppm FROM w
-        |WHERE rs = 1 AND rt = 1""".stripMargin,
+      s"""WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id % 2 <> 0),
+         |sc AS (SELECT s.src_id, t.tgt_id,
+         |  CAST(floor(list_cosine_similarity(s.emb, t.emb) * 1000000000.0)
+         |    AS BIGINT) AS cos_q
+         |  FROM s CROSS JOIN t),
+         |ta AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+         |  PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r FROM sc),
+         |tb AS (SELECT src_id, tgt_id, cos_q, row_number() OVER (
+         |  PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r FROM sc),
+         |sa AS (SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS sum_a
+         |  FROM ta WHERE r <= $BitextK GROUP BY 1),
+         |sb AS (SELECT tgt_id, CAST(sum(cos_q) AS BIGINT) AS sum_b
+         |  FROM tb WHERE r <= $BitextK GROUP BY 1),
+         |cand AS (SELECT src_id, tgt_id, cos_q FROM ta WHERE r <= $BitextK
+         |  UNION SELECT src_id, tgt_id, cos_q FROM tb WHERE r <= $BitextK),
+         |m AS (SELECT c.src_id, c.tgt_id, c.cos_q,
+         |  (${2 * BitextK} * 1000000 * c.cos_q) // (sum_a + sum_b) AS margin_ppm
+         |  FROM cand c JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+         |  WHERE c.cos_q > 0 AND sum_a + sum_b > 0),
+         |w AS (SELECT src_id, tgt_id, cos_q, margin_ppm,
+         |  row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin_ppm DESC, tgt_id) AS rs,
+         |  row_number() OVER (PARTITION BY tgt_id
+         |    ORDER BY margin_ppm DESC, src_id) AS rt
+         |  FROM m)
+         |SELECT src_id, tgt_id, cos_q, margin_ppm FROM w
+         |WHERE rs = 1 AND rt = 1""".stripMargin,
     // prefix-candidate bitext mining: shortlist by 32-dim prefix cosine,
     // full-dim top-4 within the shortlist, then the identical margin tail
     "bitext_margin_prefix" ->
@@ -8167,6 +8307,54 @@ object SparkEntry {
           |SELECT n_exact, n_prefix, n_common,
           |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
           |FROM ne CROSS JOIN np CROSS JOIN hits""".stripMargin),
+    // cross-lingual dedup composition: mutual pairs -> keep list (lower
+    // id survives, unpaired docs keep themselves)
+    "crosslingual_dedup" ->
+      (s"WITH $bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        """k AS (SELECT src_id AS vec_id, least(src_id, tgt_id) AS keep_id FROM emut
+          |  UNION ALL SELECT tgt_id, least(src_id, tgt_id) FROM emut)
+          |SELECT e.vec_id, coalesce(k.keep_id, e.vec_id) AS keep_id,
+          |  CASE WHEN coalesce(k.keep_id, e.vec_id) = e.vec_id
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_kept
+          |FROM (SELECT vec_id FROM embeddings) e LEFT JOIN k USING (vec_id)""".stripMargin),
+    // mining census: margin-threshold ladder -> pair yield + cosine mass
+    // (ladder VALUES generated from the same Scala constant)
+    "bitext_threshold_curve" ->
+      (s"WITH $bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        s"""th AS (SELECT * FROM (VALUES ${BitextThresholdLadder.map(t => s"(CAST($t AS BIGINT))").mkString(", ")}) t(threshold_ppm))
+           |SELECT th.threshold_ppm, count(m.src_id) AS n_pairs,
+           |  CAST(coalesce(sum(m.cos_q), 0) AS BIGINT) AS sum_cos_q
+           |FROM th LEFT JOIN emut m ON m.margin_ppm >= th.threshold_ppm
+           |GROUP BY 1""".stripMargin),
+    // hubness remediation: global-mean centering (quantized-grid integer
+    // sums -> bit-identical s/n doubles), exact degree-16 rebuild on the
+    // centered space, before/after in-degree census
+    "hubness_centered" ->
+      (s"WITH $graphBaseCtes,\n" +
+        """qb AS (SELECT vec_id,
+          |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+          |  FROM b),
+          |mexp AS (SELECT CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM qb),
+          |mu AS (SELECT pos, CAST(sum(e) AS DOUBLE) / count(*) AS mu FROM mexp GROUP BY pos),
+          |muv AS (SELECT array_agg(mu ORDER BY pos) AS mv FROM mu),
+          |cb AS (SELECT vec_id,
+          |  list_transform(generate_series(1, 64), ii -> CAST(qv[ii] AS DOUBLE) - mv[ii]) AS cv
+          |  FROM qb CROSS JOIN muv),
+          |cadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+          |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY list_distance(a.cv, c.cv), c.vec_id) AS rank
+          |  FROM cb a CROSS JOIN cb c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+          |occ_r AS (SELECT neighbor_id, count(*) AS k_occ FROM gadj GROUP BY 1),
+          |occ_c AS (SELECT neighbor_id, count(*) AS k_occ FROM cadj GROUP BY 1),
+          |cr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+          |    count(*) AS n_vectors
+          |  FROM b LEFT JOIN occ_r o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
+          |cc AS (SELECT 'centered' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+          |    count(*) AS n_vectors
+          |  FROM b LEFT JOIN occ_c o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
+          |SELECT variant, k_occ, n_vectors FROM cr
+          |UNION ALL SELECT variant, k_occ, n_vectors FROM cc""".stripMargin),
     // ROUGE-1/2: clipped per-gram multiplicity matches (min of the two
     // sides' counts), recall/F1 as floor-ppm integer division
     "rouge_overlap" ->
@@ -10074,14 +10262,6 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
         |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
         |   OR old.cents IS DISTINCT FROM new.cents""".stripMargin,
-    // deliberately UNCAST outer sum: DuckDB widens sum(BIGINT) to
-    // HUGEINT; the driver's dtype-sensitive hash should flag this red
-    // (mechanism canary for the r7 metrics-trio root cause; values are
-    // identical). Lint-allowlisted in ContractSpec by design; retire
-    // next round.
-    "dbg_hugeint_canary" ->
-      """SELECT sum(x) AS s, count(*) AS n
-        |FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) t(x)""".stripMargin,
     "metrics_anomalies" ->
       """WITH pm AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS bucket_ms,
         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x

@@ -85,6 +85,101 @@ object DynamicBench {
     log.toSeq.toDF()
   }
 
+  final case class RaceRow(interval: Int, phase: String, qps: Double,
+      latency_ms: Double, recall: Double, event: String)
+
+  final case class RaceResult(intervals: Seq[RaceRow],
+      deleteMs: Double, insertMs: Double)
+
+  /** The reference's HEADLINE experiment — a search loop RACING dynamic
+    * updates (dynamic_script_faiss.py:46-138, logs at
+    * logs/dynamic_updates_faiss.txt: steady ≈4 970 q/s, −53% during the
+    * 50% rebuild, full recovery) — run as a true race on the graph
+    * index: the measuring loop keeps issuing full-batch graph-served
+    * searches against the PUBLISHED snapshot while a concurrent updater
+    * (its own Future + scheduler pool, sharing the executor cores)
+    * deletes `1 − cutoff` of the base by edge-filtering the adjacency
+    * (D2 — metadata-cheap, no index work) and then re-inserts it via
+    * beam-search insertion ([[graft.index.GraphIndex.insert]], D1 —
+    * touches O(|new|·degree) rows, the rebuild-free analog of the
+    * reference's re-add phase). Each updater step builds the new
+    * (base, adjacency) off to the side and publishes it with one
+    * AtomicReference swap — the snapshot-isolation contract (C2): a
+    * search never observes a half-applied update.
+    *
+    * Recall follows the reference's protocol exactly: it is always
+    * measured against the ORIGINAL full-base ground truth, so the
+    * post-delete phase shows the recall hole the deleted neighbors
+    * leave (≈ the surviving fraction of gt) and the re-insert phase
+    * shows it closing — while QPS shows the CONTENTION dip from the
+    * updater's jobs sharing the cores (the reference's −53% window). */
+  def dynamicUpdateRace(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      adjacency: DataFrame, cutoff: Long, k: Int,
+      steadyIntervals: Int = 5, recoveredIntervals: Int = 5,
+      degree: Int = 16): RaceResult = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val gt = Knn.exact(queries, base, k).cache()
+    gt.count()
+    val graphSearch = (q: DataFrame, snap: (DataFrame, DataFrame)) =>
+      graft.index.GraphIndex.search(q, snap._1, snap._2, k,
+        seedMod = 16, seedK = 8, hops = 3, beam = 32)
+    val published = new AtomicReference[(DataFrame, DataFrame)]((base, adjacency))
+    @volatile var phase = "steady"
+    @volatile var deleteMs = 0.0
+    @volatile var insertMs = 0.0
+    val log = scala.collection.mutable.ArrayBuffer[RaceRow]()
+    var interval = 0
+    def searchOnce(tag: String): Unit = {
+      val snap = published.get()
+      val t0 = System.nanoTime()
+      val pred = graphSearch(queries, snap)
+      val rec = Recall.recallAtK(pred, gt, k).collect()(0).getDouble(0)
+      val ms = (System.nanoTime() - t0) / 1e6
+      val n = queries.count().toDouble
+      interval += 1
+      log.synchronized { log += RaceRow(interval, tag, n / (ms / 1000.0), ms, rec, "") }
+    }
+    (1 to steadyIntervals).foreach(_ => searchOnce("steady"))
+    val updater = Future {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "updater")
+      try {
+        phase = "during_delete"
+        val t0 = System.nanoTime()
+        val survivors = base.filter(col("vec_id") <= cutoff).cache()
+        val adjDel = adjacency
+          .filter(col("node_id") <= cutoff && col("neighbor_id") <= cutoff)
+          .cache()
+        survivors.count(); adjDel.count()
+        published.set((survivors, adjDel))
+        deleteMs = (System.nanoTime() - t0) / 1e6
+        phase = "during_insert"
+        val t1 = System.nanoTime()
+        val ins = base.filter(col("vec_id") > cutoff)
+        val adjAug = graft.index.GraphIndex
+          .insert(survivors, adjDel, ins, degree).cache()
+        adjAug.count()
+        published.set((base, adjAug))
+        insertMs = (System.nanoTime() - t1) / 1e6
+      } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
+    // the racing measurement loop: keep searching the published snapshot
+    // until the updater is done (each iteration tags itself with the
+    // update phase it raced against)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "searcher")
+    while (!updater.isCompleted) searchOnce(phase)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    Await.result(updater, Duration.Inf)
+    log.synchronized {
+      interval += 1
+      log += RaceRow(interval, "delete_done", 0, deleteMs, 0, "delete_end")
+      interval += 1
+      log += RaceRow(interval, "insert_done", 0, insertMs, 0, "insert_end")
+    }
+    (1 to recoveredIntervals).foreach(_ => searchOnce("recovered"))
+    gt.unpersist(blocking = false)
+    RaceResult(log.toSeq, deleteMs, insertMs)
+  }
+
   final case class ClientResult(num_clients: Int, client_id: Int, qps: Double,
       latency_ms: Double, recall: Double)
 

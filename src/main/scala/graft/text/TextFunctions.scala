@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer (the BPE-ish regex split). */
+  /** Whitespace tokenizer (the BPE-ish regex split).
+    *
+    * ORACLE COUPLING: several oracles (`bigram_logprob`,
+    * `kn_bigram_logprob`, `rouge_overlap`, …) replay this as DuckDB
+    * `string_split(trim(text), ' ')`, which only matches `\s+` when the
+    * fixture text is single-space separated with no tabs. That invariant
+    * is asserted against the fixtures in TextSpec ("fixture text is
+    * single-space separated"); if a fixture ever gains runs of
+    * whitespace, either normalize it or port those oracles to a
+    * regexp-based split. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.DynamicBench
+import graft.sources.Tables
+
+/** The measured dynamic-updates contention artifact — the engine-side
+  * counterpart of the reference's headline interval log
+  * (dynamic_script_faiss.py:46-138 → logs/dynamic_updates_faiss.txt:
+  * steady ≈4 970 q/s, −53% during the 50% rebuild, full recovery):
+  * a graph-served search loop racing a concurrent 50% delete +
+  * beam-insert re-insertion, snapshot-swapped (C1/C2/C4).
+  *
+  * Writes `dynamicupdates_run.json` (raw interval rows + phase summary);
+  * `tools/render_dynamicupdates.py` renders DYNAMICUPDATES.md from it,
+  * mirroring the MULTITENANT.md pipeline.
+  *
+  * Usage: runMain graft.tools.DynamicUpdatesRace [sfDir] [outJson]
+  */
+object DynamicUpdatesRace {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "dynamicupdates_run.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir).cache()
+    // 50% update fraction like the reference, cutoff derived from the data
+    val cutoff = base.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    // steady-state precondition: the serving graph exists before the
+    // measuring loop starts (the reference builds, then starts the loop)
+    val adj = graft.index.GraphIndex
+      .buildNNDescent(base, degree = 16, rounds = 3).cache()
+    adj.count()
+    // one discarded warm-up search so interval 1 measures serving, not
+    // first-touch JIT/codegen
+    DynamicBench.measuredSearch(queries, base,
+      graft.operators.Knn.exact(queries, base, 10).cache(), 10,
+      (q, b, kk) => graft.index.GraphIndex.search(q, b, adj, kk,
+        seedMod = 16, seedK = 8, hops = 3, beam = 32))
+
+    val res = DynamicBench.dynamicUpdateRace(spark, queries, base, adj,
+      cutoff, k = 10, steadyIntervals = 5, recoveredIntervals = 5)
+
+    def js(d: Double): String = f"$d%.3f"
+    val rows = res.intervals.map { r =>
+      s"""{"interval":${r.interval},"phase":"${r.phase}","qps":${js(r.qps)},""" +
+        s""""latency_ms":${js(r.latency_ms)},"recall":${js(r.recall)},"event":"${r.event}"}"""
+    }.mkString("[", ",", "]")
+    def phaseMean(p: String, f: DynamicBench.RaceRow => Double): Double = {
+      val xs = res.intervals.filter(r => r.phase == p && r.event.isEmpty).map(f)
+      if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    }
+    val phases = Seq("steady", "during_delete", "during_insert", "recovered")
+    val summary = phases.map { p =>
+      s"""{"phase":"$p","n":${res.intervals.count(r => r.phase == p && r.event.isEmpty)},""" +
+        s""""mean_qps":${js(phaseMean(p, _.qps))},""" +
+        s""""mean_latency_ms":${js(phaseMean(p, _.latency_ms))},""" +
+        s""""mean_recall":${js(phaseMean(p, _.recall))}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"protocol":"graph-served full-batch search loop (NN-Descent degree-16 graph, beam 32, k=10) racing a concurrent updater: 50% suffix delete via adjacency edge-filter (D2), then beam-insert re-insertion (D1, GraphIndex.insert); AtomicReference snapshot swap per phase (C2); recall always vs the ORIGINAL full-base ground truth (the reference's protocol); one discarded warm-up search","sf_dir":"$dir","master":"local[$cpus]","update_fraction":0.5,"k":10,"delete_publish_ms":${js(res.deleteMs)},"insert_publish_ms":${js(res.insertMs)},"summary":$summary,"intervals":$rows}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes)
+    println(s"wrote $out")
+    println(json.take(800))
+    spark.stop()
+  }
+}

@@ -104,8 +104,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("no oracle's outer SELECT exposes an uncast sum (HUGEINT lint)") {
-    val allow = Set("dbg_hugeint_canary") // deliberate mechanism canary
-    val hits = uncastOuterSums(SparkEntry.oracleSql).filterNot(h => allow(h._1))
+    val hits = uncastOuterSums(SparkEntry.oracleSql)
     assert(hits.isEmpty, hits.map { case (n, s) =>
       s"$n exposes uncast `$s` — wrap in CAST(... AS BIGINT)"
     }.mkString("\n"))
@@ -236,6 +235,18 @@ class ContractSpec extends AnyFunSuite {
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
     assert(full.contains(s""""value":${Bench.fmt(coldTotal)}"""),
       s"headline value is not the cold total: $full")
+    // artifact attribution map: every (cold − min) ≥ 0.1 s entry and
+    // nothing else — the first-consumer build-cost ledger (r8 item 8)
+    val artMap = full.substring(
+      full.indexOf("\"queries_artifact\":") + "\"queries_artifact\":".length,
+      full.indexOf(",\"n_queries\":"))
+    val expectArts = results.filter(r => r._2 >= 0 && r._3 >= 0 && r._3 - r._2 >= 0.1)
+    expectArts.foreach { case (k, v, c) =>
+      assert(artMap.contains("\"" + k + "\":" + Bench.fmt(c - v)), k)
+    }
+    val nArtEntries = if (artMap == "{}") 0 else artMap.count(_ == ':')
+    assert(nArtEntries == expectArts.size,
+      s"artifact map has $nArtEntries entries, expected ${expectArts.size}")
     // a rep-1-failed / rep-2-ok query is visible as -1 in the cold map
     // and does NOT inflate n_failed
     results.find(r => r._3 < 0 && r._2 >= 0).foreach { case (k, _, _) =>

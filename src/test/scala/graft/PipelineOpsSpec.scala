@@ -63,7 +63,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(!url.contains(":443"), url) // https default stripped
       assert(url.startsWith("https://") || url.startsWith("http://"), url)
       assert(host == host.toLowerCase, host)
-      assert(r.getString(3) == "example.com") // reg_domain
+      // reg_domain: doc_id % 7 == 0 rows sit under the two-level public
+      // suffix .co.uk, so the PSL branch yields example.co.uk there
+      val expectedDomain =
+        if (r.getLong(0) % 7 == 0) "example.co.uk" else "example.com"
+      assert(r.getString(3) == expectedDomain, r)
       assert(!url.endsWith("/"), url) // trailing slash trimmed
       // non-default port kept, aligned with the http arm
       if (url.startsWith("http://")) assert(url.contains(":8080"), url)
@@ -99,6 +103,80 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(parts.getString(1) == "example.com")
     assert(parts.getInt(2) == 3)
     assert(parts.getString(3) == "443")
+  }
+
+  test("crosslingual_dedup: pair canonicalization + keep-list invariants") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("bitext_margin")(spark, dir)
+      .select(col("src_id"), col("tgt_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = SparkEntry.queries("crosslingual_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(keep.length == total)
+    // every mined pair drops exactly its higher id
+    val keepMap = keep.map(t => t._1 -> ((t._2, t._3))).toMap
+    pairs.foreach { case (a, b) =>
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      assert(keepMap(lo) == ((lo, 1L)), s"pair ($a,$b) canonical")
+      assert(keepMap(hi) == ((lo, 0L)), s"pair ($a,$b) dropped side")
+    }
+    // unpaired docs keep themselves; kept count = total − n_pairs
+    assert(keep.count(_._3 == 1L) == total - pairs.length)
+    keep.filter(t => !pairs.exists(p => p._1 == t._1 || p._2 == t._1))
+      .foreach(t => assert(t._2 == t._1 && t._3 == 1L, t))
+  }
+
+  test("bitext_threshold_curve: yields match the mined pair margins") {
+    val dir = "/root/testdata/sf0.001"
+    val mined = SparkEntry.queries("bitext_margin")(spark, dir)
+      .select(col("margin_ppm"), col("cos_q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val curve = SparkEntry.queries("bitext_threshold_curve")(spark, dir)
+      .orderBy(col("threshold_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.length == 6 && curve.head._1 == 1000000L)
+    curve.foreach { case (t, n, sc) =>
+      val cleared = mined.filter(_._1 >= t)
+      assert(n == cleared.length, s"threshold $t: pair yield")
+      assert(sc == cleared.map(_._2).sum, s"threshold $t: cosine mass")
+    }
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"$a -> $b not nonincreasing")
+    }
+  }
+
+  test("hubness_centered: census mass conserved per variant") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("hubness_centered")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 20 =!= 0).count()
+    for (v <- Seq("raw", "centered")) {
+      val c = rows.filter(_._1 == v)
+      assert(c.map(_._3).sum == nBase, s"$v: vector mass")
+      // total in-degree mass = out-degree mass = degree · n
+      assert(c.map(t => t._2 * t._3).sum == 16L * nBase, s"$v: edge mass")
+    }
+  }
+
+  test("UrlFunctions.registeredDomain: multi-label public suffixes") {
+    import graft.text.UrlFunctions
+    val cases = Seq(
+      // two-level suffix: registration is one label deeper
+      ("https://www.Shop.FOO.co.uk/x", "foo.co.uk"),
+      ("http://a.b.example.com.au/", "example.com.au"),
+      ("https://news.site.co.jp", "site.co.jp"),
+      // bare registrable name directly under a multi-label suffix
+      ("https://foo.co.uk/p", "foo.co.uk"),
+      // NOT in the suffix set: plain last-two-labels rule
+      ("https://deep.sub.example.com/x", "example.com"),
+      // looks like a ccTLD second level but isn't in the frozen set
+      ("https://a.b.co.xx/x", "co.xx"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlFunctions.registeredDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
   }
 
   // ---- Kneser-Ney bigram LM ------------------------------------------

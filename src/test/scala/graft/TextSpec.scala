@@ -272,4 +272,21 @@ class TextSpec extends AnyFunSuite {
       1L -> ((2L, 1L, 5000L)),
       2L -> ((2L, 1L, 5000L))))
   }
+
+  test("fixture text is single-space separated (oracle tokenizer coupling)") {
+    // Several oracles replay TextFunctions.tokens (regex \s+) as DuckDB
+    // string_split(trim(text), ' '); they agree only while fixture text
+    // has no tabs and no consecutive spaces. Pin that invariant against
+    // the real fixtures so a fixture regeneration can't silently break
+    // hash parity (round-8 review).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val path = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(path).exists) {
+        val bad = spark.read.parquet(path)
+          .filter(col("text").rlike("[\\t\\n\\r]|  "))
+          .count()
+        assert(bad == 0L, s"$sf: $bad documents contain tabs/newlines/double spaces")
+      }
+    }
+  }
 }

@@ -11,7 +11,7 @@ import duckdb, pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 # Oracles that DELIBERATELY emit a diverging dtype (mechanism canaries).
-EXPECTED_DTYPE_RED = {"dbg_hugeint_canary"}
+EXPECTED_DTYPE_RED: set = set()  # (r8 canary retired)
 
 
 def render_kind(dt) -> str:

@@ -18,7 +18,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 # Queries whose oracle DELIBERATELY emits a diverging dtype (mechanism
 # canaries); they XFAIL the dtype check instead of counting as failures.
-EXPECTED_DTYPE_RED = {"dbg_hugeint_canary"}
+EXPECTED_DTYPE_RED: set = set()  # (r8 canary retired)
 
 
 def render_kind(dt) -> str:
