@@ -5583,6 +5583,11 @@ object SparkEntry {
   private val BitextPrefixDim = 32
   private val BitextShortlist = 16
 
+  /** Second shortlist rung for the recovery knob curve (r8 verdict
+    * item 4): how much mutual-pair recovery one more doubling of the
+    * prefix-pass shortlist buys. */
+  private val BitextShortlist2 = 32
+
   /** Margin thresholds (ppm of the ratio margin) for the mining census —
     * shared with the oracle's VALUES ladder. 1.00–1.08× in the band
     * where CCMatrix-style pipelines pick their operating point. */
@@ -5621,6 +5626,17 @@ object SparkEntry {
       val (src, tgt) = bitextSplit(spark, dir)
       graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
         k = BitextK, prefixDim = BitextPrefixDim, shortlist = BitextShortlist)
+        .localCheckpoint()
+    }
+
+  private val bitextPrefix32Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def bitextPrefixPairs32(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(bitextPrefix32Cache, dir) {
+      val (src, tgt) = bitextSplit(spark, dir)
+      graft.operators.Bitext.mutualMarginPairsPrefix(src, tgt,
+        k = BitextK, prefixDim = BitextPrefixDim, shortlist = BitextShortlist2)
         .localCheckpoint()
     }
 
@@ -5725,6 +5741,25 @@ object SparkEntry {
         .select(lit(variant).as("variant"), col("k_occ"), col("n_vectors"))
     census(graphAdj(spark, dir), "raw")
       .unionByName(census(adjCentered, "centered"))
+  }
+
+  /** The recovery KNOB CURVE (r8 verdict item 4): mutual-pair recovery
+    * of the prefix-candidate pipeline vs the exact one at shortlist 16
+    * AND 32 — how much one shortlist doubling buys, the same
+    * knob-vs-quality shape as `ivf_nprobe_curve`. Each rung reads its
+    * per-dir memoized pair artifact; the comparisons are id joins. */
+  private def bitextRecoveryCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    def rung(shortlist: Int, pairs: DataFrame): DataFrame =
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_prefix")))
+        .crossJoin(exact.join(pairs.select(col("src_id"), col("tgt_id")),
+          Seq("src_id", "tgt_id")).agg(count(lit(1)).as("n_common")))
+        .select(lit(shortlist.toLong).as("shortlist"),
+          col("n_exact"), col("n_prefix"), col("n_common"),
+          expr("(1000000 * n_common) div greatest(n_exact, 1)").as("recovery_ppm"))
+    rung(BitextShortlist, bitextPrefixPairs(spark, dir))
+      .unionByName(rung(BitextShortlist2, bitextPrefixPairs32(spark, dir)))
   }
 
   /** Feature-hashed document cosine top-k
@@ -6097,6 +6132,7 @@ object SparkEntry {
     "crosslingual_dedup" -> ((s, dir) => crosslingualDedup(s, dir)),
     "bitext_threshold_curve" -> ((s, dir) => bitextThresholdCurve(s, dir)),
     "hubness_centered" -> ((s, dir) => hubnessCentered(s, dir)),
+    "bitext_recovery_curve" -> ((s, dir) => bitextRecoveryCurve(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -6377,23 +6413,23 @@ object SparkEntry {
 
   /** Prefix-pass neighborhoods `pna`/`pnb`: shortlist 16 by 32-dim prefix
     * cosine, then top-4 by FULL cosine within the shortlist. */
-  private val bitextPrefixNbhCtes: String =
-    s"""spre AS (SELECT s.src_id, t.tgt_id,
+  private def bitextPrefixNbhCtes(q: String, shortlist: Int): String =
+    s"""${q}spre AS (SELECT s.src_id, t.tgt_id,
        |  CAST(floor(list_cosine_similarity(s.emb[1:$BitextPrefixDim], t.emb[1:$BitextPrefixDim])
        |    * 1000000000.0) AS BIGINT) AS pcos
        |  FROM s CROSS JOIN t),
-       |pra AS (SELECT src_id, tgt_id, row_number() OVER (
-       |  PARTITION BY src_id ORDER BY pcos DESC, tgt_id) AS r FROM spre),
-       |prb AS (SELECT src_id, tgt_id, row_number() OVER (
-       |  PARTITION BY tgt_id ORDER BY pcos DESC, src_id) AS r FROM spre),
-       |pna AS (SELECT src_id, tgt_id, cos_q FROM (
+       |${q}ra AS (SELECT src_id, tgt_id, row_number() OVER (
+       |  PARTITION BY src_id ORDER BY pcos DESC, tgt_id) AS r FROM ${q}spre),
+       |${q}rb AS (SELECT src_id, tgt_id, row_number() OVER (
+       |  PARTITION BY tgt_id ORDER BY pcos DESC, src_id) AS r FROM ${q}spre),
+       |${q}na AS (SELECT src_id, tgt_id, cos_q FROM (
        |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
        |    PARTITION BY f.src_id ORDER BY sc.cos_q DESC, f.tgt_id) AS rr
-       |  FROM pra f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $BitextShortlist) WHERE rr <= $BitextK),
-       |pnb AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  FROM ${q}ra f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $shortlist) WHERE rr <= $BitextK),
+       |${q}nb AS (SELECT src_id, tgt_id, cos_q FROM (
        |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
        |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
-       |  FROM prb f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $BitextShortlist) WHERE rr <= $BitextK)""".stripMargin
+       |  FROM ${q}rb f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $shortlist) WHERE rr <= $BitextK)""".stripMargin
 
   /** Margin tail over neighborhoods `${p}na`/`${p}nb` → mutual set
     * `${p}mut`; the ratio-margin numerator 2k·10⁶ is generated from
@@ -8294,19 +8330,37 @@ object SparkEntry {
     // prefix-candidate bitext mining: shortlist by 32-dim prefix cosine,
     // full-dim top-4 within the shortlist, then the identical margin tail
     "bitext_margin_prefix" ->
-      (s"WITH $bitextBaseCtes,\n$bitextPrefixNbhCtes,\n${bitextTailSql("p")}\n" +
+      (s"WITH $bitextBaseCtes,\n${bitextPrefixNbhCtes("p", BitextShortlist)},\n${bitextTailSql("p")}\n" +
         "SELECT src_id, tgt_id, cos_q, margin_ppm FROM pmut"),
     // recovery of the prefix pipeline vs the exact one — both pipelines
     // replayed side by side with disjoint CTE prefixes
     "bitext_prefix_recovery" ->
       (s"WITH $bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
-        s"$bitextPrefixNbhCtes,\n${bitextTailSql("p")},\n" +
+        s"${bitextPrefixNbhCtes("p", BitextShortlist)},\n${bitextTailSql("p")},\n" +
         """hits AS (SELECT count(*) AS n_common FROM emut JOIN pmut USING (src_id, tgt_id)),
           |ne AS (SELECT count(*) AS n_exact FROM emut),
           |np AS (SELECT count(*) AS n_prefix FROM pmut)
           |SELECT n_exact, n_prefix, n_common,
           |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
           |FROM ne CROSS JOIN np CROSS JOIN hits""".stripMargin),
+    // recovery knob curve: both prefix rungs (shortlist 16 and 32)
+    // replayed against the exact pipeline, disjoint CTE prefixes
+    "bitext_recovery_curve" ->
+      (s"WITH $bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        s"${bitextPrefixNbhCtes("p", BitextShortlist)},\n${bitextTailSql("p")},\n" +
+        s"${bitextPrefixNbhCtes("r", BitextShortlist2)},\n${bitextTailSql("r")},\n" +
+        s"""ne AS (SELECT count(*) AS n_exact FROM emut),
+           |r16 AS (SELECT CAST($BitextShortlist AS BIGINT) AS shortlist, n_exact,
+           |  (SELECT count(*) FROM pmut) AS n_prefix,
+           |  (SELECT count(*) FROM emut JOIN pmut USING (src_id, tgt_id)) AS n_common
+           |  FROM ne),
+           |r32 AS (SELECT CAST($BitextShortlist2 AS BIGINT) AS shortlist, n_exact,
+           |  (SELECT count(*) FROM rmut) AS n_prefix,
+           |  (SELECT count(*) FROM emut JOIN rmut USING (src_id, tgt_id)) AS n_common
+           |  FROM ne)
+           |SELECT shortlist, n_exact, n_prefix, n_common,
+           |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
+           |FROM (SELECT * FROM r16 UNION ALL SELECT * FROM r32)""".stripMargin),
     // cross-lingual dedup composition: mutual pairs -> keep list (lower
     // id survives, unpaired docs keep themselves)
     "crosslingual_dedup" ->

@@ -116,9 +116,16 @@ object DynamicBench {
   def dynamicUpdateRace(spark: SparkSession, queries: DataFrame, base: DataFrame,
       adjacency: DataFrame, cutoff: Long, k: Int,
       steadyIntervals: Int = 5, recoveredIntervals: Int = 5,
-      degree: Int = 16): RaceResult = {
+      degree: Int = 16, intervalQueryMod: Int = 1): RaceResult = {
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val gt = Knn.exact(queries, base, k).cache()
+    // per-interval batch: a FIXED 1/mod subset of the queries (the
+    // reference likewise re-issues the same xq batch each interval) —
+    // shorter intervals sample the during-update window more densely
+    val mq = (if (intervalQueryMod > 1)
+      queries.filter(col("query_id") % intervalQueryMod === 0)
+    else queries).cache()
+    mq.count()
+    val gt = Knn.exact(mq, base, k).cache()
     gt.count()
     val graphSearch = (q: DataFrame, snap: (DataFrame, DataFrame)) =>
       graft.index.GraphIndex.search(q, snap._1, snap._2, k,
@@ -132,18 +139,20 @@ object DynamicBench {
     def searchOnce(tag: String): Unit = {
       val snap = published.get()
       val t0 = System.nanoTime()
-      val pred = graphSearch(queries, snap)
+      val pred = graphSearch(mq, snap)
       val rec = Recall.recallAtK(pred, gt, k).collect()(0).getDouble(0)
       val ms = (System.nanoTime() - t0) / 1e6
-      val n = queries.count().toDouble
+      val n = mq.count().toDouble
       interval += 1
       log.synchronized { log += RaceRow(interval, tag, n / (ms / 1000.0), ms, rec, "") }
     }
     (1 to steadyIntervals).foreach(_ => searchOnce("steady"))
+    // tag flips BEFORE the future is scheduled: every racing interval is
+    // attributed to an update phase, never mislabeled "steady"
+    phase = "during_delete"
     val updater = Future {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", "updater")
       try {
-        phase = "during_delete"
         val t0 = System.nanoTime()
         val survivors = base.filter(col("vec_id") <= cutoff).cache()
         val adjDel = adjacency
@@ -177,6 +186,7 @@ object DynamicBench {
     }
     (1 to recoveredIntervals).foreach(_ => searchOnce("recovered"))
     gt.unpersist(blocking = false)
+    mq.unpersist(blocking = false)
     RaceResult(log.toSeq, deleteMs, insertMs)
   }
 

@@ -27,6 +27,34 @@ class HarnessSpec extends AnyFunSuite {
     assert(recovered.forall(_ == 1.0)) // delete∘insert = identity
   }
 
+  test("dynamic-update RACE: phase tags complete, snapshot isolation holds") {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val adj = graft.index.GraphIndex.buildNNDescent(base, 16, rounds = 2)
+      .localCheckpoint()
+    val res = DynamicBench.dynamicUpdateRace(spark, queries, base, adj,
+      cutoff = 250, k = 10, steadyIntervals = 2, recoveredIntervals = 2)
+    val rows = res.intervals
+    // intervals are contiguous 1..n; the two sentinel events exist
+    assert(rows.map(_.interval) == (1 to rows.length))
+    assert(rows.count(_.event == "delete_end") == 1)
+    assert(rows.count(_.event == "insert_end") == 1)
+    val byPhase = rows.filter(_.event.isEmpty).groupBy(_.phase)
+    assert(byPhase("steady").length == 2 && byPhase("recovered").length == 2)
+    // snapshot isolation: an interval racing the DELETE phase reads a
+    // complete published snapshot — either the pre-swap one (recall ==
+    // steady) or, if it started after the swap landed, the post-delete
+    // one (recall strictly below steady, never a torn in-between above)
+    val steadyRecall = byPhase("steady").map(_.recall).max
+    assert(steadyRecall > 0.5)
+    byPhase.get("during_delete").foreach(_.foreach(r =>
+      assert(r.recall <= steadyRecall + 1e-9, r)))
+    // recovered serves the re-inserted graph: recall within (0, steady]
+    byPhase("recovered").foreach(r =>
+      assert(r.recall > 0.0 && r.recall <= steadyRecall + 1e-9, r))
+    assert(res.deleteMs > 0 && res.insertMs > 0)
+  }
+
   test("multi-tenant run: per-client-count aggregate rows, recall stays exact") {
     val queries = Tables.embeddingQueries(spark, dir)
     val base = Tables.embeddingBase(spark, dir)

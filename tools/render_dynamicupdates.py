@@ -12,61 +12,88 @@ def main() -> None:
     src, dst = sys.argv[1], sys.argv[2]
     with open(src) as f:
         d = json.load(f)
-    summary = {r["phase"]: r for r in d["summary"]}
-    steady = summary.get("steady", {"mean_qps": 0})
     lines = [
         "# Dynamic updates under load — measured",
         "",
         "The engine-side counterpart of the reference's HEADLINE experiment",
         "(dynamic_script_faiss.py:46-138; logs/dynamic_updates_faiss.txt:",
-        "steady ~4,970 q/s, -53% during the 50% rebuild, full recovery): a",
-        "graph-served search loop RACING a concurrent updater that deletes",
-        "50% of the base and re-inserts it, with an atomic snapshot swap per",
-        "update phase. Raw interval rows live in `dynamicupdates_run.json`.",
+        "steady ~4,970 q/s, -53% during the 50% rebuild, recovery to 0.9769",
+        "recall): a graph-served search loop RACING a concurrent updater",
+        "that deletes a fraction of the base and re-inserts it, with an",
+        "atomic snapshot swap per update phase, swept over the reference's",
+        "25/50/75% update fractions. Raw interval rows live in",
+        "`dynamicupdates_run.json`.",
         "",
         f"- Protocol: {d['protocol']}",
-        f"- Fixture: `{d['sf_dir']}`, master `{d['master']}`,"
-        f" update fraction {d['update_fraction']}, k={d['k']}",
-        f"- Update publish latency: delete {float(d['delete_publish_ms'])/1000.0:.2f} s"
-        f" (edge-filter, D2), re-insert {float(d['insert_publish_ms'])/1000.0:.2f} s"
-        f" (beam insert, D1)",
+        f"- Fixture: `{d['sf_dir']}`, master `{d['master']}`, k={d['k']}",
         "",
-        "| phase | intervals | mean QPS | mean latency (ms) | mean recall | QPS vs steady |",
-        "|---|---|---|---|---|---|",
+        "| update % | phase | intervals | mean QPS | mean latency (ms) | mean recall | QPS vs steady |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for r in d["summary"]:
-        if r["n"] == 0:
-            continue
-        ratio = (float(r["mean_qps"]) / float(steady["mean_qps"])
-                 if float(steady["mean_qps"]) else 0.0)
-        lines.append(
-            f"| {r['phase']} | {r['n']} | {float(r['mean_qps']):.1f} | "
-            f"{float(r['mean_latency_ms']):.1f} | {float(r['mean_recall']):.4f} | "
-            f"{ratio:.2f}x |")
+    for run in d["runs"]:
+        summary = {r["phase"]: r for r in run["summary"]}
+        steady = summary.get("steady", {"mean_qps": 0})
+        for r in run["summary"]:
+            if r["n"] == 0:
+                continue
+            ratio = (float(r["mean_qps"]) / float(steady["mean_qps"])
+                     if float(steady["mean_qps"]) else 0.0)
+            lines.append(
+                f"| {run['update_pct']} | {r['phase']} | {r['n']} | "
+                f"{float(r['mean_qps']):.1f} | {float(r['mean_latency_ms']):.1f} | "
+                f"{float(r['mean_recall']):.4f} | {ratio:.2f}x |")
     lines += [
         "",
-        "Interval log (sentinel events carried as the `event` column, M8):",
+        "Update publish latency (the snapshot-swap points, M8 events",
+        "`delete_end`/`insert_end` in the interval rows):",
         "",
-        "| interval | phase | QPS | latency (ms) | recall | event |",
-        "|---|---|---|---|---|---|",
+        "| update % | delete publish (s) | re-insert publish (s) |",
+        "|---|---|---|",
     ]
-    for r in d["intervals"]:
+    for run in d["runs"]:
         lines.append(
-            f"| {r['interval']} | {r['phase']} | {float(r['qps']):.1f} | "
-            f"{float(r['latency_ms']):.1f} | {float(r['recall']):.4f} | "
-            f"{r['event'] or ''} |")
+            f"| {run['update_pct']} | {float(run['delete_publish_ms'])/1000.0:.2f} | "
+            f"{float(run['insert_publish_ms'])/1000.0:.2f} |")
     lines += [
         "",
-        "Reading: the during-update phases show the CONTENTION dip (updater",
-        "jobs share the executor cores with the measuring loop — the",
-        "reference's -53% window); the post-delete recall hole is the",
-        "deleted half of the original ground truth (recall is always scored",
-        "against the pre-delete gt, the reference's protocol) and it closes",
-        "after the beam re-insert publishes. Deletion itself is an",
-        "edge-filter (D2) — metadata-cheap where the reference's embedded",
-        "backends must rebuild (D3); re-insertion touches O(|new|*degree)",
-        "adjacency rows via beam-search insertion instead of a full",
-        "build.",
+        "Interval logs (phase-tagged; sentinel events as the `event`",
+        "column, M8):",
+        "",
+        "| update % | interval | phase | QPS | latency (ms) | recall | event |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for run in d["runs"]:
+        for r in run["intervals"]:
+            lines.append(
+                f"| {run['update_pct']} | {r['interval']} | {r['phase']} | "
+                f"{float(r['qps']):.1f} | {float(r['latency_ms']):.1f} | "
+                f"{float(r['recall']):.4f} | {r['event'] or ''} |")
+    lines += [
+        "",
+        "Reading:",
+        "",
+        "- **Contention dip**: during-update intervals run 10-25% below",
+        "  steady QPS — the updater's jobs share the executor cores with",
+        "  the measuring loop. The dip is far shallower than the",
+        "  reference's -53% because deletion here is an adjacency",
+        "  edge-filter (D2, publishes in ~0.2 s) and re-insertion touches",
+        "  O(|new|*degree) rows (D1, ~3 s) where the embedded reference",
+        "  backends must REBUILD the index (D3) and starve the search",
+        "  loop for the whole window.",
+        "- **Recall hole and recovery**: recall is always scored against",
+        "  the ORIGINAL full-base ground truth (the reference's protocol),",
+        "  so the post-delete window shows a hole equal to the deleted",
+        "  share of gt (0.586 / 0.382 / 0.141 at 25/50/75%) and the",
+        "  beam re-insert closes it (0.784 / 0.757 / 0.589 vs steady",
+        "  0.815). Recovery degrades with update fraction — incremental",
+        "  insertion of 75% of the corpus into a 25% skeleton is the",
+        "  regime where a rebuild (D3) beats incremental maintenance,",
+        "  the same tradeoff the reference's backends sit on the other",
+        "  side of.",
+        "- **Snapshot isolation (C2)**: during-delete intervals still read",
+        "  recall 0.815 — searches hold the pre-swap snapshot until the",
+        "  updater publishes; no interval ever observes a half-applied",
+        "  update.",
         "",
     ]
     with open(dst, "w") as f:
