@@ -5707,23 +5707,25 @@ object SparkEntry {
 
   /** Hubness REMEDIATION (r8 verdict item 7c) — the treatment for the
     * disease [[hubnessStats]] reads: centering. Subtracting the global
-    * mean is the standard hubness-reduction transform (Radovanović et
-    * al. JMLR 2010 observe hubs concentrate near the data mean; Suzuki
-    * et al. EMNLP 2013 show centering weakens exactly that effect); the
-    * query rebuilds the exact degree-16 graph on the centered space and
-    * emits the before/after in-degree census side by side so the cure
-    * is MEASURED, not asserted. Replay parity: the mean is computed on
-    * the 2²⁰ quantized grid (order-free integer sums; the s/n division
-    * and the centered coordinates are bit-identical doubles in both
-    * engines), distances are the same left-to-right double fold both
-    * engines already rank [[knnExact]] by. The 64-row mean collect is
+    * mean is the standard hubness-reduction transform for COSINE
+    * retrieval (Radovanović et al. JMLR 2010 observe hubs concentrate
+    * near the data mean; Suzuki et al. EMNLP 2013 show centering
+    * weakens exactly that effect for cosine similarity). The census
+    * therefore ranks by COSINE — under L2 a global translation is
+    * distance-invariant and the treatment would be vacuous by
+    * construction (measured: the L2 census was bit-identical raw vs
+    * centered) — and the raw variant is cosine-ranked too, so the
+    * comparison is like for like. Replay parity: the mean is computed
+    * on the 2²⁰ quantized grid (order-free integer sums; the s/n
+    * division and the centered coordinates are bit-identical doubles in
+    * both engines), and both engines rank through the proven
+    * cosine-kernel parity of [[knnCosine]]. The 64-row mean collect is
     * metadata-sized. At 100 TB the centering is a broadcast subtract
     * feeding any index build; the all-pairs rebuild here is the exact
     * BASELINE (the scale path is the cell-blocked build, unchanged). */
   private def hubnessCentered(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
-    val qb = base.select(col("vec_id"),
-      graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+    val qb = quantizedBase(spark, dir)
     val means = qb.select(posexplode(col("qv")).as(Seq("pos", "e")))
       .groupBy(col("pos")).agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
       .orderBy(col("pos"))
@@ -5731,16 +5733,94 @@ object SparkEntry {
     val centered = qb.select(col("vec_id"),
       zip_with(col("qv"), typedLit(means.toSeq),
         (x, m) => x.cast("double") - m).as("embedding"))
-    val adjCentered = graft.index.GraphIndex.buildExact(centered, GraphDegree)
-    def census(adj: DataFrame, variant: String): DataFrame =
-      base.select(col("vec_id"))
-        .join(adj.groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
-          .withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
-        .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
-        .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
-        .select(lit(variant).as("variant"), col("k_occ"), col("n_vectors"))
-    census(graphAdj(spark, dir), "raw")
-      .unionByName(census(adjCentered, "centered"))
+    val adjCentered = cachedArtifact(centeredAdjCache, dir)(
+      cosineAdjacency(centered, GraphDegree).localCheckpoint())
+    inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
+      .unionByName(inDegreeCensus(base, adjCentered, "centered"))
+  }
+
+  private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddingBase(spark, dir).select(col("vec_id"),
+      graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
+
+  /** Exact degree-`degree` adjacency ranked by cosine DESC (ties by id),
+    * self excluded — the cosine twin of [[graft.index.GraphIndex.buildExact]],
+    * shared by the hubness-remediation family. */
+  private def cosineAdjacency(vecs: DataFrame, degree: Int): DataFrame = {
+    val asQueries = vecs.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    Knn.cosineTopK(asQueries, vecs, degree + 1)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("g_rank", row_number().over(w))
+      .filter(col("g_rank") <= degree)
+      .select(col("query_id").as("node_id"), col("neighbor_id"))
+  }
+
+  // per-dir artifacts, graphAdjCache pattern: the three cosine
+  // adjacencies are index BUILDS (all-pairs, the family's shared cold
+  // cost — ~4 s each at sf0.1); both census queries read the raw one
+  private val rawCosAdjCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val centeredAdjCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val whitenedAdjCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def rawCosineAdjacency(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(rawCosAdjCache, dir)(
+      cosineAdjacency(Tables.embeddingBase(spark, dir), GraphDegree)
+        .localCheckpoint())
+
+  /** In-degree (k-occurrence) census of an adjacency over `base`, zeros
+    * included, labeled with a variant column — shared by the hubness
+    * diagnosis/remediation family. */
+  private def inDegreeCensus(base: DataFrame, adj: DataFrame, variant: String): DataFrame =
+    base.select(col("vec_id"))
+      .join(adj.groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+        .withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+      .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+      .select(lit(variant).as("variant"), col("k_occ"), col("n_vectors"))
+
+  /** Diagonal (per-dimension) WHITENING — one step past [[hubnessCentered]]
+    * on the remediation ladder: center by the global mean AND rescale each
+    * dimension to unit variance (the cheap diagonal of ZCA; full-covariance
+    * whitening needs the eigenbasis — `pca_power_project` holds that
+    * machinery — but per-dim variance already removes the dominant-axis
+    * bias that feeds hub formation). Ranked by COSINE like the rest of the
+    * family (see [[hubnessCentered]] for why L2 would be vacuous for the
+    * centering term; the per-dim rescale DOES change L2 but the family
+    * measures the retrieval metric the treatment targets). Replay parity:
+    * per-dim sums Σx and Σx² are exact int64 on the 2²⁰ grid (order-free;
+    * |Σx²| < 2⁵³ at fixture scale — a production run would widen to a
+    * decimal accumulator), the variance (n·Σx² − Σx·Σx)/n² and the 1/√v
+    * scale are the SAME double expression tree in both engines, and the
+    * whitened coordinates (x − μ)·s rank through the proven cosine-kernel
+    * parity. Output: raw vs whitened in-degree census, the measured cure. */
+  private def hubnessWhitened(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val qb = quantizedBase(spark, dir)
+    val stats = qb.select(posexplode(col("qv")).as(Seq("pos", "e")))
+      .groupBy(col("pos")).agg(sum(col("e")).as("sx"),
+        sum(col("e") * col("e")).as("sxx"), count(lit(1)).as("n"))
+      .orderBy(col("pos")).collect()
+    val mean = stats.map(r => r.getLong(1).toDouble / r.getLong(3))
+    val scale = stats.map { r =>
+      val n = r.getLong(3).toDouble
+      val sx = r.getLong(1).toDouble
+      val sxx = r.getLong(2).toDouble
+      val v = (n * sxx - sx * sx) / (n * n)
+      if (v > 0) 1.0 / math.sqrt(v) else 1.0
+    }
+    val whitened = qb.select(col("vec_id"),
+      zip_with(
+        zip_with(col("qv"), typedLit(mean.toSeq), (x, m) => x.cast("double") - m),
+        typedLit(scale.toSeq), (x, sc) => x * sc).as("embedding"))
+    val adjWhitened = cachedArtifact(whitenedAdjCache, dir)(
+      cosineAdjacency(whitened, GraphDegree).localCheckpoint())
+    inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
+      .unionByName(inDegreeCensus(base, adjWhitened, "whitened"))
   }
 
   /** The recovery KNOB CURVE (r8 verdict item 4): mutual-pair recovery
@@ -6133,6 +6213,7 @@ object SparkEntry {
     "bitext_threshold_curve" -> ((s, dir) => bitextThresholdCurve(s, dir)),
     "hubness_centered" -> ((s, dir) => hubnessCentered(s, dir)),
     "bitext_recovery_curve" -> ((s, dir) => bitextRecoveryCurve(s, dir)),
+    "hubness_whitened" -> ((s, dir) => hubnessWhitened(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -8381,11 +8462,18 @@ object SparkEntry {
            |FROM th LEFT JOIN emut m ON m.margin_ppm >= th.threshold_ppm
            |GROUP BY 1""".stripMargin),
     // hubness remediation: global-mean centering (quantized-grid integer
-    // sums -> bit-identical s/n doubles), exact degree-16 rebuild on the
-    // centered space, before/after in-degree census
+    // sums -> bit-identical s/n doubles), COSINE-ranked exact rebuild,
+    // before/after in-degree census (raw variant cosine-ranked too: L2
+    // is translation-invariant, so an L2 census would be vacuous for
+    // centering by construction)
     "hubness_centered" ->
-      (s"WITH $graphBaseCtes,\n" +
-        """qb AS (SELECT vec_id,
+      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |radj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
+        |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+        |qb AS (SELECT vec_id,
           |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
           |  FROM b),
           |mexp AS (SELECT CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM qb),
@@ -8397,9 +8485,9 @@ object SparkEntry {
           |cadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
           |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
           |    row_number() OVER (PARTITION BY a.vec_id
-          |      ORDER BY list_distance(a.cv, c.cv), c.vec_id) AS rank
+          |      ORDER BY -list_cosine_similarity(a.cv, c.cv), c.vec_id) AS rank
           |  FROM cb a CROSS JOIN cb c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
-          |occ_r AS (SELECT neighbor_id, count(*) AS k_occ FROM gadj GROUP BY 1),
+          |occ_r AS (SELECT neighbor_id, count(*) AS k_occ FROM radj GROUP BY 1),
           |occ_c AS (SELECT neighbor_id, count(*) AS k_occ FROM cadj GROUP BY 1),
           |cr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
           |    count(*) AS n_vectors
@@ -8409,6 +8497,50 @@ object SparkEntry {
           |  FROM b LEFT JOIN occ_c o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
           |SELECT variant, k_occ, n_vectors FROM cr
           |UNION ALL SELECT variant, k_occ, n_vectors FROM cc""".stripMargin),
+    // diagonal whitening: center + unit per-dim variance (exact-int
+    // Σx/Σx² -> identical variance/scale doubles), rebuild, census
+    "hubness_whitened" ->
+      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |wradj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
+        |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+        |wqb AS (SELECT vec_id,
+          |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+          |  FROM b),
+          |wexp AS (SELECT CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM wqb),
+          |wst AS (SELECT pos, CAST(sum(e) AS BIGINT) AS sx,
+          |  CAST(sum(e * e) AS BIGINT) AS sxx, count(*) AS n FROM wexp GROUP BY pos),
+          |wsc AS (SELECT pos, CAST(sx AS DOUBLE) / n AS mu,
+          |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+          |    THEN 1.0 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          |    ELSE 1.0 END AS scl FROM wst),
+          |wmu AS (SELECT array_agg(mu ORDER BY pos) AS mv,
+          |  array_agg(scl ORDER BY pos) AS sv FROM wsc),
+          |wb AS (SELECT vec_id,
+          |  list_transform(generate_series(1, 64),
+          |    ii -> (CAST(qv[ii] AS DOUBLE) - mv[ii]) * sv[ii]) AS cv
+          |  FROM wqb CROSS JOIN wmu),
+          |wadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+          |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY -list_cosine_similarity(a.cv, c.cv), c.vec_id) AS rank
+          |  FROM wb a CROSS JOIN wb c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+          |wocc_r AS (SELECT neighbor_id, count(*) AS k_occ FROM wradj GROUP BY 1),
+          |wocc_w AS (SELECT neighbor_id, count(*) AS k_occ FROM wadj GROUP BY 1),
+          |wcr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+          |    count(*) AS n_vectors
+          |  FROM b LEFT JOIN wocc_r o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
+          |wcw AS (SELECT 'whitened' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+          |    count(*) AS n_vectors
+          |  FROM b LEFT JOIN wocc_w o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
+          |SELECT variant, k_occ, n_vectors FROM wcr
+          |UNION ALL SELECT variant, k_occ, n_vectors FROM wcw""".stripMargin),
     // ROUGE-1/2: clipped per-gram multiplicity matches (min of the two
     // sides' counts), recall/F1 as floor-ppm integer division
     "rouge_overlap" ->

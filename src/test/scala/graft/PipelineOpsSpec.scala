@@ -146,17 +146,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("hubness_centered: census mass conserved per variant") {
+  test("hubness remediation family: census mass conserved per variant") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("hubness_centered")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val nBase = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") % 20 =!= 0).count()
-    for (v <- Seq("raw", "centered")) {
-      val c = rows.filter(_._1 == v)
-      assert(c.map(_._3).sum == nBase, s"$v: vector mass")
-      // total in-degree mass = out-degree mass = degree · n
-      assert(c.map(t => t._2 * t._3).sum == 16L * nBase, s"$v: edge mass")
+    for ((q, variants) <- Seq(
+        "hubness_centered" -> Seq("raw", "centered"),
+        "hubness_whitened" -> Seq("raw", "whitened"))) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      for (v <- variants) {
+        val c = rows.filter(_._1 == v)
+        assert(c.map(_._3).sum == nBase, s"$q/$v: vector mass")
+        // total in-degree mass = out-degree mass = degree · n
+        assert(c.map(t => t._2 * t._3).sum == 16L * nBase, s"$q/$v: edge mass")
+      }
     }
   }
 
