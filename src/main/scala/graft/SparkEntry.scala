@@ -3507,6 +3507,21 @@ object SparkEntry {
       graphAdj(spark, dir), KnnK, seedMod = 16, seedK = 8, hops = 3, beam = 32)
       .cache())
 
+  /** COSINE-served graph search — end-to-end cosine serving (cosine-built
+    * degree-16 adjacency + cosine-ranked beam), the default metric of the
+    * HNSW-class backends the reference wraps (Redis/Milvus expose COSINE;
+    * Weaviate defaults to it). Reuses the hubness family's memoized raw
+    * cosine adjacency. */
+  private def knnGraphCosine(spark: SparkSession, dir: String): DataFrame =
+    memoSearch("knn_graph_cosine", dir)(graft.index.GraphIndex.searchCosine(
+      Tables.embeddingQueries(spark, dir), Tables.embeddingBase(spark, dir),
+      rawCosineAdjacency(spark, dir), KnnK, seedMod = 16, seedK = 8,
+      hops = 3, beam = 32))
+
+  /** Recall of cosine graph serving vs the exact cosine top-k. */
+  private def recallGraphCosine(spark: SparkSession, dir: String): DataFrame =
+    Recall.recallBasisPoints(knnGraphCosine(spark, dir), cosineHits(spark, dir), KnnK)
+
   /** Mutual (reciprocal) k-NN pairs: edges of the exact degree-16 graph
     * present in BOTH directions — the symmetric-neighbor criterion used
     * for near-dup image mining, RNN-descent graph pruning, and
@@ -6214,6 +6229,8 @@ object SparkEntry {
     "hubness_centered" -> ((s, dir) => hubnessCentered(s, dir)),
     "bitext_recovery_curve" -> ((s, dir) => bitextRecoveryCurve(s, dir)),
     "hubness_whitened" -> ((s, dir) => hubnessWhitened(s, dir)),
+    "knn_graph_cosine" -> ((s, dir) => knnGraphCosine(s, dir)),
+    "recall_graph_cosine" -> ((s, dir) => recallGraphCosine(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
     "median_mode_stats" -> ((s, dir) => medianModeStats(s, dir)),
     "date_funcs" -> ((s, dir) => dateFuncs(s, dir)),
@@ -7418,15 +7435,21 @@ object SparkEntry {
     * expand-score-prune (beam 32), exact rerank over everything visited
     * — the same batched beam as [[graft.index.GraphIndex.search]]. */
   private def beamSearchCtes(adjCte: String, p: String,
-      qCte: String = "q", bCte: String = "b", beam: Int = 32): String = {
-    val qdist = "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+      qCte: String = "q", bCte: String = "b", beam: Int = 32,
+      cosine: Boolean = false): String = {
+    val qdist =
+      if (cosine) "-list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+      else "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    val seedDist =
+      if (cosine) "-list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+      else "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
     val hops = 3
     val sb = new StringBuilder
     sb.append(
       s"""${p}beam0 AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |  SELECT q.query_id, e.vec_id,
          |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+         |      ORDER BY $seedDist, e.vec_id) AS rn
          |  FROM $qCte q CROSS JOIN $bCte e WHERE e.vec_id % 16 = 0) WHERE rn <= 8),
          |${p}vis0 AS MATERIALIZED (SELECT query_id, vec_id FROM ${p}beam0)""")
     for (h <- 1 to hops) {
@@ -7454,6 +7477,35 @@ object SparkEntry {
          |    JOIN $bCte b ON b.vec_id = c.vec_id)""")
     sb.toString
   }
+
+  /** q/b split + cosine degree-16 adjacency (the hubness family's raw
+    * variant, reused by the cosine serving oracles). */
+  private val cosGraphBaseCtes: String =
+    """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      |cosadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+      |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
+      |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16)""".stripMargin
+
+  private val graphCosineKnnOracle: String =
+    (s"""WITH $cosGraphBaseCtes,
+        |${beamSearchCtes("cosadj", "gc", cosine = true)}
+        |SELECT query_id, neighbor_id, rank FROM gcscored WHERE rank <= 10""").stripMargin
+
+  private val graphCosineRecallOracle: String =
+    s"""WITH $cosGraphBaseCtes,
+       |${beamSearchCtes("cosadj", "gc", cosine = true)},
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY -list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+       |  FROM q CROSS JOIN b) WHERE rank <= 10),
+       |pr AS (SELECT query_id, neighbor_id FROM gcscored WHERE rank <= 10),
+       |hits AS (SELECT count(*) AS n_hits FROM gt JOIN pr USING (query_id, neighbor_id)),
+       |total AS (SELECT count(*) AS n_gt FROM gt)
+       |SELECT (n_hits * 10000) // n_gt AS recall_bp FROM hits CROSS JOIN total""".stripMargin
 
   private val graphAdjOracle: String =
     s"WITH $graphBaseCtes\nSELECT node_id, neighbor_id, rank FROM gadj"
@@ -8168,6 +8220,8 @@ object SparkEntry {
     "knn_graph_cellblocked" -> cellBlockedKnnOracle,
     "recall_graph_cellblocked" -> cellBlockedRecallOracle,
     "recall_graph" -> graphRecallOracle,
+    "knn_graph_cosine" -> graphCosineKnnOracle,
+    "recall_graph_cosine" -> graphCosineRecallOracle,
     "recall_curve_graph" ->
       (s"""WITH $graphBaseCtes,
           |${beamSearchCtes("gadj", "g")},

@@ -244,6 +244,19 @@ object GraphIndex {
       beam: Int = 32): DataFrame =
     searchImpl(queries, base, adjacency, None, k, seedMod, seedK, hops, beam)
 
+  /** [[search]] ranked by COSINE similarity (descending, ties by id) —
+    * the default serving metric of the HNSW-class backends the reference
+    * wraps (Redis FT.CREATE and Milvus both expose COSINE alongside L2;
+    * Weaviate defaults to it). Same batched beam, same bounded heap; the
+    * score column is −cos so the ascending heap/rank machinery is reused
+    * unchanged. Pair with a cosine-built adjacency for end-to-end cosine
+    * serving. */
+  def searchCosine(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
+      k: Int, seedMod: Int = 16, seedK: Int = 8, hops: Int = 3,
+      beam: Int = 32): DataFrame =
+    searchImpl(queries, base, adjacency, None, k, seedMod, seedK, hops, beam,
+      cosine = true)
+
   /** FILTERED graph search — the predicate-composable serving mode of
     * the HNSW-class backends (Milvus/Weaviate expose exactly this on
     * their HNSW collections). The beam TRAVERSES the full graph —
@@ -261,16 +274,20 @@ object GraphIndex {
 
   private def searchImpl(queries: DataFrame, base: DataFrame, adjacency: DataFrame,
       allowed: Option[DataFrame], k: Int, seedMod: Int, seedK: Int, hops: Int,
-      beam: Int): DataFrame = {
+      beam: Int, cosine: Boolean = false): DataFrame = {
     val entry = base.filter(col("vec_id") % seedMod === 0)
-    val seeds = graft.operators.Knn.exact(queries, entry, seedK)
+    val seeds = (if (cosine)
+      graft.operators.Knn.cosineTopK(queries, entry, seedK)
+    else graft.operators.Knn.exact(queries, entry, seedK))
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
     val adj = adjacency.select(col("node_id"), col("neighbor_id"))
     def score(cand: DataFrame): DataFrame =
       cand.join(base, "vec_id")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("vec_id"),
-          l2sq(col("q_embedding"), col("embedding")).as("dist"))
+          (if (cosine)
+            -graft.functions.VectorFunctions.cosine(col("q_embedding"), col("embedding"))
+          else l2sq(col("q_embedding"), col("embedding"))).as("dist"))
     def topOf(scored: DataFrame, m: Int): DataFrame =
       scored.groupBy(col("query_id"))
         .agg(topKByDist(col("vec_id"), col("dist"), m).as("nn"))
