@@ -151,7 +151,16 @@ object Knn {
   }
 
   /** Exact top-k by cosine similarity (descending) — the similarity-search
-    * baseline for the embedding column (builder brief: ANN over embeddings). */
+    * baseline for the embedding column (builder brief: ANN over embeddings).
+    *
+    * Stays on the FUSED [[cosine]] kernel on purpose: an r9 A/B tried
+    * precomputing per-row norms and scoring dot/(‖q‖·‖b‖) — bit-identical
+    * math, one loop per pair instead of three — and it was SLOWER (7.2 vs
+    * 5.2 s warm on the sf0.1 all-pairs build): the bounded-heap aggregate
+    * evaluates its dist child through interpreted projection, so a 4-node
+    * composed tree (neg∘div∘mul + dot) costs more per pair in dispatch
+    * than the two redundant norm loops cost in arithmetic. One fused
+    * kernel node is the fast shape here. */
   def cosineTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), -cosine(col("q_embedding"), col("embedding")), k)
     base
