@@ -134,6 +134,9 @@ object DynamicBench {
     @volatile var phase = "steady"
     @volatile var deleteMs = 0.0
     @volatile var insertMs = 0.0
+    // updater-cached snapshots, released after the recovered loop so a
+    // multi-fraction sweep doesn't accumulate dead cached frames
+    @volatile var updaterCached: Seq[DataFrame] = Nil
     val log = scala.collection.mutable.ArrayBuffer[RaceRow]()
     var interval = 0
     def searchOnce(tag: String): Unit = {
@@ -169,6 +172,7 @@ object DynamicBench {
         adjAug.count()
         published.set((base, adjAug))
         insertMs = (System.nanoTime() - t1) / 1e6
+        updaterCached = Seq(survivors, adjDel, adjAug)
       } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }
     // the racing measurement loop: keep searching the published snapshot
@@ -187,6 +191,7 @@ object DynamicBench {
     (1 to recoveredIntervals).foreach(_ => searchOnce("recovered"))
     gt.unpersist(blocking = false)
     mq.unpersist(blocking = false)
+    updaterCached.foreach(_.unpersist(blocking = false))
     RaceResult(log.toSeq, deleteMs, insertMs)
   }
 

@@ -6,10 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.GraftFunctions
 import graft.text.TextFunctions
 
-/** Round-8 pipeline operators: Unicode text normalization
+/** LLM-pipeline operators (rounds 8-9): Unicode text normalization
   * ([[graft.functions.NfcNormalize]] + TextFunctions.normalizeText), URL
-  * canonicalization, interpolated Kneser-Ney bigram scoring, and
-  * margin-based bitext mining ([[graft.operators.Bitext]]).
+  * canonicalization (incl. the frozen public-suffix subset), interpolated
+  * Kneser-Ney bigram scoring, margin-based bitext mining
+  * ([[graft.operators.Bitext]]) with its threshold census and
+  * cross-lingual dedup composition, and the cosine-ranked hubness
+  * remediation family.
   */
 class PipelineOpsSpec extends AnyFunSuite {
   import SparkTestSession.spark
