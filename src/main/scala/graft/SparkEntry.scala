@@ -2874,6 +2874,27 @@ object SparkEntry {
         expr("(10000 * n_bpe) div n_words").as("fertility_bp"))
   }
 
+  /** Tokenizer VOCABULARY-SIZE knob curve: corpus fertility at merge
+    * budgets 0 / 3 / 6 from ONE training run — the vocab-pruning read a
+    * tokenizer engineer takes before freezing vocab size (each extra
+    * merge buys shorter sequences; the curve shows the marginal return).
+    * Rung 0 is the char-level floor. The merge table is the memoized
+    * 6-round chain; each rung is a row-local re-encode + one aggregate.
+    * The oracle reads the SAME chain's intermediate states dw0/dw3/dw6 —
+    * one replayed training, three rungs. */
+  private def bpeVocabCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergeRows(spark, dir).map { case (_, p, m, _) => (p, m) }
+    def rung(m: Int): DataFrame =
+      graft.text.Bpe.applyMerges(docs, "text", merges.take(m))
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+          size(col("bpe_symbols")).cast("long").as("n_bpe"))
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+        .select(lit(m.toLong).as("n_merges"), col("n_words"), col("n_bpe"),
+          expr("(10000 * n_bpe) div n_words").as("fertility_bp"))
+    rung(0).unionByName(rung(3)).unionByName(rung(6))
+  }
+
   /** DuckDB replay of the full BPE training chain: per round, pair
     * counting via list_transform over the split symbol string, arg-max
     * with the same (cnt DESC, pair ASC) tie-break, and the same two-pass
@@ -6410,6 +6431,7 @@ object SparkEntry {
     "stream_graph_search" -> ((s, dir) => streamGraphSearch(s, dir)),
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
+    "bpe_vocab_curve" -> ((s, dir) => bpeVocabCurve(s, dir)),
     "stream_minhash_neardup" -> ((s, dir) => streamMinhashNearDup(s, dir)),
   )
 
@@ -11116,6 +11138,18 @@ object SparkEntry {
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
     "bpe_encode" -> bpeEncodeOracle(6),
     "tokenizer_fertility" -> bpeFertilityOracle(6),
+    // vocab-size knob curve: three rungs off one replayed 6-round chain
+    "bpe_vocab_curve" -> (bpeDocCtes(6) + ",\n" +
+      """r0 AS (SELECT CAST(0 AS BIGINT) AS n_merges, count(*) AS n_words,
+        |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe FROM dw0),
+        |r3 AS (SELECT CAST(3 AS BIGINT) AS n_merges, count(*) AS n_words,
+        |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe FROM dw3),
+        |r6 AS (SELECT CAST(6 AS BIGINT) AS n_merges, count(*) AS n_words,
+        |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe FROM dw6)
+        |SELECT n_merges, CAST(n_words AS BIGINT) AS n_words, n_bpe,
+        |  (10000 * n_bpe) // CAST(n_words AS BIGINT) AS fertility_bp
+        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r3
+        |  UNION ALL SELECT * FROM r6)""".stripMargin),
     "stream_minhash_neardup" -> minhashOracle, // stream pairs == batch pairs
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
     // streamed per-media censuses union to the batch answer (a media

@@ -167,6 +167,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_vocab_curve: char-level floor at rung 0, monotone fertility") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = SparkEntry.queries("bpe_vocab_curve")(spark, dir)
+      .orderBy(col("n_merges")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq == Seq(0L, 3L, 6L))
+    // rung 0 is the char-level encoding: n_bpe = total non-space chars
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select(sum(length(regexp_replace(col("text"), "\\s+", ""))).cast("long"))
+      .head().getLong(0)
+    assert(curve.head._3 == chars, s"char floor ${curve.head._3} vs $chars")
+    // every merge can only shorten sequences; word count is invariant
+    assert(curve.map(_._2).distinct.length == 1)
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b not nonincreasing")
+    }
+  }
+
   test("UrlFunctions.registeredDomain: multi-label public suffixes") {
     import graft.text.UrlFunctions
     val cases = Seq(
