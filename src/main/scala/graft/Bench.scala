@@ -22,9 +22,12 @@ object Bench {
     * cache-serving read, so a min-of-reps headline would overstate
     * improvement whenever cost moves into a memoized artifact — the
     * cold rep is the honest cross-round comparator. `queries_min` is
-    * the min-of-2 companion (the repeatable steady-state cost, the
-    * round-5/6 headline). */
-  private[graft] def fullLine(results: Seq[(String, Double, Double)], sfDir: String): String = {
+    * the min-of-3 companion (the repeatable steady-state cost, the
+    * round-5/6 headline; 3 reps from round 10 — see the timing loop). */
+  private[graft] def fullLine(results: Seq[(String, Double, Double)], sfDir: String,
+      artifacts: Map[String, Seq[String]] = Map.empty,
+      gcMs: Map[String, Long] = Map.empty, retain: String = "all",
+      cpus: String = "?"): String = {
     val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     // a rep-1 failure with a rep-2 success is excluded from the cold
@@ -35,15 +38,26 @@ object Bench {
     val mins = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // artifact attribution: cold − min per query, entries ≥ 0.1 s only —
     // the cost a memoized-family FIRST CONSUMER pays to build the shared
-    // artifact (graph adjacency, IVF ground truth, bitext pair sets).
-    // Cross-round cold regressions on these queries should be read
-    // against this map first: an artifact-build move is not a
-    // serving-path regression (r8 verdict item 8 — the ambiguity that
-    // made the r7/r8 knn_graph_upsert readings hard to adjudicate).
+    // artifact (graph adjacency, IVF ground truth, bitext pair sets),
+    // now labeled with the artifact NAMES the ledger saw the cold rep
+    // build (r9 verdict item 6: the r9 cold jumps were only diagnosable
+    // by cross-referencing SCALING.md prose). A ≥ 0.1 s entry with NO
+    // recorded build is labeled "jit/noise": with reps=2 the cold rep
+    // also carries first-touch codegen/JIT, and that component is not an
+    // artifact build (r9 review item 4).
     val arts = results
       .filter { case (_, v, c) => v >= 0 && c >= 0 && c - v >= 0.1 }
-      .map { case (k, v, c) => s"\"" + k + "\":" + fmt(c - v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"queries_min":$mins,"queries_artifact":$arts,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+      .map { case (k, v, c) =>
+        val label = artifacts.getOrElse(k, Nil).distinct match {
+          case Nil => "jit/noise"
+          case names => names.mkString("+")
+        }
+        s"\"" + k + "\":{\"sec\":" + fmt(c - v) + ",\"artifact\":\"" + label + "\"}"
+      }.mkString("{", ",", "}")
+    val gcs = results.flatMap { case (k, _, _) => gcMs.get(k).map(ms => s"\"" + k + "\":" + ms) }
+      .mkString("{", ",", "}")
+    val gcTotal = gcMs.values.sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold","retain":"$retain","queries":$qs,"queries_min":$mins,"queries_artifact":$arts,"gc_ms":$gcs,"gc_ms_total":$gcTotal,"cpus":"$cpus","n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
   }
 
   /** stdout's final line: the driver keeps only the last 2000 chars of
@@ -66,12 +80,16 @@ object Bench {
     }
     val nColdFailed = results.count(r => r._3 < 0 && r._2 >= 0)
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine (capped at the environment's stated
+    // local[32]) — the v0 scaffold's "4" measured the engine at 1/8th of
+    // the available cores whenever the driver didn't set the env var
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,12 +99,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // retention policy for the per-dir memoized artifacts (r9 verdict
+    // item 1): "drop" unpersists each artifact-cache entry right after
+    // its LAST consumer in the sorted query order finishes. MEASURED
+    // same-tree A/B at sf0.1 (round 10): retain-all 387.0 s cold /
+    // 126.9 s min / 8.9 s GC vs drop 446.2 / 151.8 / 15.9 — eager
+    // dropping LOSES (median per-query min +34 ms): the standing
+    // artifacts cost nothing while the per-query unpersist feeds the
+    // ContextCleaner/GC on every cycle. The r9 heap-pressure hypothesis
+    // is REFUTED; "all" stays the default and "drop" remains available
+    // for re-adjudication. Consumers are observed during the warmup
+    // pass through the artifact ledger (per-dir keys canonicalized so
+    // warmup-dir observations map onto the timed dir's entries).
+    val retain = sys.env.getOrElse("SPARK_GRAFT_RETAIN", "all")
+    SparkEntry.ArtifactLedger.enabled = true
+    def canonKey(k: String, dir: String): String = k.replace(dir, "@dir")
+    val warmAccesses = scala.collection.mutable.Map.empty[String, Set[(String, String)]]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.ArtifactLedger.drainAccesses()
       try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+      warmAccesses(name) = SparkEntry.ArtifactLedger.drainAccesses()
+        .map { case (n, k) => (n, canonKey(k, warmupDir)) }.toSet
     }
-    spark.sharedState.cacheManager.clearCache()
-    // best-of-two per query: single-shot numbers carry ±15% scheduler/GC
-    // noise at fixture scale; min-of-2 reports the repeatable cost.
+    SparkEntry.ArtifactLedger.drainBuilds()
+    // drop ALL warmup-dir artifacts (nothing consumes them again) and
+    // every cached block — the timed pass starts artifact-cold either way
+    SparkEntry.resetArtifactCaches(spark)
+    // entry -> last consumer in sorted (= timed) order; later queries
+    // overwrite earlier ones in the fold
+    val sortedQueryNames = SparkEntry.queries.keys.toSeq.sorted
+    val dropAfter: Map[String, Seq[(String, String)]] = sortedQueryNames
+      .flatMap(q => warmAccesses.getOrElse(q, Set.empty[(String, String)]).map(_ -> q))
+      .toMap // (cache, canonKey) -> last consumer
+      .groupBy(_._2).map { case (q, m) => q -> m.keys.toSeq }
+    // best-of-three per query: single-shot numbers carry ±15%
+    // scheduler/GC noise at fixture scale; min-of-3 reports the
+    // repeatable cost (see the rep comment below for the r10 widening).
     // A failed run must NOT masquerade as a fast timing: it reports as -1
     // in the JSON and logs the failure to stderr.
     def timeOnce(name: String,
@@ -101,17 +149,43 @@ object Bench {
           Double.NaN
       }
     }
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNow(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L)); t
+    }
+    val artifactNames = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val gcPerQuery = scala.collection.mutable.Map.empty[String, Long]
     // sorted order: per-query timings land in the same position every
     // round, so cross-round BENCH diffs compare like with like
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
+      SparkEntry.ArtifactLedger.drainBuilds()
+      val gc0 = gcNow()
+      val a = timeOnce(name, fn)
+      artifactNames(name) = SparkEntry.ArtifactLedger.drainBuilds()
+      // THREE reps from round 10 (was 2): min-of-2 left the min basis
+      // exposed to single-draw scheduler/GC noise — two same-tree draws
+      // this round read 126.9 vs 153.9 s min with the spread localized
+      // to +0.03 s medians on untouched queries (the r9 driver-draw
+      // inflation had the same signature). One more warm rep per query
+      // costs ~0.5 s each and tightens the repeatable-cost estimate —
+      // the variance-reduction protocol change the r9 verdict asked for.
+      val b = timeOnce(name, fn)
+      val b2 = timeOnce(name, fn)
+      // GC time the timed reps incurred — recorded so environment-vs-
+      // code adjudications of cross-round drift can read heap pressure
+      // straight off bench_full.json (r9 verdict item 1)
+      gcPerQuery(name) = gcNow() - gc0
+      if (retain == "drop") dropAfter.getOrElse(name, Nil).foreach { case (cache, ck) =>
+        SparkEntry.dropArtifactEntries(cache, k => canonKey(k, sfDir) == ck)
+      }
       // localCheckpoint blocks are released by the ContextCleaner only
       // after their DataFrames are GC'd; across 100+ queries the dead
       // blocks otherwise pile up in storage memory and the later queries
       // pay for it — nudge the cleaner between queries so each timing
       // sees the same (empty) storage state.
       System.gc()
-      val best = math.min(if (a.isNaN) Double.MaxValue else a, if (b.isNaN) Double.MaxValue else b)
+      val best = Seq(a, b, b2).filterNot(_.isNaN)
+        .foldLeft(Double.MaxValue)(math.min)
       // cold = rep 1, STRICTLY: substituting the warm rep on a rep-1
       // failure would smuggle cache-serving time into the cold headline —
       // the exact overstatement agg:"cold" exists to prevent. A rep-1
@@ -123,7 +197,7 @@ object Bench {
     // full map to a file ONLY — echoing 7 KB to stderr could interleave
     // after the compact stdout line in a merged capture and push it out
     // of the driver's 2000-char window.
-    val full = fullLine(results, sfDir)
+    val full = fullLine(results, sfDir, artifactNames.toMap, gcPerQuery.toMap, retain, cpus)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/bench_full.json")),

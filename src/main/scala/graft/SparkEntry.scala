@@ -19,6 +19,69 @@ object SparkEntry {
 
   val KnnK = 10
 
+  /** Registry of every per-dir DataFrame artifact cache, keyed by a
+    * stable name. Caches are created ONLY through [[namedArtifactCache]],
+    * which auto-registers them — so [[resetArtifactCaches]] and the bench
+    * artifact ledger enumerate the registry and can never miss one (the
+    * r9 review found four caches added late in the round absent from the
+    * hand-maintained drop list, which made ColdReps' "artifact-cold" reps
+    * serve warm localCheckpointed adjacencies for exactly the queries the
+    * tool was adjudicating). A ContractSpec source lint enforces that no
+    * DataFrame TrieMap in this file is created any other way. */
+  private val artifactCacheRegistry = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[_, DataFrame]]
+
+  private def namedArtifactCache[K](name: String): scala.collection.concurrent.TrieMap[K, DataFrame] = {
+    val m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+    artifactCacheRegistry.put(name, m)
+    m
+  }
+
+  /** Bench-side ledger: which artifact caches a query touched/built.
+    * Off by default (zero overhead outside the bench harness); when
+    * enabled, [[cachedArtifact]] records every access (for the
+    * last-consumer retention analysis) and every build (for the
+    * cold-cost attribution map in bench_full.json — r9 verdict item 6:
+    * the NAME, not just the seconds). Single-threaded consumer (Bench's
+    * timing loop); concurrent producers are fine via the queues. */
+  private[graft] object ArtifactLedger {
+    @volatile var enabled = false
+    private val buildsQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val accessQ = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    private[SparkEntry] def nameOf(cache: AnyRef): Option[String] =
+      artifactCacheRegistry.collectFirst { case (n, c) if c eq cache => n }
+    private[SparkEntry] def recordBuild(cache: AnyRef): Unit =
+      if (enabled) nameOf(cache).foreach(buildsQ.add)
+    private[SparkEntry] def recordAccess(cache: AnyRef, key: Any): Unit =
+      if (enabled) nameOf(cache).foreach(n => accessQ.add((n, key.toString)))
+    def drainBuilds(): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      var x = buildsQ.poll(); while (x != null) { b += x; x = buildsQ.poll() }
+      b.result()
+    }
+    def drainAccesses(): Seq[(String, String)] = {
+      val b = Seq.newBuilder[(String, String)]
+      var x = accessQ.poll(); while (x != null) { b += x; x = accessQ.poll() }
+      b.result()
+    }
+  }
+
+  /** Unpersist + forget the entries of artifact cache `cacheName` whose
+    * key's string form satisfies `keyMatches` — the bench's
+    * drop-after-last-consumer retention policy (r9 verdict item 1: 250
+    * retained localCheckpointed/cached DataFrames in one JVM were the
+    * suspect mechanism for the suite-wide warm inflation). Removing the
+    * map reference lets the ContextCleaner reclaim localCheckpoint
+    * blocks (unpersist alone does not free those). */
+  private[graft] def dropArtifactEntries(cacheName: String, keyMatches: String => Boolean): Unit =
+    artifactCacheRegistry.get(cacheName).foreach { c =>
+      val m = c.asInstanceOf[scala.collection.concurrent.TrieMap[Any, DataFrame]]
+      m.keys.filter(k => keyMatches(k.toString)).foreach { k =>
+        m.remove(k).foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      }
+    }
+
   // Model/ground-truth memo per dataset dir. The reference builds each
   // index ONCE and searches it repeatedly (dynamic_script_*.py build →
   // search loop); our per-operator query entries share the same fitted
@@ -28,7 +91,7 @@ object SparkEntry {
   private val ivfUpsertCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   private val pqFlatCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.PqFlat.Model]
   private val sqCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.SqModel]
-  private val gtCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val gtCache = namedArtifactCache[String]("gt")
 
   /** Drop every memoized per-dir DataFrame artifact and clear the Spark
     * block cache — the "cold rep" state for same-JVM cold-cost
@@ -39,15 +102,15 @@ object SparkEntry {
     * like `knn_pq_flat` measure separately. Used by
     * [[graft.tools.ColdReps]]. */
   private[graft] def resetArtifactCaches(spark: SparkSession): Unit = {
-    def drop[K](c: scala.collection.concurrent.TrieMap[K, DataFrame]): Unit = {
+    // enumerate the REGISTRY, not a hand-maintained list: the r9 review
+    // found four late-added caches missing from the old Seq, which made
+    // ColdReps' "artifact-cold" reps serve warm cosine adjacencies and
+    // shortlist-32 bitext pairs (catalog.clearCache does not free
+    // localCheckpoint blocks, so a forgotten cache stays warm forever)
+    artifactCacheRegistry.values.foreach { c =>
       c.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
-      c.clear()
+      c.asInstanceOf[scala.collection.concurrent.TrieMap[Any, DataFrame]].clear()
     }
-    Seq(gtCache, lateAuditCache, sharedGramEdgeCache, graphAdjCache,
-      graphSearchCache, nndAdjCache, nndSearchCache, upsertSearchCache,
-      deleteSearchCache, manifestCache, bitextExactCache, bitextPrefixCache)
-      .foreach(drop(_))
-    drop(searchCache)
     spark.catalog.clearCache()
   }
 
@@ -62,8 +125,10 @@ object SparkEntry {
     * for every later caller). */
   private def cachedArtifact[K](cache: scala.collection.concurrent.TrieMap[K, DataFrame],
       key: K)(build: => DataFrame): DataFrame = {
+    ArtifactLedger.recordAccess(cache, key)
     cache.get(key).filter(df => !df.sparkSession.sparkContext.isStopped)
       .getOrElse {
+        ArtifactLedger.recordBuild(cache)
         val df = build
         val winner = cache.putIfAbsent(key, df).getOrElse(df)
         if (!winner.sparkSession.sparkContext.isStopped) winner
@@ -88,7 +153,7 @@ object SparkEntry {
     * query re-scores: the reference's lifecycle is search once, then
     * compute recall ON THAT RESULT — re-executing the whole index search
     * inside the recall query would benchmark the same work twice. */
-  private val searchCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val searchCache = namedArtifactCache[(String, String)]("search")
   private def memoSearch(name: String, dir: String)(build: => DataFrame): DataFrame =
     cachedArtifact(searchCache, (name, dir))(build.cache())
 
@@ -2582,7 +2647,7 @@ object SparkEntry {
       stateKeys = c.windowBuckets(3600000L) * 5)
   }
 
-  private val lateAuditCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val lateAuditCache = namedArtifactCache[String]("late_audit")
 
   /** Late-data + restart-recovery audit
     * ([[graft.streaming.StreamingMetrics.lateDataAudit]]): 90% of
@@ -2698,7 +2763,7 @@ object SparkEntry {
     * query's cost) and every downstream join/groupBy keys on int64. */
   /** Documents linked by a shared RARE word-8-gram (2 ≤ df ≤ 5): the
     * blocking-bounded edge list feeding both graph analytics queries. */
-  private val sharedGramEdgeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val sharedGramEdgeCache = namedArtifactCache[String]("shared_gram_edges")
 
   /** The rare-gram doc-similarity graph is a BUILT ARTIFACT (like the
     * NN-Descent adjacency): derive once per fixture dir and reuse across
@@ -3499,7 +3564,7 @@ object SparkEntry {
   // ——— Graph-based ANN (HNSW-class capability, SURVEY §2.2 I1/I3/I6) ———
 
   private val GraphDegree = 16
-  private val graphAdjCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val graphAdjCache = namedArtifactCache[String]("graph_adj")
 
   /** Degree-16 exact k-NN graph of the base — the adjacency standing in
     * for the reference's HNSW/NGT graph structures (see
@@ -3518,7 +3583,7 @@ object SparkEntry {
     * expand-score-prune beam rounds (beam 32) through the degree-16
     * adjacency, exact rerank over everything visited. Every stage is a
     * hash join — no sequential walk. */
-  private val graphSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val graphSearchCache = namedArtifactCache[String]("graph_search")
 
   private def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
     // cached per dir: recall evaluation reuses the search output, the way
@@ -3615,7 +3680,7 @@ object SparkEntry {
 
   // ——— NN-Descent: the O(n·d²)-per-round approximate graph build ———
 
-  private val nndAdjCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val nndAdjCache = namedArtifactCache[String]("nnd_adj")
 
   /** Degree-16 approximate k-NN graph via 3 NN-Descent rounds from a
     * per-edge hashed init — the linear-in-n build that replaces
@@ -3640,7 +3705,7 @@ object SparkEntry {
       .select(expr("n_hits * 10000 div n_total").as("overlap_bp"))
   }
 
-  private val nndSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val nndSearchCache = namedArtifactCache[String]("nnd_search")
 
   /** Graph search over the NN-Descent adjacency — same beam search as
     * [[knnGraphSearch]], approximate build instead of exact. */
@@ -3726,7 +3791,7 @@ object SparkEntry {
 
   // ——— Incremental graph insert: D1 without the D3 rebuild ———
 
-  private val upsertSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val upsertSearchCache = namedArtifactCache[String]("upsert_search")
 
   /** The reference's dynamic-updates experiment ON the graph index:
     * build NN-Descent on the 80% snapshot (vec_id % 5 ≠ 4), insert the
@@ -3754,7 +3819,7 @@ object SparkEntry {
   private def recallGraphUpsert(spark: SparkSession, dir: String): DataFrame =
     Recall.recallBasisPoints(knnGraphUpsert(spark, dir), groundTruth(spark, dir), KnnK)
 
-  private val deleteSearchCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val deleteSearchCache = namedArtifactCache[String]("delete_search")
 
   /** The delete phase without a rebuild (D2, where the reference's
     * embedded backends can only D3): drop the 20% deleted nodes from the
@@ -4103,7 +4168,7 @@ object SparkEntry {
   private val orcCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val datePartCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sortedFilesCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private val manifestCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val manifestCache = namedArtifactCache[String]("manifest")
 
   /** ORC source/sink round-trip (Spark's second bundled columnar
     * format): events re-emitted as ORC with lossless wire types
@@ -5642,10 +5707,8 @@ object SparkEntry {
   // cross-QUERY memoization that the within-query checkpoint A/Bs
   // (comments in Bitext.scala / bitextPrefixRecovery) showed is the
   // only checkpointing that pays here
-  private val bitextExactCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val bitextPrefixCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bitextExactCache = namedArtifactCache[String]("bitext_exact")
+  private val bitextPrefixCache = namedArtifactCache[String]("bitext_prefix16")
 
   // (helper lives with the bitext caches historically; used by every
   // per-dir DataFrame artifact cache in this object — see cachedArtifact
@@ -5665,8 +5728,7 @@ object SparkEntry {
         .localCheckpoint()
     }
 
-  private val bitextPrefix32Cache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bitextPrefix32Cache = namedArtifactCache[String]("bitext_prefix32")
 
   private def bitextPrefixPairs32(spark: SparkSession, dir: String): DataFrame =
     cachedArtifact(bitextPrefix32Cache, dir) {
@@ -5678,6 +5740,162 @@ object SparkEntry {
 
   private def bitextMargin(spark: SparkSession, dir: String): DataFrame =
     bitextExactPairs(spark, dir)
+
+  /** IVF nprobe for the ANN-candidate bitext pass: 3 of the model's 8
+    * cells per node (np=2 recovered 50.6/56.5% at sf0.001/0.01 — under
+    * the shortlist-16 prefix pass; these synthetic embeddings are weakly
+    * clustered, the same reason `knn_ivf_flat` serves at nprobe=6).
+    * Shared with the oracle replay via interpolation. */
+  private val BitextAnnNprobe = 3
+
+  private val bitextAnnCache = namedArtifactCache[String]("bitext_ann")
+
+  /** ANN-candidate bitext mining (r9 verdict item 3) — the measured
+    * 100 TB pass 1. The r9 recovery curve proved the FIXED-shortlist
+    * prefix pass DEGRADES with corpus size (75.8% → 58.4% mutual-pair
+    * recovery at 4× rows/side; SCALING.md): a constant per-node
+    * shortlist covers a shrinking corpus fraction. Cell candidates
+    * don't: the per-dir deterministic IVF codebook (the same
+    * [[ivfFlatModel]] that serves `knn_ivf_flat`) assigns both sides to
+    * cells, each node probes its [[BitextAnnNprobe]] nearest cells, and
+    * its candidates are the OPPOSITE side's members of those cells —
+    * per-node candidate mass tracks n/nlist and nlist grows with the
+    * corpus (nlist ≈ √n), so recovery holds where the fixed shortlist's
+    * falls. The margin tail is byte-identical machinery
+    * ([[graft.operators.Bitext.mutualMarginPairsFromCandidates]]); the
+    * oracle replays the IVF training verbatim (ivfTrainCtes) plus the
+    * probe/assign joins. Cost shape: train once, two cell hash joins,
+    * per-node top-k window — no all-pairs pass anywhere. */
+  private def bitextAnnPairs(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(bitextAnnCache, dir) {
+      val (src, tgt) = bitextSplit(spark, dir)
+      val cs = ivfFlatModel(spark, dir)
+      val aSrc = graft.index.IvfFlat.assignments(src, cs)
+      val aTgt = graft.index.IvfFlat.assignments(tgt, cs)
+      val candA = graft.index.IvfFlat.probes(src, cs, BitextAnnNprobe)
+        .select(col("query_id").as("src_id"), col("cid"))
+        .join(aTgt.select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
+        .select(col("src_id"), col("tgt_id"))
+      val candB = graft.index.IvfFlat.probes(tgt, cs, BitextAnnNprobe)
+        .select(col("query_id").as("tgt_id"), col("cid"))
+        .join(aSrc.select(col("vec_id").as("src_id"), col("cid")), Seq("cid"))
+        .select(col("src_id"), col("tgt_id"))
+      graft.operators.Bitext.mutualMarginPairsFromCandidates(
+        src, tgt, candA, candB, k = BitextK).localCheckpoint()
+    }
+
+  private def bitextMarginAnn(spark: SparkSession, dir: String): DataFrame =
+    bitextAnnPairs(spark, dir)
+
+  /** Measured recovery of the ANN-candidate mining vs the exact one —
+    * the row that closes the r9 curve's open end: unlike the fixed
+    * shortlist, the cell-candidate pass must HOLD its recovery as the
+    * corpus grows (checked at both SFs; the sf0.1 number is the one the
+    * r9 verdict asked to beat vs shortlist-16's 58.4%). */
+  private def bitextAnnRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    val ann = bitextAnnPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+      .crossJoin(exact.join(ann, Seq("src_id", "tgt_id"))
+        .agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_ann"), col("n_common"),
+        expr("(1000000 * n_common) div greatest(n_exact, 1)").as("recovery_ppm"))
+  }
+
+  /** Operating margin threshold for the mined-bitext → training-mix
+    * composition — a mid-band rung of [[BitextThresholdLadder]] (the
+    * census query measures the yield at every rung; the composition
+    * picks one, the way CCMatrix pipelines fix a margin like 1.06 for
+    * the release). Shared with the oracle via interpolation. */
+  private val BitextMixThreshold = 1040000L
+
+  /** Mined-bitext → training-mix COMPOSITION (r9 verdict item 7a) — the
+    * CCMatrix end-to-end: mutual pairs clearing [[BitextMixThreshold]]
+    * become per-language-pair PARALLEL corpora (token mass = both sides'
+    * documents, domain key `bitext:lo-hi`), and those domains water-fill
+    * the same 50% token budget ALONGSIDE the monolingual sources —
+    * [[graft.text.Curation.tokenBudgetAllocationFromCaps]] over the
+    * union of capacity tables. Cost beyond the memoized pair artifact:
+    * two id hash joins + the metadata-sized allocation. At 100 TB the
+    * caps are one aggregate per corpus and the water-filling runs on the
+    * domain table — unchanged from `token_budget_mix`'s scale shape. */
+  private def bitextMixCompose(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mono = docs
+      .select(col("source").as("domain"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy(col("domain")).agg(sum(col("__nt")).as("cap"))
+    val meta = docs.select(col("doc_id"), col("lang"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+    val par = bitextExactPairs(spark, dir)
+      .filter(col("margin_ppm") >= BitextMixThreshold)
+      .join(meta.select(col("doc_id").as("src_id"),
+        col("lang").as("lang_s"), col("nt").as("nt_s")), Seq("src_id"))
+      .join(meta.select(col("doc_id").as("tgt_id"),
+        col("lang").as("lang_t"), col("nt").as("nt_t")), Seq("tgt_id"))
+      .select(concat(lit("bitext:"), least(col("lang_s"), col("lang_t")),
+          lit("-"), greatest(col("lang_s"), col("lang_t"))).as("domain"),
+        (col("nt_s") + col("nt_t")).as("__nt"))
+      .groupBy(col("domain")).agg(sum(col("__nt")).as("cap"))
+    graft.text.Curation.tokenBudgetAllocationFromCaps(
+      mono.unionByName(par), budgetPctBps = 5000)
+  }
+
+  /** Query terms of the lexical/hybrid retrieval stack, shared by
+    * `hybrid_rerank` and its oracle (bm25/hybrid queries predate the
+    * constant and keep their literals for hash stability). */
+  private val HybridTerms = Seq("spark", "join", "query")
+
+  /** Candidate-list size the reranker reads from the fused ranking —
+    * the standard two-stage retrieval shape (cheap retriever → top-N →
+    * expensive scorer → top-k). */
+  private val RerankShortlist = 50
+
+  /** Model-based rerank of the hybrid retrieval stack (r9 verdict item
+    * 7b) — the reranker slot of a RAG pipeline: the RRF-fused top-50 of
+    * `hybrid_search` is re-scored by a FROZEN-INTEGER cross-scorer (the
+    * deterministic stand-in for a cross-encoder, the same contract as
+    * the multimodal stub featurizer): per candidate,
+    * 10000·coverage² + 100·Σ min(tf_t, 3) + Σ_pairs min(prox, 5), where
+    * coverage = distinct query terms present and prox counts co-occur-
+    * rences of a term pair within 8 token positions — term interaction
+    * a bag-of-words retriever can't see, which is exactly what the
+    * cross-scoring stage exists to add. All int64; rank ties break on
+    * (fused score, doc_id). Scale shape: TakeOrdered for the top-N (no
+    * global window), then everything runs on the 50-row shortlist. */
+  private def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = hybridSearch(spark, dir)
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(RerankShortlist)
+    val toks = Tables.documents(spark, dir)
+      .join(cand.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(HybridTerms: _*))
+    val perTerm = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cover = perTerm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("coverage"),
+        sum(least(col("tf"), lit(3L))).as("tf_capped"))
+    val prox = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.term") < col("b.term") &&
+          abs(col("a.pos") - col("b.pos")) <= 8)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.term"), col("b.term"))
+      .agg(count(lit(1)).as("np"))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(col("np"), lit(5L))).as("prox"))
+    val w = Window.orderBy(col("cross_score").desc, col("rrf_score").desc, col("doc_id"))
+    cand
+      .join(cover, Seq("doc_id"), "left")
+      .join(prox, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("rrf_score"),
+        (coalesce(col("coverage"), lit(0L)) * coalesce(col("coverage"), lit(0L)) * 10000L +
+          coalesce(col("tf_capped"), lit(0L)) * 100L +
+          coalesce(col("prox"), lit(0L))).as("cross_score"))
+      .withColumn("rerank_rank", row_number().over(w).cast("long"))
+      .filter(col("rerank_rank") <= KnnK)
+  }
 
   /** The bitext scale path made concrete
     * ([[graft.operators.Bitext.mutualMarginPairsPrefix]]): candidate
@@ -5762,10 +5980,7 @@ object SparkEntry {
   private def hubnessCentered(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
     val qb = quantizedBase(spark, dir)
-    val means = qb.select(posexplode(col("qv")).as(Seq("pos", "e")))
-      .groupBy(col("pos")).agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
-      .orderBy(col("pos"))
-      .collect().map(r => r.getLong(1).toDouble / r.getLong(2))
+    val means = hubnessMoments(spark, dir)._1
     val centered = qb.select(col("vec_id"),
       zip_with(col("qv"), typedLit(means.toSeq),
         (x, m) => x.cast("double") - m).as("embedding"))
@@ -5775,18 +5990,100 @@ object SparkEntry {
       .unionByName(inDegreeCensus(base, adjCentered, "centered"))
   }
 
+  /** Per-dim (mean, 1/√variance) of the quantized base, memoized per dir
+    * — ONE corpus scan shared by the whole remediation family. The r9
+    * build recomputed the posexplode+groupBy scan inside EVERY
+    * hubness_centered / hubness_whitened invocation, which is why the
+    * driver's warm reading (4.29 s) sat 2.6–3.3× over the pinned census
+    * cost (r9 verdict "What's wrong" #2): the memoized adjacency made
+    * the all-pairs part warm, but the 64-row stats collect still paid a
+    * full O(n·d) aggregation per call. Exact parity is untouched: the
+    * sums are order-free int64 on the 2²⁰ grid and the mean/scale
+    * doubles are the same expressions both engines compute. */
+  private val hubnessMomentsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long], Long)]
+  /** Raw per-dim (Σx, Σx², n) on the quantized grid — exact int64,
+    * order-free, the shared input of every remediation rung. */
+  private def hubnessRawMoments(spark: SparkSession, dir: String): (Array[Long], Array[Long], Long) =
+    hubnessMomentsCache.getOrElseUpdate(dir, {
+      val stats = quantizedBase(spark, dir)
+        .select(posexplode(col("qv")).as(Seq("pos", "e")))
+        .groupBy(col("pos")).agg(sum(col("e")).as("sx"),
+          sum(col("e") * col("e")).as("sxx"), count(lit(1)).as("n"))
+        .orderBy(col("pos")).collect()
+      (stats.map(_.getLong(1)), stats.map(_.getLong(2)), stats.head.getLong(3))
+    })
+  private def hubnessMoments(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val (sx, sxx, n) = hubnessRawMoments(spark, dir)
+    val mean = sx.map(_.toDouble / n)
+    val scale = Array.tabulate(sx.length) { i =>
+      val nd = n.toDouble
+      val v = (nd * sxx(i).toDouble - sx(i).toDouble * sx(i).toDouble) / (nd * nd)
+      if (v > 0) 1.0 / math.sqrt(v) else 1.0
+    }
+    (mean, scale)
+  }
+
   private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddingBase(spark, dir).select(col("vec_id"),
       graft.index.IvfFlat.quantize(col("embedding")).as("qv"))
 
+  /** Unit-normalize an embedding column, ROUNDED TO FLOAT: one map pass
+    * computing ‖v‖ = √(Σv²) through the sequential
+    * [[graft.functions.DotProduct]] fold, the per-element division, and
+    * one float rounding — so the n² scan downstream reads 4-byte
+    * components (the measured A/B: double unit vectors were SLOWER than
+    * the fused-cosine baseline because they doubled the bytes/pair;
+    * see [[cosineAdjacency]]). Oracle twin:
+    * `list_transform(v, x -> CAST(CAST(x / sqrt(list_inner_product(v, v)) AS REAL) AS DOUBLE))`
+    * — DuckDB 1.0's list_inner_product is the same left-to-right double
+    * fold (verified on an association-sensitive probe), double→float→
+    * double is the same IEEE round-trip both engines, so the unit
+    * coordinates are bit-identical. */
+  private def unitVectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") / col("nrm")).cast("float")).as("embedding"))
+
   /** Exact degree-`degree` adjacency ranked by cosine DESC (ties by id),
     * self excluded — the cosine twin of [[graft.index.GraphIndex.buildExact]],
-    * shared by the hubness-remediation family. */
+    * shared by the hubness-remediation family.
+    *
+    * Physical plan (r9 verdict item 2 — the A/B neither prior attempt
+    * tried, extended): normalize each vector ONCE in a map pass (float
+    * components, so scan bytes match the raw build), NEGATE the
+    * query-side copies at normalize time, and rank by the bare
+    * single-accumulator [[graft.functions.DotProduct]] kernel — cosine
+    * order over unit vectors IS dot order, the negation makes descending
+    * cosine the heap's natural ascending dist with NO extra expression
+    * node, and the n² hot loop does one multiply-add per dim instead of
+    * the fused cosine kernel's three. IEEE negation commutes exactly
+    * with both product and sum, so the heap's (dist, id) order equals
+    * the oracle's (-list_inner_product, id) order bit-for-bit. Measured
+    * (graft.tools.CosKernelAB, sf0.1, warm): fused cosine 6.9–7.2 s,
+    * double-unit -dot 8.5–9.3 s (2× scan bytes loses more than the FMAs
+    * save), float-unit negated-query dot 5.4–5.7 s — the shipped plan. */
   private def cosineAdjacency(vecs: DataFrame, degree: Int): DataFrame = {
-    val asQueries = vecs.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // spread BELOW the normalize so both the per-row normalize and the
+    // n² scan run at full parallelism (spread above a projection would
+    // leave the projection on the single input split)
+    val unit = unitVectors(Knn.spread(vecs))
+    val asQueries = unit.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => -x).as("q_embedding"))
+    val topk = graft.functions.GraftFunctions.topKByDist(
+      col("vec_id"),
+      graft.functions.VectorFunctions.dot(col("q_embedding"), col("embedding")),
+      degree + 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    Knn.cosineTopK(asQueries, vecs, degree + 1)
+    unit
+      .crossJoin(broadcast(asQueries))
+      .groupBy(col("query_id"))
+      .agg(topk.as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("g_rank", row_number().over(w))
       .filter(col("g_rank") <= degree)
@@ -5796,12 +6093,9 @@ object SparkEntry {
   // per-dir artifacts, graphAdjCache pattern: the three cosine
   // adjacencies are index BUILDS (all-pairs, the family's shared cold
   // cost — ~4 s each at sf0.1); both census queries read the raw one
-  private val rawCosAdjCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val centeredAdjCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val whitenedAdjCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val rawCosAdjCache = namedArtifactCache[String]("cos_adj_raw")
+  private val centeredAdjCache = namedArtifactCache[String]("cos_adj_centered")
+  private val whitenedAdjCache = namedArtifactCache[String]("cos_adj_whitened")
 
   private def rawCosineAdjacency(spark: SparkSession, dir: String): DataFrame =
     cachedArtifact(rawCosAdjCache, dir)(
@@ -5837,18 +6131,7 @@ object SparkEntry {
   private def hubnessWhitened(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
     val qb = quantizedBase(spark, dir)
-    val stats = qb.select(posexplode(col("qv")).as(Seq("pos", "e")))
-      .groupBy(col("pos")).agg(sum(col("e")).as("sx"),
-        sum(col("e") * col("e")).as("sxx"), count(lit(1)).as("n"))
-      .orderBy(col("pos")).collect()
-    val mean = stats.map(r => r.getLong(1).toDouble / r.getLong(3))
-    val scale = stats.map { r =>
-      val n = r.getLong(3).toDouble
-      val sx = r.getLong(1).toDouble
-      val sxx = r.getLong(2).toDouble
-      val v = (n * sxx - sx * sx) / (n * n)
-      if (v > 0) 1.0 / math.sqrt(v) else 1.0
-    }
+    val (mean, scale) = hubnessMoments(spark, dir)
     val whitened = qb.select(col("vec_id"),
       zip_with(
         zip_with(col("qv"), typedLit(mean.toSeq), (x, m) => x.cast("double") - m),
@@ -5857,6 +6140,110 @@ object SparkEntry {
       cosineAdjacency(whitened, GraphDegree).localCheckpoint())
     inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
       .unionByName(inDegreeCensus(base, adjWhitened, "whitened"))
+  }
+
+  /** Newton–Schulz iteration count for the ZCA rung. The coupled NS
+    * iteration on the trace-normalized covariance converges to machine
+    * precision by iteration 12 on both fixture spectra (measured:
+    * ‖ZAZ−I‖_max 4e-3 at iter 8, 4e-15 at iter 12); 14 adds margin and
+    * is FIXED so the replay is a deterministic unroll, not a
+    * convergence test. Shared with the oracle's generated CTE chain. */
+  private val ZcaIters = 14
+
+  private val zcaMatrixCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** W ≈ (C/τ)^(−1/2) for the base split's quantized covariance — the
+    * full-covariance whitening transform (up to the cosine-irrelevant
+    * global √τ scale), computed EXACTLY replayably: cross-moments Σxᵢxⱼ
+    * are one distributed int64 Gram pass ([[graft.operators.Gram.upperTriangle]],
+    * the same 2²⁰ grid as every rung), C/τ/A are fixed double expression
+    * trees, and [[ZcaIters]] coupled Newton–Schulz rounds
+    * (Yₖ₊₁ = Yₖ(3I−ZₖYₖ)/2, Zₖ₊₁ = (3I−ZₖYₖ)Zₖ/2, Higham 2008 ch. 6 —
+    * public textbook iteration) run on the driver over the 64×64
+    * matrices with sequential left-to-right inner products — the same
+    * fold order as the oracle's list_reduce matmul CTEs, verified
+    * BIT-EXACT against DuckDB on the fixture. Model-sized driver work
+    * (64³·14 ≈ 3.7M flops); the corpus only pays one Gram scan plus the
+    * row-local transform. */
+  private def zcaMatrix(spark: SparkSession, dir: String): Array[Array[Double]] =
+    zcaMatrixCache.getOrElseUpdate(dir, {
+      val (sx, _, n) = hubnessRawMoments(spark, dir)
+      val d = sx.length
+      val tri = graft.operators.Gram.upperTriangle(spark,
+        Tables.embeddingBase(spark, dir).select(col("embedding")), "embedding",
+        scale = graft.index.IvfFlat.Scale).collect()
+      val s2 = Array.ofDim[Long](d, d)
+      tri.foreach { r =>
+        val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2))
+        s2(i)(j) = v; s2(j)(i) = v
+      }
+      val nd = n.toDouble
+      val c = Array.tabulate(d, d)((i, j) =>
+        (nd * s2(i)(j).toDouble - sx(i).toDouble * sx(j).toDouble) / (nd * nd))
+      // τ via the oracle's seedless left fold over the diagonal
+      var tau = c(0)(0)
+      var i = 1
+      while (i < d) { tau += c(i)(i); i += 1 }
+      var y = Array.tabulate(d, d)((i, j) => c(i)(j) / tau)
+      var z = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      // matmul with the list_reduce fold order: s = a[i][0]*b[0][j], then
+      // += ascending k — the exact order the oracle's generated CTEs fold
+      def mm(a: Array[Array[Double]], b: Array[Array[Double]], halve: Boolean): Array[Array[Double]] =
+        Array.tabulate(d, d) { (i, j) =>
+          var s = a(i)(0) * b(0)(j)
+          var k = 1
+          while (k < d) { s += a(i)(k) * b(k)(j); k += 1 }
+          if (halve) s / 2 else s
+        }
+      (1 to ZcaIters).foreach { _ =>
+        val zy = mm(z, y, halve = false)
+        val t = Array.tabulate(d, d)((i, j) => (if (i == j) 3.0 else 0.0) - zy(i)(j))
+        y = mm(y, t, halve = true)
+        z = mm(t, z, halve = true)
+      }
+      z
+    })
+
+  private val zcaAdjCache = namedArtifactCache[String]("cos_adj_zca")
+
+  /** Full-covariance (ZCA) whitening — the remediation ladder's third
+    * rung (r9 verdict item 4): x′ = W·(x−μ) with W = [[zcaMatrix]], the
+    * decorrelate-AND-equalize transform of which [[hubnessWhitened]] is
+    * the diagonal approximation (Bell & Sejnowski 1997's ZCA; the global
+    * √τ scale is dropped — cosine ranking is scale-invariant). The
+    * per-row transform is a 64×64 mat-vec: a row-local nested HOF whose
+    * 0.0-seeded ascending-j fold the oracle mirrors with
+    * list_prepend(0.0, …) + list_reduce. Measured cure at sf0.001: max
+    * k-occurrence 28 → 24, the strongest rung (centered 31, diagonal 30
+    * there). Output: raw vs zca in-degree census. */
+  private def hubnessZca(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    val qb = quantizedBase(spark, dir)
+    val w = zcaMatrix(spark, dir)
+    val mean = hubnessMoments(spark, dir)._1
+    val wLit = typedLit(w.map(_.toSeq).toSeq)
+    val muLit = typedLit(mean.toSeq)
+    val adjZca = cachedArtifact(zcaAdjCache, dir) {
+      // The 64×64 mat-vec per row is interpreted-HOF work — spread it
+      // across the session's parallelism (the fixture parquet is one
+      // split) and materialize ONCE (localCheckpoint) so CollapseProject
+      // can't inline the big fold into the downstream normalize's three
+      // references (first cut: 88 s single-task; spread+checkpointed:
+      // sub-second). Shape: centered = zip_with(qv, μ), then each output
+      // dim folds zip_with(w_row, centered) left-to-right with a 0.0
+      // seed — exactly the oracle's list_prepend(0.0, …) list_reduce.
+      val centered = zip_with(col("qv"), muLit, (x, m) => x.cast("double") - m)
+      val zca = Knn.spread(qb).select(col("vec_id"), centered.as("cv"))
+        .select(col("vec_id"),
+          transform(wLit, wrow =>
+            aggregate(zip_with(wrow, col("cv"), (wv, x) => wv * x),
+              lit(0.0d), (acc, t) => acc + t)).as("embedding"))
+        .localCheckpoint()
+      cosineAdjacency(zca, GraphDegree).localCheckpoint()
+    }
+    inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
+      .unionByName(inDegreeCensus(base, adjZca, "zca"))
   }
 
   /** The recovery KNOB CURVE (r8 verdict item 4): mutual-pair recovery
@@ -6249,7 +6636,12 @@ object SparkEntry {
     "bitext_threshold_curve" -> ((s, dir) => bitextThresholdCurve(s, dir)),
     "hubness_centered" -> ((s, dir) => hubnessCentered(s, dir)),
     "bitext_recovery_curve" -> ((s, dir) => bitextRecoveryCurve(s, dir)),
+    "bitext_margin_ann" -> ((s, dir) => bitextMarginAnn(s, dir)),
+    "bitext_ann_recovery" -> ((s, dir) => bitextAnnRecovery(s, dir)),
+    "bitext_mix_compose" -> ((s, dir) => bitextMixCompose(s, dir)),
+    "hybrid_rerank" -> ((s, dir) => hybridRerank(s, dir)),
     "hubness_whitened" -> ((s, dir) => hubnessWhitened(s, dir)),
+    "hubness_zca" -> ((s, dir) => hubnessZca(s, dir)),
     "knn_graph_cosine" -> ((s, dir) => knnGraphCosine(s, dir)),
     "recall_graph_cosine" -> ((s, dir) => recallGraphCosine(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
@@ -6511,6 +6903,34 @@ object SparkEntry {
   private val urlSuffixInList: String =
     graft.text.UrlFunctions.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
 
+  /** BM25 + cosine RRF fusion as a CTE block ending in
+    * `fused(doc_id, rrf_score)` — shared by `hybrid_search` (which
+    * SELECTs it verbatim) and `hybrid_rerank` (which reranks its top-50
+    * shortlist). */
+  private val hybridFusedCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('spark','join','query') GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfq CROSS JOIN n),
+      |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+      |bm AS (SELECT tf.doc_id,
+      |    round(sum(idf.idf * (tf.tf * 2.2)
+      |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+      |  GROUP BY tf.doc_id),
+      |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |vec AS (SELECT e.vec_id AS doc_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+      |  FROM embeddings e CROSS JOIN qv q),
+      |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+      |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vec),
+      |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+      |fused AS (SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      |  FROM u GROUP BY doc_id)""".stripMargin
+
   /** Parity split + full-dim quantized cosine over all pairs. */
   private val bitextBaseCtes: String =
     """s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -6550,6 +6970,116 @@ object SparkEntry {
        |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
        |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
        |  FROM ${q}rb f JOIN sc USING (src_id, tgt_id) WHERE f.r <= $shortlist) WHERE rr <= $BitextK)""".stripMargin
+
+  /** ANN-candidate neighborhoods `vna`/`vnb` for the bitext pass-1 swap:
+    * the SHARED deterministic IVF codebook (ivfTrainCtes' c2, trained on
+    * the %20<>0 base split exactly as the Scala [[ivfFlatModel]]), both
+    * parity sides assigned to their nearest cell (ties by cid), each
+    * node probing its [[BitextAnnNprobe]] nearest cells, candidates =
+    * the opposite side's probed-cell members, then top-[[BitextK]] by
+    * full quantized cosine within candidates. Requires ivfTrainCtes and
+    * bitextBaseCtes in scope. */
+  private def bitextAnnNbhCtes: String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    val quant = "list_transform(emb, e -> CAST(floor(e * 1048576 + 0.5) AS BIGINT))"
+    s"""sqv AS (SELECT src_id, $quant AS qv FROM s),
+       |tqv AS (SELECT tgt_id, $quant AS qv FROM t),
+       |asg_s AS (SELECT src_id, cid FROM (
+       |  SELECT sqv.src_id, c.cid, row_number() OVER (PARTITION BY sqv.src_id
+       |    ORDER BY ${idist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn = 1),
+       |asg_t AS (SELECT tgt_id, cid FROM (
+       |  SELECT tqv.tgt_id, c.cid, row_number() OVER (PARTITION BY tqv.tgt_id
+       |    ORDER BY ${idist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn = 1),
+       |prb_s AS (SELECT src_id, cid FROM (
+       |  SELECT sqv.src_id, c.cid, row_number() OVER (PARTITION BY sqv.src_id
+       |    ORDER BY ${idist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn <= $BitextAnnNprobe),
+       |prb_t AS (SELECT tgt_id, cid FROM (
+       |  SELECT tqv.tgt_id, c.cid, row_number() OVER (PARTITION BY tqv.tgt_id
+       |    ORDER BY ${idist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn <= $BitextAnnNprobe),
+       |cnd_a AS (SELECT prb_s.src_id, asg_t.tgt_id FROM prb_s JOIN asg_t USING (cid)),
+       |cnd_b AS (SELECT asg_s.src_id, prb_t.tgt_id FROM prb_t JOIN asg_s USING (cid)),
+       |vna AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
+       |    PARTITION BY f.src_id ORDER BY sc.cos_q DESC, f.tgt_id) AS rr
+       |  FROM cnd_a f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK),
+       |vnb AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
+       |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
+       |  FROM cnd_b f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK)""".stripMargin
+  }
+
+  /** The full `hubness_zca` oracle, GENERATED: exact int64 cross-moments
+    * over the 2²⁰ grid, the C/τ normalization, [[ZcaIters]] coupled
+    * Newton–Schulz rounds unrolled as matmul CTE chains (row/col list
+    * aggregates + left-to-right list_reduce inner products — the fold
+    * order [[zcaMatrix]] mirrors on the driver, verified bit-exact),
+    * then the row-local W·(x−μ) transform (0.0-seeded fold via
+    * list_prepend, matching Spark's `aggregate` seed), unit-normalize,
+    * degree-16 adjacency, raw-vs-zca census. */
+  private def zcaOracleSql: String = {
+    val D = 64
+    def mmFold(l: String, r: String): String =
+      s"list_reduce(list_transform(generate_series(1,$D), kk -> $l.r[kk]*$r.c[kk]), (a,b)->a+b)"
+    def rowsCols(m: String): String =
+      s"""${m}_rows AS MATERIALIZED (SELECT i, array_agg(v ORDER BY j) AS r FROM $m GROUP BY i),
+         |${m}_cols AS MATERIALIZED (SELECT j, array_agg(v ORDER BY i) AS c FROM $m GROUP BY j)""".stripMargin
+    def iter(k: Int): String =
+      s"""zy$k AS MATERIALIZED (SELECT zr.i, yc.j, ${mmFold("zr", "yc")} AS v
+         |  FROM z${k - 1}_rows zr CROSS JOIN y${k - 1}_cols yc),
+         |t$k AS MATERIALIZED (SELECT i, j, (CASE WHEN i=j THEN 3.0 ELSE 0.0 END) - v AS v FROM zy$k),
+         |${rowsCols(s"t$k")},
+         |y$k AS MATERIALIZED (SELECT yr.i, tc.j, ${mmFold("yr", "tc")} / 2 AS v
+         |  FROM y${k - 1}_rows yr CROSS JOIN t${k}_cols tc),
+         |z$k AS MATERIALIZED (SELECT tr.i, zc.j, ${mmFold("tr", "zc")} / 2 AS v
+         |  FROM t${k}_rows tr CROSS JOIN z${k - 1}_cols zc),
+         |${rowsCols(s"y$k")},
+         |${rowsCols(s"z$k")}""".stripMargin
+    val head =
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+         |zrbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+         |zradj AS MATERIALIZED ${sqlUnitAdj("zrbn", 16)},
+         |zqb AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
+         |  FROM b),
+         |zn AS (SELECT count(*) AS n FROM b),
+         |zexp AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(qv,1) AS INTEGER) AS i, unnest(qv) AS e FROM zqb),
+         |zs AS MATERIALIZED (SELECT i, CAST(sum(e) AS BIGINT) AS si FROM zexp GROUP BY i),
+         |zg AS MATERIALIZED (SELECT a.i AS i, bb.i AS j, CAST(sum(a.e*bb.e) AS BIGINT) AS sij
+         |  FROM zexp a JOIN zexp bb USING (vec_id) GROUP BY 1,2),
+         |zcv AS MATERIALIZED (SELECT g.i, g.j,
+         |  (CAST(n AS DOUBLE)*CAST(sij AS DOUBLE) - CAST(sa.si AS DOUBLE)*CAST(sb.si AS DOUBLE))
+         |    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS v
+         |  FROM zg g JOIN zs sa ON sa.i = g.i JOIN zs sb ON sb.i = g.j CROSS JOIN zn),
+         |ztau AS (SELECT list_reduce(list_transform(generate_series(1,$D), i -> dg[i]), (a,b)->a+b) AS tau
+         |  FROM (SELECT array_agg(v ORDER BY i) AS dg FROM zcv WHERE i = j)),
+         |y0 AS MATERIALIZED (SELECT i, j, v / tau AS v FROM zcv CROSS JOIN ztau),
+         |z0 AS MATERIALIZED (SELECT a.i, bb.i AS j, CASE WHEN a.i=bb.i THEN 1.0 ELSE 0.0 END AS v
+         |  FROM (SELECT DISTINCT i FROM zcv) a CROSS JOIN (SELECT DISTINCT i FROM zcv) bb),
+         |${rowsCols("y0")},
+         |${rowsCols("z0")}""".stripMargin
+    val iters = (1 to ZcaIters).map(iter).mkString(",\n")
+    val tail =
+      s"""zmu AS (SELECT array_agg(CAST(si AS DOUBLE) / n ORDER BY i) AS mv FROM zs CROSS JOIN zn),
+         |wm AS (SELECT array_agg(r ORDER BY i) AS w FROM z${ZcaIters}_rows),
+         |ztr AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1,$D), i ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1,$D), j ->
+         |      w[i][j] * (CAST(qv[j] AS DOUBLE) - mv[j]))), (a,b)->a+b)) AS cv
+         |  FROM zqb CROSS JOIN wm CROSS JOIN zmu),
+         |zbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM ztr),
+         |zadj AS MATERIALIZED ${sqlUnitAdj("zbn", 16)},
+         |zocc_r AS (SELECT neighbor_id, count(*) AS k_occ FROM zradj GROUP BY 1),
+         |zocc_z AS (SELECT neighbor_id, count(*) AS k_occ FROM zadj GROUP BY 1),
+         |zcr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+         |    count(*) AS n_vectors
+         |  FROM b LEFT JOIN zocc_r o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
+         |zcz AS (SELECT 'zca' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+         |    count(*) AS n_vectors
+         |  FROM b LEFT JOIN zocc_z o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
+         |SELECT variant, k_occ, n_vectors FROM zcr
+         |UNION ALL SELECT variant, k_occ, n_vectors FROM zcz""".stripMargin
+    s"$head,\n$iters,\n$tail"
+  }
 
   /** Margin tail over neighborhoods `${p}na`/`${p}nb` → mutual set
     * `${p}mut`; the ratio-margin numerator 2k·10⁶ is generated from
@@ -7500,16 +8030,31 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unit-normalize SQL twin of [[unitVectors]]: norm = sqrt of DuckDB's
+    * list_inner_product (verified the same left-to-right double fold as
+    * the [[graft.functions.DotProduct]] kernel), then the per-element
+    * division — the oracle side of the normalize-once + dot-rank
+    * adjacency plan. */
+  private def sqlUnit(v: String): String =
+    s"list_transform($v, x -> CAST(CAST(x / sqrt(list_inner_product($v, $v)) AS REAL) AS DOUBLE))"
+
+  /** Cosine-DESC degree-`deg` adjacency CTE body over pre-normalized
+    * vectors `src(vec_id, nv)`: dot rank == cosine rank on unit vectors,
+    * ties by id — replays [[cosineAdjacency]] exactly. */
+  private def sqlUnitAdj(src: String, deg: Int): String =
+    s"""(SELECT node_id, neighbor_id FROM (
+       |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY -list_inner_product(a.nv, c.nv), c.vec_id) AS rank
+       |  FROM $src a CROSS JOIN $src c WHERE c.vec_id <> a.vec_id) WHERE rank <= $deg)""".stripMargin
+
   /** q/b split + cosine degree-16 adjacency (the hubness family's raw
     * variant, reused by the cosine serving oracles). */
   private val cosGraphBaseCtes: String =
-    """q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
-      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-      |cosadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
-      |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
-      |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
-      |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16)""".stripMargin
+    s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |bn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+       |cosadj AS MATERIALIZED ${sqlUnitAdj("bn", 16)}""".stripMargin
 
   private val graphCosineKnnOracle: String =
     (s"""WITH $cosGraphBaseCtes,
@@ -8518,6 +9063,57 @@ object SparkEntry {
            |SELECT shortlist, n_exact, n_prefix, n_common,
            |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
            |FROM (SELECT * FROM r16 UNION ALL SELECT * FROM r32)""".stripMargin),
+    // ANN-candidate bitext mining: shared IVF codebook replay (training
+    // verbatim from ivfTrainCtes), probe/assign cell joins as candidate
+    // generator, identical margin tail
+    "bitext_margin_ann" ->
+      (s"WITH $ivfTrainCtes,\n$bitextBaseCtes,\n$bitextAnnNbhCtes,\n${bitextTailSql("v")}\n" +
+        "SELECT src_id, tgt_id, cos_q, margin_ppm FROM vmut"),
+    // recovery of the ANN-candidate pipeline vs the exact one — the
+    // scale-path check the r9 curve called for (fixed shortlist degrades
+    // with corpus size; cell candidates must not)
+    "bitext_ann_recovery" ->
+      (s"WITH $ivfTrainCtes,\n$bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        s"$bitextAnnNbhCtes,\n${bitextTailSql("v")},\n" +
+        """hits AS (SELECT count(*) AS n_common FROM emut JOIN vmut USING (src_id, tgt_id)),
+          |ne AS (SELECT count(*) AS n_exact FROM emut),
+          |na AS (SELECT count(*) AS n_ann FROM vmut)
+          |SELECT n_exact, n_ann, n_common,
+          |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
+          |FROM ne CROSS JOIN na CROSS JOIN hits""".stripMargin),
+    // mined-bitext -> training-mix composition: pairs clearing the
+    // operating margin become per-language-pair parallel domains whose
+    // token mass water-fills alongside the monolingual sources
+    "bitext_mix_compose" ->
+      (s"WITH $bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        s"""mono AS (SELECT source AS domain,
+           |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS cap
+           |  FROM documents GROUP BY 1),
+           |meta AS (SELECT doc_id, lang,
+           |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt FROM documents),
+           |par AS (SELECT 'bitext:' || least(a.lang, c.lang) || '-' || greatest(a.lang, c.lang) AS domain,
+           |  CAST(sum(a.nt + c.nt) AS BIGINT) AS cap
+           |  FROM emut m JOIN meta a ON a.doc_id = m.src_id JOIN meta c ON c.doc_id = m.tgt_id
+           |  WHERE m.margin_ppm >= $BitextMixThreshold GROUP BY 1),
+           |wtd AS (SELECT * FROM mono UNION ALL SELECT * FROM par),
+           |wtt AS (SELECT CAST(sum(cap) AS BIGINT) AS total, count(*) AS n_dom FROM wtd),
+           |wts AS (SELECT domain, cap, total, n_dom, (total * 5000) // 10000 AS budget,
+           |  CAST(coalesce(sum(cap) OVER (ORDER BY cap, domain
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumcap_b,
+           |  CAST(coalesce(count(*) OVER (ORDER BY cap, domain
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn_b
+           |  FROM wtd CROSS JOIN wtt),
+           |wtf AS (SELECT *, CASE WHEN cap * (n_dom - cumn_b) <= budget - cumcap_b
+           |  THEN 1 ELSE 0 END AS cond FROM wts),
+           |wtg AS (SELECT *, min(cond) OVER (ORDER BY cap, domain
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS saturated FROM wtf),
+           |wtagg AS (SELECT CAST(coalesce(sum(CASE WHEN saturated THEN cap END), 0) AS BIGINT) AS satcap,
+           |  CAST(coalesce(sum(CASE WHEN saturated THEN 1 END), 0) AS BIGINT) AS satn FROM wtg)
+           |SELECT domain, cap AS cap_tokens,
+           |  CAST(CASE WHEN saturated THEN cap
+           |    ELSE (budget - satcap) // (n_dom - satn) END AS BIGINT) AS alloc_tokens,
+           |  saturated
+           |FROM wtg CROSS JOIN wtagg""".stripMargin),
     // cross-lingual dedup composition: mutual pairs -> keep list (lower
     // id survives, unpaired docs keep themselves)
     "crosslingual_dedup" ->
@@ -8543,12 +9139,9 @@ object SparkEntry {
     // is translation-invariant, so an L2 census would be vacuous for
     // centering by construction)
     "hubness_centered" ->
-      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-        |radj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
-        |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
-        |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+      (s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |rbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+        |radj AS MATERIALIZED ${sqlUnitAdj("rbn", 16)},
         |qb AS (SELECT vec_id,
           |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
           |  FROM b),
@@ -8558,11 +9151,8 @@ object SparkEntry {
           |cb AS (SELECT vec_id,
           |  list_transform(generate_series(1, 64), ii -> CAST(qv[ii] AS DOUBLE) - mv[ii]) AS cv
           |  FROM qb CROSS JOIN muv),
-          |cadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
-          |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY a.vec_id
-          |      ORDER BY -list_cosine_similarity(a.cv, c.cv), c.vec_id) AS rank
-          |  FROM cb a CROSS JOIN cb c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+          |cbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM cb),
+          |cadj AS MATERIALIZED ${sqlUnitAdj("cbn", 16)},
           |occ_r AS (SELECT neighbor_id, count(*) AS k_occ FROM radj GROUP BY 1),
           |occ_c AS (SELECT neighbor_id, count(*) AS k_occ FROM cadj GROUP BY 1),
           |cr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
@@ -8573,15 +9163,16 @@ object SparkEntry {
           |  FROM b LEFT JOIN occ_c o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
           |SELECT variant, k_occ, n_vectors FROM cr
           |UNION ALL SELECT variant, k_occ, n_vectors FROM cc""".stripMargin),
+    // full-covariance ZCA whitening: int64 Gram moments -> generated
+    // Newton-Schulz matmul CTE unroll (bit-exact vs the driver mirror),
+    // row-local W*(x-mu) transform, rebuild, census
+    "hubness_zca" -> zcaOracleSql,
     // diagonal whitening: center + unit per-dim variance (exact-int
     // Σx/Σx² -> identical variance/scale doubles), rebuild, census
     "hubness_whitened" ->
-      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-        |wradj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
-        |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY -list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rank
-        |  FROM b a CROSS JOIN b c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+      (s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |wrbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+        |wradj AS MATERIALIZED ${sqlUnitAdj("wrbn", 16)},
         |wqb AS (SELECT vec_id,
           |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
           |  FROM b),
@@ -8602,11 +9193,8 @@ object SparkEntry {
           |  list_transform(generate_series(1, 64),
           |    ii -> (CAST(qv[ii] AS DOUBLE) - mv[ii]) * sv[ii]) AS cv
           |  FROM wqb CROSS JOIN wmu),
-          |wadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
-          |  SELECT a.vec_id AS node_id, c.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY a.vec_id
-          |      ORDER BY -list_cosine_similarity(a.cv, c.cv), c.vec_id) AS rank
-          |  FROM wb a CROSS JOIN wb c WHERE c.vec_id <> a.vec_id) WHERE rank <= 16),
+          |wbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM wb),
+          |wadj AS MATERIALIZED ${sqlUnitAdj("wbn", 16)},
           |wocc_r AS (SELECT neighbor_id, count(*) AS k_occ FROM wradj GROUP BY 1),
           |wocc_w AS (SELECT neighbor_id, count(*) AS k_occ FROM wadj GROUP BY 1),
           |wcr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
@@ -9251,28 +9839,34 @@ object SparkEntry {
         |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
         |FROM u GROUP BY doc_id""".stripMargin,
     "hybrid_search" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |       WHERE term IN ('spark','join','query') GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfq CROSS JOIN n),
-        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
-        |bm AS (SELECT tf.doc_id,
-        |    round(sum(idf.idf * (tf.tf * 2.2)
-        |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
-        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
-        |  GROUP BY tf.doc_id),
-        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-        |vec AS (SELECT e.vec_id AS doc_id,
-        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
-        |  FROM embeddings e CROSS JOIN qv q),
-        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
-        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vec),
-        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
-        |FROM u GROUP BY doc_id""".stripMargin,
+      s"WITH $hybridFusedCtes\nSELECT doc_id, rrf_score FROM fused",
+    // two-stage retrieval: fused top-50 shortlist -> frozen-integer
+    // cross-scorer (coverage^2 / capped-tf / pair proximity) -> top-10
+    "hybrid_rerank" ->
+      (s"WITH $hybridFusedCtes,\n" +
+        s"""cand AS (SELECT doc_id, rrf_score FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $RerankShortlist),
+           |ptoks AS (SELECT d.doc_id,
+           |    CAST(generate_subscripts(string_split(trim(d.text), ' '), 1) AS INTEGER) AS pos,
+           |    unnest(string_split(trim(d.text), ' ')) AS term
+           |  FROM documents d JOIN cand USING (doc_id)),
+           |hqt AS (SELECT doc_id, pos, term FROM ptoks
+           |  WHERE term IN (${HybridTerms.map(t => s"'$t'").mkString(", ")})),
+           |hpt AS (SELECT doc_id, term, count(*) AS tf FROM hqt GROUP BY 1, 2),
+           |hcov AS (SELECT doc_id, count(*) AS coverage,
+           |  CAST(sum(least(tf, 3)) AS BIGINT) AS tf_capped FROM hpt GROUP BY 1),
+           |hpx AS (SELECT doc_id, CAST(sum(least(np, 5)) AS BIGINT) AS prox FROM (
+           |  SELECT a.doc_id, a.term AS ta, b.term AS tb, count(*) AS np
+           |  FROM hqt a JOIN hqt b ON a.doc_id = b.doc_id AND a.term < b.term
+           |    AND abs(a.pos - b.pos) <= 8
+           |  GROUP BY 1, 2, 3) GROUP BY 1),
+           |hsc AS (SELECT c.doc_id, c.rrf_score,
+           |  coalesce(hcov.coverage, 0) * coalesce(hcov.coverage, 0) * 10000
+           |    + coalesce(hcov.tf_capped, 0) * 100 + coalesce(hpx.prox, 0) AS cross_score
+           |  FROM cand c LEFT JOIN hcov USING (doc_id) LEFT JOIN hpx USING (doc_id))
+           |SELECT doc_id, rrf_score, cross_score, rerank_rank FROM (
+           |  SELECT doc_id, rrf_score, CAST(cross_score AS BIGINT) AS cross_score,
+           |    row_number() OVER (ORDER BY cross_score DESC, rrf_score DESC, doc_id) AS rerank_rank
+           |  FROM hsc) WHERE rerank_rank <= 10""".stripMargin),
     "tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),

@@ -75,6 +75,14 @@ object IvfFlat {
           1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
 
+  /** Public probe surface: `(query_id, cid)` membership of each vector's
+    * `nprobe` nearest cells — the candidate-generation half of serving,
+    * exposed for cross-corpus candidate joins (bitext mining pass 1 pairs
+    * one side's probes with the other side's [[assignments]]). */
+  def probes(queries: DataFrame, cs: Array[Array[Long]], nprobe: Int): DataFrame =
+    probeCells(queries.select(col("vec_id"), quantize(col("embedding")).as("qv")), cs, nprobe)
+      .select(col("query_id"), col("cid"))
+
   /** Public inverted-list membership (vec_id, cid) for a trained model —
     * the introspection surface (list sizes, imbalance factor: FAISS
     * exposes the same via its invlists). */

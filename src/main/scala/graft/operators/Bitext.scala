@@ -90,20 +90,36 @@ object Bitext {
 
     val shortA = topIds(tgtP, srcP, "tgt_id", "src_id", "t_emb", "s_emb", shortlist)
     val shortB = topIds(srcP, tgtP, "src_id", "tgt_id", "s_emb", "t_emb", shortlist)
+    mutualMarginPairsFromCandidates(src, tgt, shortA, shortB, k)
+  }
 
-    // full-dim rescore of the shortlists, then per-node top-k by full
-    // cosine — a window over ≤ shortlist rows per node
-    def topOfShortlist(pairs: DataFrame, nodeCol: String, otherCol: String): DataFrame = {
+  /** The pluggable pass-1 contract made explicit: margin mining over
+    * ARBITRARY candidate pair sets `candA` (per-src candidates) and
+    * `candB` (per-tgt candidates), both `(src_id, tgt_id[, ...])`. Each
+    * node's neighborhood is its top-`k` BY FULL cosine within its
+    * candidates (full-dim rescore = two id joins + the codegen kernel,
+    * row-local), and the margin machinery is identical from there — the
+    * swap point the class scaladoc promises ("the exact top-k pass is
+    * replaced by any ANN candidate generator"). The prefix variant
+    * routes through here; the IVF-candidate variant (`bitext_margin_ann`)
+    * is the measured 100 TB pass 1 the r9 recovery curve called for. */
+  def mutualMarginPairsFromCandidates(src: DataFrame, tgt: DataFrame,
+      candA: DataFrame, candB: DataFrame, k: Int = 4): DataFrame = {
+    val srcQ = src.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
+    val tgtQ = tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"))
+    // full-dim rescore of the candidates, then per-node top-k by full
+    // cosine — a window over the per-node candidate set
+    def topOfCandidates(pairs: DataFrame, nodeCol: String, otherCol: String): DataFrame = {
       val w = Window.partitionBy(col(nodeCol))
         .orderBy(col("cos_q").desc, col(otherCol).asc)
-      rescored(srcQ, tgtQ, pairs)
+      rescored(srcQ, tgtQ, pairs.select(col("src_id"), col("tgt_id")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("src_id"), col("tgt_id"), col("cos_q"))
     }
     mineFromNeighborhoods(
-      topOfShortlist(shortA, "src_id", "tgt_id"),
-      topOfShortlist(shortB, "tgt_id", "src_id"), k)
+      topOfCandidates(candA, "src_id", "tgt_id"),
+      topOfCandidates(candB, "tgt_id", "src_id"), k)
   }
 
   /** Top-`m` neighbor IDS per node of `bcastSide` via the bounded-heap

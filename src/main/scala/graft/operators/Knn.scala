@@ -53,9 +53,28 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Spread the scan side across the session's full parallelism before
+    * an O(|base|·|queries|) broadcast-NL pass. Why: a BroadcastNestedLoop
+    * join runs in the STREAM side's partitioning, and the fixture
+    * parquet is one small file = ONE input split — without this the
+    * entire quadratic scan (the suite's dominant cost) executes in a
+    * single task (measured round 10, ColdReps artifact-cold at sf0.1:
+    * hubness_zca 88.8 s → 2.0 s, hubness_centered 9.4 → 3.3 s,
+    * hubness_whitened 4.5 → 1.5 s once the scan side was spread). The
+    * reshuffle moves
+    * each base row once — O(n) against the O(n·q) scan it parallelizes,
+    * amortized at ANY scale — and it's a no-op when the input already
+    * arrives with ≥ parallelism splits (the 100 TB case: thousands of
+    * parquet splits). Values are unaffected: every downstream aggregate
+    * is order-free (bounded heap orders by (dist, id)). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Cross product of base × broadcast(queries) with the distance column. */
   private def scored(queries: DataFrame, base: DataFrame, distance: (Column, Column) => Column): DataFrame =
-    base
+    spread(base)
       .crossJoin(broadcast(queries))
       .withColumn("dist", distance(col("q_embedding"), col("embedding")))
 
@@ -81,7 +100,7 @@ object Knn {
     * as vector search gets. */
   def hammingTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
-    base
+    spread(base)
       .crossJoin(broadcast(queries))
       .withColumn("dist", bit_count(col("q_sig").bitwiseXOR(col("sig"))).cast("double"))
       .groupBy(col("query_id"))
@@ -130,8 +149,8 @@ object Knn {
       prefixDim: Int, shortlistSize: Int): DataFrame = {
     val shortAgg = graft.functions.GraftFunctions.topKByDist(
       col("vec_id"), col("pdist"), shortlistSize)
-    val short = base
-      .select(col("vec_id"), slice(col("embedding"), 1, prefixDim).as("pemb"))
+    val short = spread(base
+      .select(col("vec_id"), slice(col("embedding"), 1, prefixDim).as("pemb")))
       .crossJoin(broadcast(queries.select(col("query_id"),
         slice(col("q_embedding"), 1, prefixDim).as("q_pemb"))))
       .select(col("query_id"), col("vec_id"), l2sq(col("q_pemb"), col("pemb")).as("pdist"))
@@ -163,7 +182,7 @@ object Knn {
     * kernel node is the fast shape here. */
   def cosineTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), -cosine(col("q_embedding"), col("embedding")), k)
-    base
+    spread(base)
       .crossJoin(broadcast(queries))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
@@ -183,8 +202,8 @@ object Knn {
       prefixDim: Int, shortlistSize: Int): DataFrame = {
     val shortAgg = graft.functions.GraftFunctions.topKByDist(
       col("vec_id"), col("pdist"), shortlistSize)
-    val short = layout
-      .select(col("vec_id"), col("prefix"))
+    val short = spread(layout
+      .select(col("vec_id"), col("prefix")))
       .crossJoin(broadcast(queries.select(col("query_id"),
         slice(col("q_embedding"), 1, prefixDim).as("q_pemb"))))
       .select(col("query_id"), col("vec_id"), l2sq(col("q_pemb"), col("prefix")).as("pdist"))
@@ -210,7 +229,7 @@ object Knn {
   def mipsTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.GraftFunctions.topKByDist(
       col("vec_id"), -dot(col("q_embedding"), col("embedding")), k)
-    base
+    spread(base)
       .crossJoin(broadcast(queries))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))

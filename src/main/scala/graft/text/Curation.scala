@@ -160,12 +160,20 @@ object Curation {
     * end, so any engine replays it bit-for-bit. Output: (domain,
     * cap_tokens, alloc_tokens, saturated). */
   def tokenBudgetAllocation(docs: DataFrame, domainCol: String,
-      textCol: String, budgetPctBps: Int): DataFrame = {
-    val caps = docs
-      .select(col(domainCol).as("domain"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"))
-      .groupBy(col("domain"))
-      .agg(sum(col("__nt")).as("cap"))
+      textCol: String, budgetPctBps: Int): DataFrame =
+    tokenBudgetAllocationFromCaps(
+      docs
+        .select(col(domainCol).as("domain"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"))
+        .groupBy(col("domain"))
+        .agg(sum(col("__nt")).as("cap")),
+      budgetPctBps)
+
+  /** [[tokenBudgetAllocation]] over a PRE-AGGREGATED capacity table
+    * `(domain, cap)` — the composition surface: lets mined pair-corpora
+    * (e.g. bitext domains, whose capacity comes from a join, not a
+    * single doc table) water-fill alongside the monolingual sources. */
+  def tokenBudgetAllocationFromCaps(caps: DataFrame, budgetPctBps: Int): DataFrame = {
     val totals = caps.agg(sum(col("cap")).as("total"),
       count(lit(1)).as("n_dom"))
     val byCap = Window.orderBy(col("cap"), col("domain"))

@@ -41,13 +41,18 @@ object DynamicUpdatesRace {
       .buildNNDescent(base, degree = 16, rounds = 3).cache()
     adj.count()
     // discarded warm-up searches so interval 1 measures serving, not
-    // first-touch JIT/codegen
+    // first-touch JIT/codegen. The exact ground truth is built ONCE
+    // outside the loop and unpersisted before the measured race: the
+    // old per-iteration Knn.exact(...).cache() recomputed the most
+    // expensive part of warm-up three times and leaked three cached
+    // DataFrames into the memory the race then ran under (r9 review).
+    val warmGt = graft.operators.Knn.exact(queries, base, 10).cache()
     (1 to 3).foreach { _ =>
-      DynamicBench.measuredSearch(queries, base,
-        graft.operators.Knn.exact(queries, base, 10).cache(), 10,
+      DynamicBench.measuredSearch(queries, base, warmGt, 10,
         (q, b, kk) => graft.index.GraphIndex.search(q, b, adj, kk,
           seedMod = 16, seedK = 8, hops = 3, beam = 32))
     }
+    warmGt.unpersist(blocking = true)
 
     def js(d: Double): String = f"$d%.3f"
     // the reference sweeps update percents as separate log sections

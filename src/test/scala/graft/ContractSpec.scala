@@ -236,17 +236,30 @@ class ContractSpec extends AnyFunSuite {
     assert(full.contains(s""""value":${Bench.fmt(coldTotal)}"""),
       s"headline value is not the cold total: $full")
     // artifact attribution map: every (cold − min) ≥ 0.1 s entry and
-    // nothing else — the first-consumer build-cost ledger (r8 item 8)
+    // nothing else — the first-consumer build-cost ledger (r8 item 8),
+    // each entry now {sec, artifact} with the builder-ledger NAME or the
+    // "jit/noise" label when no artifact build was recorded (r9 item 6)
     val artMap = full.substring(
       full.indexOf("\"queries_artifact\":") + "\"queries_artifact\":".length,
-      full.indexOf(",\"n_queries\":"))
+      full.indexOf(",\"gc_ms\":"))
     val expectArts = results.filter(r => r._2 >= 0 && r._3 >= 0 && r._3 - r._2 >= 0.1)
     expectArts.foreach { case (k, v, c) =>
-      assert(artMap.contains("\"" + k + "\":" + Bench.fmt(c - v)), k)
+      assert(artMap.contains(
+        "\"" + k + "\":{\"sec\":" + Bench.fmt(c - v) + ",\"artifact\":\"jit/noise\"}"), k)
     }
-    val nArtEntries = if (artMap == "{}") 0 else artMap.count(_ == ':')
+    val nArtEntries = if (artMap == "{}") 0 else artMap.count(_ == '{') - 1
     assert(nArtEntries == expectArts.size,
       s"artifact map has $nArtEntries entries, expected ${expectArts.size}")
+    // with a ledger: names are attached verbatim, "+"-joined, deduped
+    expectArts.headOption.foreach { case (k, v, c) =>
+      val named = Bench.fullLine(results, "/root/testdata/sf0.1",
+        artifacts = Map(k -> Seq("gt", "graph_adj", "gt")),
+        gcMs = Map(k -> 123L), retain = "drop")
+      assert(named.contains(
+        "\"" + k + "\":{\"sec\":" + Bench.fmt(c - v) + ",\"artifact\":\"gt+graph_adj\"}"))
+      assert(named.contains("\"gc_ms\":{\"" + k + "\":123}") &&
+        named.contains("\"gc_ms_total\":123") && named.contains("\"retain\":\"drop\""))
+    }
     // a rep-1-failed / rep-2-ok query is visible as -1 in the cold map
     // and does NOT inflate n_failed
     results.find(r => r._3 < 0 && r._2 >= 0).foreach { case (k, _, _) =>
@@ -256,5 +269,25 @@ class ContractSpec extends AnyFunSuite {
         s"rep-1 failure not visible in cold map for $k")
       assert(full.contains(s""""n_failed":${results.count(_._2 < 0)}"""))
     }
+  }
+
+  test("every DataFrame artifact cache goes through namedArtifactCache (registry lint)") {
+    // resetArtifactCaches and the bench artifact ledger enumerate the
+    // registry; a cache created via a bare TrieMap.empty would be
+    // invisible to both — exactly the r9 review finding (four late-added
+    // caches missing from the hand-maintained drop list made ColdReps'
+    // "artifact-cold" reps serve warm adjacencies). The factory itself is
+    // the single allowed occurrence.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    // [^\[\]]* keeps the match inside ONE bracket pair, so the registry
+    // field (whose VALUE type is a nested TrieMap[_, DataFrame]) is not
+    // a hit while any direct TrieMap.empty[K, DataFrame] is
+    val hits = """TrieMap\s*\.\s*empty\s*\[\s*[^\[\]]*DataFrame\s*\]""".r
+      .findAllMatchIn(src).toSeq
+    assert(hits.size == 1,
+      s"found ${hits.size} bare DataFrame TrieMaps in SparkEntry — use namedArtifactCache: " +
+        hits.map(m => src.substring(math.max(0, m.start - 60), m.start).linesIterator
+          .toSeq.lastOption.getOrElse("")).mkString("; "))
   }
 }

@@ -155,7 +155,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("vec_id") % 20 =!= 0).count()
     for ((q, variants) <- Seq(
         "hubness_centered" -> Seq("raw", "centered"),
-        "hubness_whitened" -> Seq("raw", "whitened"))) {
+        "hubness_whitened" -> Seq("raw", "whitened"),
+        "hubness_zca" -> Seq("raw", "zca"))) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       for (v <- variants) {

@@ -26,6 +26,8 @@ class WindowAuditSpec extends AnyFunSuite {
     "benford_digits" -> "share-of-total over exactly 9 leading-digit rows",
     "cumulative_distinct_users" -> "running total over the DAILY first-seen series — calendar-cardinality",
     "cusum_changepoint" -> "prefix sum + running min over the DAILY revenue series — calendar-cardinality",
+    "bitext_mix_compose" -> "cumulative quota over the per-DOMAIN aggregate (sources + language-pair bitext domains) — domain-cardinality",
+    "hybrid_rerank" -> "rerank rank over the top-50 fused shortlist — constant by construction (TakeOrdered feeds it)",
     "index_advisor" -> "rank over 4 candidate layout strategies — constant",
     "metrics_gapfill" -> "LOCF over one minute-bucket grid — elapsed-time cardinality, not row count",
     "token_budget_mix" -> "cumulative quota over the per-DOMAIN aggregate — domain-cardinality",

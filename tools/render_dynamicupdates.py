@@ -68,32 +68,58 @@ def main() -> None:
                 f"| {run['update_pct']} | {r['interval']} | {r['phase']} | "
                 f"{float(r['qps']):.1f} | {float(r['latency_ms']):.1f} | "
                 f"{float(r['recall']):.4f} | {r['event'] or ''} |")
+    # Narrative figures are COMPUTED from the loaded run (r9 review: the
+    # old template baked one run's literals into the commentary, so a
+    # regenerated table would contradict its own prose).
+    def phase(run, name):
+        return {r["phase"]: r for r in run["summary"]}.get(name, {})
+
+    def fmt_by_pct(getter, prec):
+        return " / ".join(f"{getter(run):.{prec}f}" for run in d["runs"])
+
+    pcts = " / ".join(str(run["update_pct"]) for run in d["runs"])
+    dips = []
+    for run in d["runs"]:
+        sq = float(phase(run, "steady").get("mean_qps", 0.0)) or 1.0
+        for p in ("during_delete", "during_insert"):
+            mq = float(phase(run, p).get("mean_qps", 0.0))
+            if mq:
+                dips.append(100.0 * (1.0 - mq / sq))
+    dip_lo, dip_hi = (min(dips), max(dips)) if dips else (0.0, 0.0)
+    steady_recall = sum(
+        float(phase(run, "steady").get("mean_recall", 0.0)) for run in d["runs"]
+    ) / max(len(d["runs"]), 1)
+    del_s = sum(float(r["delete_publish_ms"]) for r in d["runs"]) / max(len(d["runs"]), 1) / 1000.0
+    ins_s = sum(float(r["insert_publish_ms"]) for r in d["runs"]) / max(len(d["runs"]), 1) / 1000.0
+    holes = fmt_by_pct(lambda r: float(phase(r, "during_insert").get("mean_recall", 0.0)), 3)
+    recov = fmt_by_pct(lambda r: float(phase(r, "recovered").get("mean_recall", 0.0)), 3)
+    during_del = fmt_by_pct(lambda r: float(phase(r, "during_delete").get("mean_recall", 0.0)), 3)
     lines += [
         "",
         "Reading:",
         "",
-        "- **Contention dip**: during-update intervals run 10-25% below",
+        f"- **Contention dip**: during-update intervals run {dip_lo:.0f}-{dip_hi:.0f}% below",
         "  steady QPS — the updater's jobs share the executor cores with",
         "  the measuring loop. The dip is far shallower than the",
         "  reference's -53% because deletion here is an adjacency",
-        "  edge-filter (D2, publishes in ~0.2 s) and re-insertion touches",
-        "  O(|new|*degree) rows (D1, ~3 s) where the embedded reference",
+        f"  edge-filter (D2, publishes in ~{del_s:.1f} s) and re-insertion touches",
+        f"  O(|new|*degree) rows (D1, ~{ins_s:.1f} s) where the embedded reference",
         "  backends must REBUILD the index (D3) and starve the search",
         "  loop for the whole window.",
         "- **Recall hole and recovery**: recall is always scored against",
         "  the ORIGINAL full-base ground truth (the reference's protocol),",
         "  so the post-delete window shows a hole equal to the deleted",
-        "  share of gt (0.586 / 0.382 / 0.141 at 25/50/75%) and the",
-        "  beam re-insert closes it (0.784 / 0.757 / 0.589 vs steady",
-        "  0.815). Recovery degrades with update fraction — incremental",
+        f"  share of gt ({holes} at {pcts}%) and the",
+        f"  beam re-insert closes it ({recov} vs steady",
+        f"  {steady_recall:.3f}). Recovery degrades with update fraction — incremental",
         "  insertion of 75% of the corpus into a 25% skeleton is the",
         "  regime where a rebuild (D3) beats incremental maintenance,",
         "  the same tradeoff the reference's backends sit on the other",
         "  side of.",
         "- **Snapshot isolation (C2)**: during-delete intervals still read",
-        "  recall 0.815 — searches hold the pre-swap snapshot until the",
-        "  updater publishes; no interval ever observes a half-applied",
-        "  update.",
+        f"  pre-swap recall ({during_del} at {pcts}%) — searches hold",
+        "  the pre-swap snapshot until the updater publishes; no interval",
+        "  ever observes a half-applied update.",
         "",
     ]
     with open(dst, "w") as f:
