@@ -1387,16 +1387,20 @@ object SparkEntry {
     * headline query of the reference's server backends (Weaviate hybrid,
     * Redis FT.SEARCH KNN+filter, Milvus). Query = 3 terms + the vec_id-0
     * embedding. */
-  private def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val byBm25 = graft.text.TextRank.bm25(docs, Seq("spark", "join", "query"))
-    val emb = Tables.table(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
-    val byVec = emb.crossJoin(broadcast(qv))
-      .select(col("vec_id").as("doc_id"),
-        graft.functions.VectorFunctions.cosine(col("q_embedding"), col("embedding")).as("score"))
-    graft.text.TextRank.rrfFuse(Seq(byBm25, byVec))
-  }
+  private def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    // memoized per dir (r10): the fused list has TWO consumers now —
+    // the query itself and hybrid_rerank's shortlist — the same
+    // search-once-score-on-it lifecycle as the recall pairs
+    memoSearch("hybrid_search", dir) {
+      val docs = Tables.documents(spark, dir)
+      val byBm25 = graft.text.TextRank.bm25(docs, Seq("spark", "join", "query"))
+      val emb = Tables.table(spark, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+      val byVec = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosine(col("q_embedding"), col("embedding")).as("score"))
+      graft.text.TextRank.rrfFuse(Seq(byBm25, byVec))
+    }
 
   /** Connected components over the blocked near-dup pair graph — the
     * transitive-closure dedup-cluster operator; oracled against a DuckDB

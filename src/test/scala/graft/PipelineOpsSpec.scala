@@ -353,4 +353,64 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("bitext ANN variant: mutual matching holds, recovery is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val ann = SparkEntry.queries("bitext_margin_ann")(spark, dir).collect()
+    // mutual argmax ⇒ each src and each tgt appears in at most one pair
+    assert(ann.map(_.getLong(0)).distinct.length == ann.length)
+    assert(ann.map(_.getLong(1)).distinct.length == ann.length)
+    // parity split respected: even src ids, odd tgt ids
+    assert(ann.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 != 0))
+    val rec = SparkEntry.queries("bitext_ann_recovery")(spark, dir).collect().head
+    val (nExact, nAnn, nCommon, ppm) =
+      (rec.getLong(0), rec.getLong(1), rec.getLong(2), rec.getLong(3))
+    assert(nAnn == ann.length)
+    assert(nCommon <= math.min(nExact, nAnn))
+    assert(ppm == 1000000L * nCommon / math.max(nExact, 1L))
+    // the scale-path claim at fixture scale: the ANN pass must recover a
+    // MAJORITY of the exact mutual pairs (measured 66.7% here)
+    assert(ppm >= 500000L, s"ANN recovery collapsed: $ppm ppm")
+  }
+
+  test("bitext_mix_compose: water-filling invariants over the composed domains") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("bitext_mix_compose")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // composed surface: monolingual sources AND at least one mined
+    // bitext language-pair domain
+    assert(rows.exists(_._1.startsWith("bitext:")))
+    assert(rows.exists(!_._1.startsWith("bitext:")))
+    val budget = rows.map(_._2).sum / 2 // budgetPctBps = 5000
+    // saturated domains contribute their full capacity; unsaturated ones
+    // share one equal floor allocation ≤ their capacity
+    rows.filter(_._4).foreach { case (d, cap, alloc, _) =>
+      assert(alloc == cap, s"$d saturated but alloc != cap") }
+    val unsat = rows.filterNot(_._4)
+    assert(unsat.map(_._3).distinct.length <= 1, "unsaturated allocs differ")
+    unsat.foreach { case (d, cap, alloc, _) =>
+      assert(alloc <= cap, s"$d unsaturated alloc exceeds cap") }
+    // total allocation never exceeds the budget (floor division leaves
+    // at most n_dom-1 tokens unassigned)
+    assert(rows.map(_._3).sum <= budget)
+  }
+
+  test("hybrid_rerank: shortlist rerank emits a clean top-10") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("hybrid_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(rows.map(_._4).toSeq == (1L to 10L))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // rerank order is (cross_score desc, rrf desc, doc_id) — verify the
+    // emitted ranks respect it
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val ordered = a._3 > b._3 ||
+        (a._3 == b._3 && (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)))
+      assert(ordered, s"rerank order violated: $a then $b")
+    }
+    // the cross-scorer's components stay in their integer envelopes:
+    // coverage ≤ 3 terms ⇒ coverage² ≤ 9
+    rows.foreach { case (_, _, cs, _) => assert(cs >= 0 && cs <= 90000 + 900 + 15) }
+  }
 }
