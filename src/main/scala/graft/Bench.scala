@@ -42,9 +42,9 @@ object Bench {
     // now labeled with the artifact NAMES the ledger saw the cold rep
     // build (r9 verdict item 6: the r9 cold jumps were only diagnosable
     // by cross-referencing SCALING.md prose). A ≥ 0.1 s entry with NO
-    // recorded build is labeled "jit/noise": with reps=2 the cold rep
-    // also carries first-touch codegen/JIT, and that component is not an
-    // artifact build (r9 review item 4).
+    // recorded build is labeled "jit/noise": the cold rep also carries
+    // first-touch codegen/JIT (whatever the rep count), and that
+    // component is not an artifact build (r9 review item 4).
     val arts = results
       .filter { case (_, v, c) => v >= 0 && c >= 0 && c - v >= 0.1 }
       .map { case (k, v, c) =>
@@ -85,11 +85,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default to the machine (capped at the environment's stated
-    // local[32]) — the v0 scaffold's "4" measured the engine at 1/8th of
-    // the available cores whenever the driver didn't set the env var
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // default FIXED at the environment's stated local[32] (the v0
+    // scaffold's "4" measured the engine at 1/8th of the cores whenever
+    // the driver didn't set the env var). Fixed, not availableProcessors:
+    // shuffle-partition count changes double-sum association, so a
+    // machine-dependent default could flip the 6th decimal of the
+    // float-rounded oracles (rrf/bm25) across hosts.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,17 +113,33 @@ object Bench {
     // for re-adjudication. Consumers are observed during the warmup
     // pass through the artifact ledger (per-dir keys canonicalized so
     // warmup-dir observations map onto the timed dir's entries).
-    val retain = sys.env.getOrElse("SPARK_GRAFT_RETAIN", "all")
+    val retainRequested = sys.env.getOrElse("SPARK_GRAFT_RETAIN", "all")
     SparkEntry.ArtifactLedger.enabled = true
     def canonKey(k: String, dir: String): String = k.replace(dir, "@dir")
     val warmAccesses = scala.collection.mutable.Map.empty[String, Set[(String, String)]]
+    val warmupFailed = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       SparkEntry.ArtifactLedger.drainAccesses()
-      try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, warmupDir).count() } catch { case _: Throwable => warmupFailed += name }
       warmAccesses(name) = SparkEntry.ArtifactLedger.drainAccesses()
         .map { case (n, k) => (n, canonKey(k, warmupDir)) }.toSet
     }
     SparkEntry.ArtifactLedger.drainBuilds()
+    // access recording exists only to build the consumer map; stop it for
+    // the timed pass (builds stay recorded for the attribution map)
+    SparkEntry.ArtifactLedger.accessRecording = false
+    // the consumer map is only trustworthy if every query's warmup run
+    // actually executed: a query that failed at warmup contributes no
+    // accesses, so its artifacts would be dropped after an EARLIER
+    // consumer and every later rep would silently pay a rebuild —
+    // corrupting the very A/B the knob adjudicates. Fall back to
+    // keep-everything and say so.
+    val retain =
+      if (retainRequested == "drop" && warmupFailed.nonEmpty) {
+        System.err.println(s"[bench] retain=drop requested but warmup failed for " +
+          s"${warmupFailed.toSeq.sorted.mkString(",")} - falling back to retain=all")
+        "all"
+      } else retainRequested
     // drop ALL warmup-dir artifacts (nothing consumes them again) and
     // every cached block — the timed pass starts artifact-cold either way
     SparkEntry.resetArtifactCaches(spark)

@@ -46,6 +46,10 @@ object SparkEntry {
     * timing loop); concurrent producers are fine via the queues. */
   private[graft] object ArtifactLedger {
     @volatile var enabled = false
+    /** Accesses feed only the warmup-time consumer map; Bench turns this
+      * off for the timed pass so 325×3 reps don't enqueue into a queue
+      * nobody drains (r10 review). Builds stay recorded throughout. */
+    @volatile var accessRecording = true
     private val buildsQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val accessQ = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     private[SparkEntry] def nameOf(cache: AnyRef): Option[String] =
@@ -53,7 +57,7 @@ object SparkEntry {
     private[SparkEntry] def recordBuild(cache: AnyRef): Unit =
       if (enabled) nameOf(cache).foreach(buildsQ.add)
     private[SparkEntry] def recordAccess(cache: AnyRef, key: Any): Unit =
-      if (enabled) nameOf(cache).foreach(n => accessQ.add((n, key.toString)))
+      if (enabled && accessRecording) nameOf(cache).foreach(n => accessQ.add((n, key.toString)))
     def drainBuilds(): Seq[String] = {
       val b = Seq.newBuilder[String]
       var x = buildsQ.poll(); while (x != null) { b += x; x = buildsQ.poll() }
@@ -101,6 +105,18 @@ object SparkEntry {
     * are deterministic replays / on-disk artifacts whose cost queries
     * like `knn_pq_flat` measure separately. Used by
     * [[graft.tools.ColdReps]]. */
+  /** Derived-VALUE caches (collected stats, driver-solved matrices) that
+    * are artifact-like: no query measures their build separately, so an
+    * "artifact-cold" rep must rebuild them too or it understates cold
+    * cost (r10 review — the same warm-serving mis-adjudication class the
+    * DataFrame registry closed in r9's review). Trained-codebook caches
+    * (ivfFlat/pq/sq) stay exempt ON PURPOSE: their training replays are
+    * measured by their own queries (`knn_pq_flat` et al.). */
+  // lazy: the referenced caches are defined further down the object and
+  // object vals initialize top-to-bottom; forced only at reset time
+  private lazy val derivedValueCaches: Seq[scala.collection.concurrent.TrieMap[_, _]] =
+    Seq(hubnessMomentsCache, zcaMatrixCache)
+
   private[graft] def resetArtifactCaches(spark: SparkSession): Unit = {
     // enumerate the REGISTRY, not a hand-maintained list: the r9 review
     // found four late-added caches missing from the old Seq, which made
@@ -111,6 +127,7 @@ object SparkEntry {
       c.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
       c.asInstanceOf[scala.collection.concurrent.TrieMap[Any, DataFrame]].clear()
     }
+    derivedValueCaches.foreach(_.clear())
     spark.catalog.clearCache()
   }
 
@@ -1506,6 +1523,37 @@ object SparkEntry {
     * fingerprint — the scrubbing stage of a training-data pipeline. */
   private def piiRedact(spark: SparkSession, dir: String): DataFrame =
     graft.text.Curation.piiRedact(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Pseudo-relevance-feedback size knobs, shared with the oracle:
+    * top-[[PrfFeedbackDocs]] BM25 hits feed the expansion, the
+    * top-[[PrfExpansionK]] non-seed terms (capped tf mass, length ≥ 4)
+    * join the query, and the expanded query re-retrieves. */
+  private val PrfFeedbackDocs = 10
+  private val PrfExpansionK = 5
+
+  /** BM25 with pseudo-relevance-feedback query EXPANSION (RM3-style,
+    * Abdul-Jaleel et al. TREC 2004 — the classic two-pass retrieval
+    * move): retrieve with the seed terms, mine the top feedback docs
+    * for the strongest co-occurring terms, re-retrieve with the
+    * expanded query. The expansion statistic is frozen-integer
+    * (Σ min(tf, 3) over feedback docs, ties by term) so the term choice
+    * replays exactly; the scoring passes are the proven `bm25_topk`
+    * machinery. The expansion set is a [[PrfExpansionK]]-row driver
+    * solve (metadata-sized, the IVF-centroid precedent). Scale: two
+    * linear retrieval passes + one feedback-doc-bounded term aggregate. */
+  private def bm25Prf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fb = graft.text.TextRank.bm25TopK(docs, HybridTerms, PrfFeedbackDocs)
+      .select(col("doc_id"))
+    val expTerms = docs.join(fb, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 4 && !col("term").isin(HybridTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(sum(least(col("tf"), lit(3L))).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(PrfExpansionK)
+      .collect().map(_.getString(0)).toSeq
+    graft.text.TextRank.bm25TopK(docs, HybridTerms ++ expTerms, PrfFeedbackDocs)
+  }
 
   /** Context-window chunking: 128-token windows, stride 64. */
   private def docChunks(spark: SparkSession, dir: String): DataFrame =
@@ -6106,6 +6154,56 @@ object SparkEntry {
       cosineAdjacency(Tables.embeddingBase(spark, dir), GraphDegree)
         .localCheckpoint())
 
+  private val cosCellAdjCache = namedArtifactCache[String]("cos_adj_cell")
+
+  /** Cell-blocked COSINE adjacency — the cosine family's 100 TB build
+    * path made CONCRETE (the r9 verdict accepted "cell-blocked is the
+    * scale path" as a declaration; this builds it): candidate pairs
+    * from IVF coarse-cell co-membership (nassign=3 over the shared
+    * `ivfFlatModel`, the same blocking as
+    * [[graft.index.GraphIndex.buildCellBlocked]]), ranked by dot over
+    * the SAME float unit vectors as the exact build — so the only
+    * difference from [[rawCosineAdjacency]] is the candidate generator,
+    * and [[hubnessCellBlockedQuality]] measures exactly that gap.
+    * Pair generation is a co-partitioned equi-join on cell id: |cell|²
+    * per cell, never |base|². */
+  private def cosCellBlockedAdj(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(cosCellAdjCache, dir) {
+      val base = Tables.embeddingBase(spark, dir)
+      val cells = graft.index.IvfFlat.probes(base, ivfFlatModel(spark, dir), 3)
+        .select(col("query_id").as("vec_id"), col("cid"))
+      val unit = unitVectors(Knn.spread(base))
+      val nodes = cells.join(unit, Seq("vec_id")).localCheckpoint()
+      val topk = graft.functions.GraftFunctions.topKByDist(
+        col("cand_id"),
+        -graft.functions.VectorFunctions.dot(col("n_emb"), col("c_emb")),
+        GraphDegree)
+      nodes.alias("na")
+        .join(nodes.alias("nb"), col("na.cid") === col("nb.cid"))
+        .filter(col("na.vec_id") =!= col("nb.vec_id"))
+        .select(col("na.vec_id").as("node_id"), col("nb.vec_id").as("cand_id"),
+          col("na.embedding").as("n_emb"), col("nb.embedding").as("c_emb"))
+        .groupBy(col("node_id"))
+        .agg(topk.as("nn"))
+        .select(col("node_id"), explode(col("nn")).as("neighbor_id"))
+        .localCheckpoint()
+    }
+
+  /** Edge recall of the cell-blocked cosine build vs the exact cosine
+    * adjacency — the measured cost of never running the all-pairs
+    * cosine pass, closing the hubness family's declared-but-unmeasured
+    * scale path (same shape as `graph_cellblocked_quality` for L2). */
+  private def hubnessCellBlockedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = rawCosineAdjacency(spark, dir).select(col("node_id"), col("neighbor_id"))
+    val blocked = cosCellBlockedAdj(spark, dir).select(col("node_id"), col("neighbor_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(blocked.agg(count(lit(1)).as("n_blocked")))
+      .crossJoin(exact.join(blocked, Seq("node_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_blocked"),
+        expr("(n_hits * 10000) div n_exact").as("edge_recall_bp"))
+  }
+
   /** In-degree (k-occurrence) census of an adjacency over `base`, zeros
     * included, labeled with a variant column — shared by the hubness
     * diagnosis/remediation family. */
@@ -6644,6 +6742,8 @@ object SparkEntry {
     "bitext_ann_recovery" -> ((s, dir) => bitextAnnRecovery(s, dir)),
     "bitext_mix_compose" -> ((s, dir) => bitextMixCompose(s, dir)),
     "hybrid_rerank" -> ((s, dir) => hybridRerank(s, dir)),
+    "bm25_prf" -> ((s, dir) => bm25Prf(s, dir)),
+    "hubness_cellblocked_quality" -> ((s, dir) => hubnessCellBlockedQuality(s, dir)),
     "hubness_whitened" -> ((s, dir) => hubnessWhitened(s, dir)),
     "hubness_zca" -> ((s, dir) => hubnessZca(s, dir)),
     "knn_graph_cosine" -> ((s, dir) => knnGraphCosine(s, dir)),
@@ -9171,6 +9271,35 @@ object SparkEntry {
     // Newton-Schulz matmul CTE unroll (bit-exact vs the driver mirror),
     // row-local W*(x-mu) transform, rebuild, census
     "hubness_zca" -> zcaOracleSql,
+    // cell-blocked cosine build vs the exact cosine adjacency: IVF
+    // training replay + 3-cell multi-assignment + per-cell candidates
+    // ranked by inner product over the shared unit vectors
+    "hubness_cellblocked_quality" -> {
+      def idist(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+      s"""WITH $ivfTrainCtes,
+         |hbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+         |hxcos AS MATERIALIZED ${sqlUnitAdj("hbn", 16)},
+         |hcba AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id
+         |    ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
+         |  FROM bq CROSS JOIN c2 c) WHERE rn <= 3),
+         |hcand AS (SELECT DISTINCT a.vec_id AS node_id, b2.vec_id AS cand_id
+         |  FROM hcba a JOIN hcba b2 USING (cid) WHERE a.vec_id <> b2.vec_id),
+         |hccadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+         |  SELECT p.node_id, p.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.node_id
+         |      ORDER BY -list_inner_product(na.nv, nb.nv), p.cand_id) AS rank
+         |  FROM hcand p JOIN hbn na ON na.vec_id = p.node_id
+         |    JOIN hbn nb ON nb.vec_id = p.cand_id) WHERE rank <= 16),
+         |hhe AS (SELECT count(*) AS n_hits FROM hxcos JOIN hccadj USING (node_id, neighbor_id)),
+         |hte AS (SELECT count(*) AS n_exact FROM hxcos),
+         |htb AS (SELECT count(*) AS n_blocked FROM hccadj)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_blocked AS BIGINT) AS n_blocked,
+         |  CAST((n_hits * 10000) // n_exact AS BIGINT) AS edge_recall_bp
+         |FROM hte CROSS JOIN htb CROSS JOIN hhe""".stripMargin
+    },
     // diagonal whitening: center + unit per-dim variance (exact-int
     // Σx/Σx² -> identical variance/scale doubles), rebuild, census
     "hubness_whitened" ->
@@ -9806,6 +9935,42 @@ object SparkEntry {
         |  CASE WHEN mixed % 100 < 80 THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM m GROUP BY 1, 2""".stripMargin,
+    // RM3-style PRF: seed retrieval -> frozen-integer expansion-term
+    // mining over the feedback docs -> expanded retrieval (both scoring
+    // passes are the proven bm25_topk machinery; expansion knobs
+    // interpolated from the shared Scala constants)
+    "bm25_prf" ->
+      (s"""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+          |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          |       WHERE term IN (${HybridTerms.map(t => s"'$t'").mkString(",")}) GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+          |idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM df0 CROSS JOIN n),
+          |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+          |sc0 AS (SELECT tf0.doc_id,
+          |    round(sum(idf0.idf * (tf0.tf * 2.2)
+          |              / (tf0.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+          |  FROM tf0 JOIN idf0 USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+          |  GROUP BY tf0.doc_id),
+          |fb AS (SELECT doc_id FROM sc0 ORDER BY score DESC, doc_id LIMIT $PrfFeedbackDocs),
+          |exw AS (SELECT term, CAST(sum(least(tf, 3)) AS BIGINT) AS w FROM (
+          |  SELECT t.doc_id, t.term, count(*) AS tf FROM toks t JOIN fb USING (doc_id)
+          |  WHERE length(t.term) >= 4
+          |    AND t.term NOT IN (${HybridTerms.map(t => s"'$t'").mkString(",")})
+          |  GROUP BY 1, 2) GROUP BY 1),
+          |expk AS (SELECT term FROM exw ORDER BY w DESC, term LIMIT $PrfExpansionK),
+          |allt AS (SELECT term FROM (VALUES ${HybridTerms.map(t => s"('$t')").mkString(",")}) s(term)
+          |  UNION ALL SELECT term FROM expk),
+          |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN allt USING (term) GROUP BY 1, 2),
+          |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+          |idf1 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM df1 CROSS JOIN n),
+          |sc1 AS (SELECT tf1.doc_id,
+          |    round(sum(idf1.idf * (tf1.tf * 2.2)
+          |              / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+          |  FROM tf1 JOIN idf1 USING (term) JOIN dl USING (doc_id) CROSS JOIN avgdl
+          |  GROUP BY tf1.doc_id)
+          |SELECT doc_id, score FROM sc1 ORDER BY score DESC, doc_id LIMIT $PrfFeedbackDocs""".stripMargin),
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -59,14 +59,22 @@ object Knn {
     * parquet is one small file = ONE input split — without this the
     * entire quadratic scan (the suite's dominant cost) executes in a
     * single task (measured round 10, ColdReps artifact-cold at sf0.1:
-    * hubness_zca 88.8 s → 2.0 s, hubness_centered 9.4 → 3.3 s,
-    * hubness_whitened 4.5 → 1.5 s once the scan side was spread). The
+    * hubness_zca 88.8 s → 2.2–2.7 s, hubness_centered 9.4 → ~3.0 s,
+    * hubness_whitened 4.5 → 1.7 s once the scan side was spread). The
     * reshuffle moves
     * each base row once — O(n) against the O(n·q) scan it parallelizes,
     * amortized at ANY scale — and it's a no-op when the input already
     * arrives with ≥ parallelism splits (the 100 TB case: thousands of
     * parquet splits). Values are unaffected: every downstream aggregate
-    * is order-free (bounded heap orders by (dist, id)). */
+    * is order-free (bounded heap orders by (dist, id)).
+    *
+    * Contract: call with SCAN- or CHECKPOINT-rooted inputs only. The
+    * partition probe goes through `df.rdd`, which finalizes the physical
+    * plan — under AQE an input containing an exchange would have its
+    * upstream stages executed at construction time just to read a
+    * partition count. Every current call site passes a projection over
+    * a file scan or a localCheckpoint leaf, where `.rdd` is pure
+    * planning (r10 review). */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

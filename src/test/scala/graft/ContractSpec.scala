@@ -289,5 +289,22 @@ class ContractSpec extends AnyFunSuite {
       s"found ${hits.size} bare DataFrame TrieMaps in SparkEntry — use namedArtifactCache: " +
         hits.map(m => src.substring(math.max(0, m.start - 60), m.start).linesIterator
           .toSeq.lastOption.getOrElse("")).mkString("; "))
+    // r10 review: the bare-`TrieMap.empty[K, DataFrame]` form is not the
+    // only way to smuggle in an unregistered cache — catch the ascribed
+    // (`val c: TrieMap[String, DataFrame] = TrieMap.empty`) and
+    // constructor (`new TrieMap[...]`) forms too. The factory's own
+    // signature is the one legitimate ascription; filter it by name.
+    val ctorHits = """new\s+(?:scala\.collection\.concurrent\.)?TrieMap\s*\[[^\[\]]*DataFrame""".r
+      .findAllMatchIn(src).toSeq
+    assert(ctorHits.isEmpty, "DataFrame TrieMap constructed directly — use namedArtifactCache")
+    val ascribed = """:\s*(?:scala\.collection\.concurrent\.)?TrieMap\s*\[[^\[\]]*DataFrame\s*\]\s*=""".r
+      .findAllMatchIn(src).toSeq
+      .filterNot { m =>
+        val lineStart = src.lastIndexOf('\n', m.start) + 1
+        val line = src.substring(lineStart, src.indexOf('\n', m.start) max m.end)
+        line.contains("namedArtifactCache")
+      }
+    assert(ascribed.isEmpty,
+      "DataFrame TrieMap bound via type ascription outside namedArtifactCache")
   }
 }

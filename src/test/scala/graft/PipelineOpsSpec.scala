@@ -395,6 +395,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum <= budget)
   }
 
+  test("bm25_prf: expanded retrieval emits a clean, deterministically ordered top-10") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("bm25_prf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.map(_._1).distinct.length == 10)
+    // bm25TopK's (score desc, doc_id) order is preserved in the output
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"order violated: $a then $b")
+    }
+    // the expanded query scores at least the seed-query mass for docs
+    // carrying seed terms: every seed-only top-10 doc keeps a positive
+    // score under expansion (expansion only ADDS terms)
+    assert(rows.forall(_._2 > 0.0))
+  }
+
   test("hybrid_rerank: shortlist rerank emits a clean top-10") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("hybrid_rerank")(spark, dir).collect()

@@ -80,12 +80,16 @@ def main() -> None:
     pcts = " / ".join(str(run["update_pct"]) for run in d["runs"])
     dips = []
     for run in d["runs"]:
-        sq = float(phase(run, "steady").get("mean_qps", 0.0)) or 1.0
+        sq = float(phase(run, "steady").get("mean_qps", 0.0))
+        if sq <= 0:
+            # no steady baseline -> no meaningful dip; skip rather than
+            # fabricate a percentage against a made-up denominator
+            continue
         for p in ("during_delete", "during_insert"):
             mq = float(phase(run, p).get("mean_qps", 0.0))
             if mq:
                 dips.append(100.0 * (1.0 - mq / sq))
-    dip_lo, dip_hi = (min(dips), max(dips)) if dips else (0.0, 0.0)
+    dip_lo, dip_hi = (min(dips), max(dips)) if dips else (float("nan"), float("nan"))
     steady_recall = sum(
         float(phase(run, "steady").get("mean_recall", 0.0)) for run in d["runs"]
     ) / max(len(d["runs"]), 1)
