@@ -101,6 +101,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" WARN is noise in this harness:
+    // every unpartitioned window in the suite is allowlisted
+    // (WindowAuditSpec, with a bounded-input justification) AND
+    // runtime-guarded (graft.functions.UnderRowBound throws past the row
+    // bound), so the live guarantee is the guard, not the warning.
+    // Silencing the repeats keeps the bench tail clean enough that a
+    // REAL data-sized regression — which now fails the run loudly via
+    // the guard — is visible instead of buried (r10 verdict item 5).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // retention policy for the per-dir memoized artifacts (r9 verdict
     // item 1): "drop" unpersists each artifact-cache entry right after
     // its LAST consumer in the sorted query order finishes. MEASURED
@@ -179,7 +189,7 @@ object Bench {
       SparkEntry.ArtifactLedger.drainBuilds()
       val gc0 = gcNow()
       val a = timeOnce(name, fn)
-      artifactNames(name) = SparkEntry.ArtifactLedger.drainBuilds()
+      val coldBuilds = SparkEntry.ArtifactLedger.drainBuilds()
       // THREE reps from round 10 (was 2): min-of-2 left the min basis
       // exposed to single-draw scheduler/GC noise — two same-tree draws
       // this round read 126.9 vs 153.9 s min with the spread localized
@@ -189,6 +199,18 @@ object Bench {
       // the variance-reduction protocol change the r9 verdict asked for.
       val b = timeOnce(name, fn)
       val b2 = timeOnce(name, fn)
+      // attribution from the UNION of all three reps' builds (r10 review:
+      // draining only after rep 1 silently discarded any build that
+      // happened in reps 2-3 — e.g. a rep-1 failure mid-build followed by
+      // a rep-2 rebuild — at the NEXT query's drain, mislabeling the
+      // cold-minus-min cost "jit/noise"). A warm-rep build is also a
+      // signal worth seeing on stderr: it means the cold rep did NOT
+      // finish the artifact, so the min basis carries build cost.
+      val lateBuilds = SparkEntry.ArtifactLedger.drainBuilds()
+      if (lateBuilds.nonEmpty)
+        System.err.println(s"[bench] query '$name' built artifacts in a WARM rep: " +
+          lateBuilds.distinct.mkString(","))
+      artifactNames(name) = coldBuilds ++ lateBuilds
       // GC time the timed reps incurred — recorded so environment-vs-
       // code adjudications of cross-round drift can read heap pressure
       // straight off bench_full.json (r9 verdict item 1)

@@ -266,6 +266,7 @@ object SparkEntry {
       .withColumn("chosen",
         col("est_bytes") === min(col("est_bytes")).over(
           Window.partitionBy(lit(1))))
+      .transform(graft.functions.Guards.boundedWindow(_, "index_advisor"))
   }
 
   /** Cluster-balanced sampling: per-IVF-cell quota of 40 vectors, kept
@@ -1569,6 +1570,23 @@ object SparkEntry {
     graft.text.Curation.contamination(Tables.documents(spark, dir), "doc_id", "text",
       col("doc_id") % 20 === 7)
 
+  /** Quantized-cosine threshold of the embedding decontamination screen
+    * (floor(cos·10⁹) ≥ this ⇒ contaminated): 0.35, the same rung the
+    * SemDeDup prune uses on these fixtures — high enough that the
+    * weakly-correlated synthetic corpus yields a sparse nonzero tail,
+    * low enough that a planted paraphrase (near-identical embedding)
+    * cannot slip under it. Shared with the oracle via interpolation. */
+  private val ContaminationEmbThresholdQ = 350000000L
+
+  /** Embedding-level decontamination
+    * ([[graft.text.Curation.contaminationEmbedding]]): the paraphrase
+    * screen over the SAME held-out convention as the 8-gram scan
+    * (id ≡ 7 mod 20 = the benchmark slice). */
+  private def contaminationEmbeddingScan(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.contaminationEmbedding(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("vec_id") % 20 === 7, ContaminationEmbThresholdQ)
+
   /** Domain mixing: deterministic hash-priority downsample to ≤5 docs
     * per (lang, source) cell. */
   private def domainMix(spark: SparkSession, dir: String): DataFrame =
@@ -1846,6 +1864,7 @@ object SparkEntry {
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
       .withColumn("cum_users", sum(col("new_users")).over(Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .transform(graft.functions.Guards.boundedWindow(_, "cumulative_distinct_users"))
       // day as yyyy-MM-dd TEXT (the rolling_7d_users rule): date columns
       // reach the comparer through engine-specific date/timestamp
       // representations; a string day is representation-proof
@@ -1882,6 +1901,7 @@ object SparkEntry {
       .groupBy(expr("weekday(o_orderdate) + 1").as("dow"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     byDow.withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .transform(graft.functions.Guards.boundedWindow(_, "weekly_seasonality"))
       .select(col("dow"), col("cents"),
         expr("(cents * 7 * 10000) div total").as("index_bp"))
   }
@@ -1899,6 +1919,7 @@ object SparkEntry {
       .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000").as("x"))
     daily
       .withColumn("y", lead(col("x"), 1).over(Window.orderBy(col("day"))))
+      .transform(graft.functions.Guards.boundedWindow(_, "autocorr_daily_revenue"))
       .filter(col("y").isNotNull)
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
@@ -1936,6 +1957,7 @@ object SparkEntry {
       .withColumn("mu", expr("(__sx - pmod(__sx, __n)) div __n"))
       .withColumn("p", sum(col("x") - col("mu")).over(w))
       .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .transform(graft.functions.Guards.boundedWindow(_, "cusum_changepoint"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
         col("s").as("cusum"),
         (col("s") > col("mu")).cast("int").as("flag"))
@@ -2134,6 +2156,7 @@ object SparkEntry {
       .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .transform(graft.functions.Guards.boundedWindow(_, "benford_digits"))
       .select(col("digit"), col("n"),
         expr("(n * 1000000) div n_total").as("obs_ppm"),
         element_at(benford, col("digit")).cast("long").as("benford_ppm"))
@@ -3012,33 +3035,82 @@ object SparkEntry {
     rung(0).unionByName(rung(3)).unionByName(rung(6))
   }
 
+  /** 1-in-N document-sample rungs for BPE training (r10 verdict item 7).
+    * [[graft.text.Bpe.trainMerges]] is one driver round-trip per merge —
+    * vocabulary-sized per round but SEQUENTIAL, so a 32k-merge vocab
+    * means 32k jobs; the standard remedy is training the merge table on
+    * a deterministic document sample (pair statistics are corpus-level
+    * frequencies — a 1-in-N id-residue sample estimates them with the
+    * full corpus only paying the final re-encode). mod 1 = full-corpus
+    * training (the shipped table); 4 and 16 are the sampled rungs.
+    * The curve scores each rung's vocabulary on the WHOLE corpus:
+    * fertility drift + merge-table agreement are the measured cost of
+    * the 16× training-input cut. */
+  private val BpeSampleMods = Seq(1, 4, 16)
+
+  private val bpeSampledCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, String, String, Long)]]
+  private def bpeSampledMergeRows(spark: SparkSession, dir: String,
+      mod: Int): Seq[(Long, String, String, Long)] =
+    if (mod == 1) bpeMergeRows(spark, dir)
+    else bpeSampledCache.getOrElseUpdate((dir, mod),
+      graft.text.Bpe.trainMerges(
+        Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(mod.toLong)) === 0),
+        "text", rounds = 6)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+
+  private def bpeSampledCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fullPairs = bpeMergeRows(spark, dir).map(_._2).toSet
+    def rung(mod: Int): DataFrame = {
+      val rows = bpeSampledMergeRows(spark, dir, mod)
+      val shared = rows.count(r => fullPairs.contains(r._2))
+      graft.text.Bpe.applyMerges(docs, "text", rows.map { case (_, p, m, _) => (p, m) })
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+          size(col("bpe_symbols")).cast("long").as("n_bpe"))
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+        .select(lit(mod.toLong).as("sample_mod"), col("n_words"), col("n_bpe"),
+          expr("(10000 * n_bpe) div n_words").as("fertility_bp"),
+          lit(shared.toLong).as("n_shared_merges"))
+    }
+    BpeSampleMods.map(rung).reduce(_.unionByName(_))
+  }
+
   /** DuckDB replay of the full BPE training chain: per round, pair
     * counting via list_transform over the split symbol string, arg-max
     * with the same (cnt DESC, pair ASC) tie-break, and the same two-pass
     * literal merge rewrite. */
   /** The shared BPE training chain (CTEs wf, s0, p/c/b/s per round) —
     * prefix of both the merge-table oracle and the encode oracle. */
-  private def bpeChainCtes(rounds: Int): String = {
+  /** Training-chain CTE body with a corpus predicate and a name prefix —
+    * the primitive under [[bpeChainCtes]] (full corpus, bare names) and
+    * the sampled-training rungs of `bpe_sampled_curve` (1-in-N document
+    * sample, `u$N` prefix). */
+  private def bpeChainBody(rounds: Int, pfx: String, docPred: String): String = {
     // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references the previous ~4x — inlined, the 6-round chain
     // re-evaluates 4^6 times and never finishes
     val head =
-      """WITH wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY 1),
-        |s0 AS MATERIALIZED (SELECT freq, array_to_string(string_split(word, ''), ' ') AS seq FROM wf)""".stripMargin
+      s"""${pfx}wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents WHERE $docPred)
+         |  WHERE word <> '' GROUP BY 1),
+         |${pfx}s0 AS MATERIALIZED (SELECT freq, array_to_string(string_split(word, ''), ' ') AS seq FROM ${pfx}wf)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""p$r AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq
-         |  FROM (SELECT string_split(seq, ' ') AS l, freq FROM s${r - 1})),
-         |c$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1),
-         |b$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
-         |s$r AS MATERIALIZED (SELECT freq, trim(replace(replace(' ' || seq || ' ',
-         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r)),
-         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
-         |  FROM s${r - 1})""".stripMargin
+      s"""${pfx}p$r AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq
+         |  FROM (SELECT string_split(seq, ' ') AS l, freq FROM ${pfx}s${r - 1})),
+         |${pfx}c$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM ${pfx}p$r GROUP BY 1),
+         |${pfx}b$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt FROM ${pfx}c$r ORDER BY cnt DESC, pair LIMIT 1),
+         |${pfx}s$r AS MATERIALIZED (SELECT freq, trim(replace(replace(' ' || seq || ' ',
+         |    (SELECT ' ' || pair || ' ' FROM ${pfx}b$r), (SELECT ' ' || merged || ' ' FROM ${pfx}b$r)),
+         |    (SELECT ' ' || pair || ' ' FROM ${pfx}b$r), (SELECT ' ' || merged || ' ' FROM ${pfx}b$r))) AS seq
+         |  FROM ${pfx}s${r - 1})""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
+
+  private def bpeChainCtes(rounds: Int): String =
+    "WITH " + bpeChainBody(rounds, "", "TRUE")
 
   private def bpeOracle(rounds: Int): String = {
     val finals = (1 to rounds)
@@ -3050,21 +3122,28 @@ object SparkEntry {
   /** Per-document re-encode CTEs shared by the encode + fertility
     * oracles: the training chain, then the identical two-pass literal
     * rewrite applied to every document word. */
-  private def bpeDocCtes(rounds: Int): String = {
+  /** Full-corpus re-encode body against the merge chain `$chainPfx`,
+    * dw-table names prefixed `$pfx` — shared by the encode/fertility
+    * oracles (bare names, full chain) and the sampled-training rungs
+    * (re-encode the WHOLE corpus with a sample-trained vocabulary). */
+  private def bpeDocBody(rounds: Int, pfx: String, chainPfx: String): String = {
     val docHead =
-      """dw0 AS MATERIALIZED (SELECT doc_id, widx,
-        |    array_to_string(string_split(word, ''), ' ') AS seq FROM (
-        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word,
-        |         unnest(generate_series(1, len(string_split(trim(text), ' ')))) AS widx
-        |  FROM documents))""".stripMargin
+      s"""${pfx}dw0 AS MATERIALIZED (SELECT doc_id, widx,
+         |    array_to_string(string_split(word, ''), ' ') AS seq FROM (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word,
+         |         unnest(generate_series(1, len(string_split(trim(text), ' ')))) AS widx
+         |  FROM documents))""".stripMargin
     val docSteps = (1 to rounds).map { r =>
-      s"""dw$r AS MATERIALIZED (SELECT doc_id, widx, trim(replace(replace(' ' || seq || ' ',
-         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r)),
-         |    (SELECT ' ' || pair || ' ' FROM b$r), (SELECT ' ' || merged || ' ' FROM b$r))) AS seq
-         |  FROM dw${r - 1})""".stripMargin
+      s"""${pfx}dw$r AS MATERIALIZED (SELECT doc_id, widx, trim(replace(replace(' ' || seq || ' ',
+         |    (SELECT ' ' || pair || ' ' FROM ${chainPfx}b$r), (SELECT ' ' || merged || ' ' FROM ${chainPfx}b$r)),
+         |    (SELECT ' ' || pair || ' ' FROM ${chainPfx}b$r), (SELECT ' ' || merged || ' ' FROM ${chainPfx}b$r))) AS seq
+         |  FROM ${pfx}dw${r - 1})""".stripMargin
     }
-    (Seq(bpeChainCtes(rounds), docHead) ++ docSteps).mkString(",\n")
+    (docHead +: docSteps).mkString(",\n")
   }
+
+  private def bpeDocCtes(rounds: Int): String =
+    Seq(bpeChainCtes(rounds), bpeDocBody(rounds, "", "")).mkString(",\n")
 
   /** Encode oracle: re-derive the merge table (same chain), then apply
     * the identical two-pass literal rewrite to every document word and
@@ -5793,12 +5872,19 @@ object SparkEntry {
   private def bitextMargin(spark: SparkSession, dir: String): DataFrame =
     bitextExactPairs(spark, dir)
 
-  /** IVF nprobe for the ANN-candidate bitext pass: 3 of the model's 8
-    * cells per node (np=2 recovered 50.6/56.5% at sf0.001/0.01 — under
-    * the shortlist-16 prefix pass; these synthetic embeddings are weakly
-    * clustered, the same reason `knn_ivf_flat` serves at nprobe=6).
-    * Shared with the oracle replay via interpolation. */
-  private val BitextAnnNprobe = 3
+  /** IVF nprobe for the ANN-candidate bitext pass — the measured
+    * operating point off the `bitext_ann_curve` ladder (r10 verdict
+    * item 2: the cheapest rung with ≥85% mutual-pair recovery at every
+    * SF). Measured recovery by rung (sf0.001/0.01/0.1 ppm÷10⁴):
+    * np=2 50.6/56.5/52.4, np=3 66.7/73.3/69.3, np=4 83.3/83.9/80.9,
+    * np=6 92.3/95.0/94.8 — np=6 is the first rung clearing the bar
+    * (these synthetic embeddings are weakly clustered, the same reason
+    * `knn_ivf_flat` serves at nprobe=6). Cost delta vs the old np=3
+    * point: candidate mass tracks np/nlist, so 2× at fixture scale
+    * (nlist=8); at 100 TB nlist ≈ √n and the same absolute np is a
+    * vanishing corpus fraction. Shared with the oracle replay via
+    * interpolation. */
+  private val BitextAnnNprobe = 6
 
   private val bitextAnnCache = namedArtifactCache[String]("bitext_ann")
 
@@ -5818,23 +5904,36 @@ object SparkEntry {
     * oracle replays the IVF training verbatim (ivfTrainCtes) plus the
     * probe/assign joins. Cost shape: train once, two cell hash joins,
     * per-node top-k window — no all-pairs pass anywhere. */
+  private def buildBitextAnnPairs(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val (src, tgt) = bitextSplit(spark, dir)
+    val cs = ivfFlatModel(spark, dir)
+    val aSrc = graft.index.IvfFlat.assignments(src, cs)
+    val aTgt = graft.index.IvfFlat.assignments(tgt, cs)
+    val candA = graft.index.IvfFlat.probes(src, cs, nprobe)
+      .select(col("query_id").as("src_id"), col("cid"))
+      .join(aTgt.select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
+      .select(col("src_id"), col("tgt_id"))
+    val candB = graft.index.IvfFlat.probes(tgt, cs, nprobe)
+      .select(col("query_id").as("tgt_id"), col("cid"))
+      .join(aSrc.select(col("vec_id").as("src_id"), col("cid")), Seq("cid"))
+      .select(col("src_id"), col("tgt_id"))
+    graft.operators.Bitext.mutualMarginPairsFromCandidates(
+      src, tgt, candA, candB, k = BitextK).localCheckpoint()
+  }
+
   private def bitextAnnPairs(spark: SparkSession, dir: String): DataFrame =
-    cachedArtifact(bitextAnnCache, dir) {
-      val (src, tgt) = bitextSplit(spark, dir)
-      val cs = ivfFlatModel(spark, dir)
-      val aSrc = graft.index.IvfFlat.assignments(src, cs)
-      val aTgt = graft.index.IvfFlat.assignments(tgt, cs)
-      val candA = graft.index.IvfFlat.probes(src, cs, BitextAnnNprobe)
-        .select(col("query_id").as("src_id"), col("cid"))
-        .join(aTgt.select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
-        .select(col("src_id"), col("tgt_id"))
-      val candB = graft.index.IvfFlat.probes(tgt, cs, BitextAnnNprobe)
-        .select(col("query_id").as("tgt_id"), col("cid"))
-        .join(aSrc.select(col("vec_id").as("src_id"), col("cid")), Seq("cid"))
-        .select(col("src_id"), col("tgt_id"))
-      graft.operators.Bitext.mutualMarginPairsFromCandidates(
-        src, tgt, candA, candB, k = BitextK).localCheckpoint()
-    }
+    cachedArtifact(bitextAnnCache, dir)(
+      buildBitextAnnPairs(spark, dir, BitextAnnNprobe))
+
+  /** Off-operating-point rungs of the ANN candidate pass, keyed
+    * (dir, nprobe); the [[BitextAnnNprobe]] rung serves from the shared
+    * [[bitextAnnCache]] artifact so the curve never rebuilds what the
+    * mining queries already built. */
+  private val bitextAnnNpCache = namedArtifactCache[(String, Int)]("bitext_ann_np")
+  private def bitextAnnPairsAt(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    if (nprobe == BitextAnnNprobe) bitextAnnPairs(spark, dir)
+    else cachedArtifact(bitextAnnNpCache, (dir, nprobe))(
+      buildBitextAnnPairs(spark, dir, nprobe))
 
   private def bitextMarginAnn(spark: SparkSession, dir: String): DataFrame =
     bitextAnnPairs(spark, dir)
@@ -5842,8 +5941,10 @@ object SparkEntry {
   /** Measured recovery of the ANN-candidate mining vs the exact one —
     * the row that closes the r9 curve's open end: unlike the fixed
     * shortlist, the cell-candidate pass must HOLD its recovery as the
-    * corpus grows (checked at both SFs; the sf0.1 number is the one the
-    * r9 verdict asked to beat vs shortlist-16's 58.4%). */
+    * corpus grows. At the r11 operating point ([[BitextAnnNprobe]] = 6,
+    * chosen off [[bitextAnnCurve]]'s measured ladder) this reads
+    * 92.3/95.0/94.8% across the three SFs — vs the collapsing
+    * shortlist-16 prefix pass (75.8% → 58.4%). */
   private def bitextAnnRecovery(spark: SparkSession, dir: String): DataFrame = {
     val exact = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
     val ann = bitextAnnPairs(spark, dir).select(col("src_id"), col("tgt_id"))
@@ -5853,6 +5954,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_common")))
       .select(col("n_exact"), col("n_ann"), col("n_common"),
         expr("(1000000 * n_common) div greatest(n_exact, 1)").as("recovery_ppm"))
+  }
+
+  /** nprobe rungs of the ANN-candidate operating-point ladder (r10
+    * verdict item 2), deepest rung = the shipped [[BitextAnnNprobe]].
+    * nlist is 8 at fixture scale, so nprobe=8 would be exhaustive
+    * (degenerate all-pairs) — 6 is the deepest honest rung; at 100 TB
+    * nlist ≈ √n and the same absolute nprobe is a vanishing corpus
+    * fraction. */
+  private val BitextAnnNprobeLadder: Seq[Int] = Seq(2, 3, 4, 6)
+
+  /** Recovery-vs-nprobe curve of the ANN candidate pass — the measured
+    * ladder the r10 verdict asked for before naming an operating point:
+    * each rung mines mutual pairs with a deeper cell probe and is scored
+    * against the exact pipeline's pairs. The [[BitextAnnNprobe]] rung
+    * serves from the mining queries' shared artifact; the others build
+    * once per dir. Cost shape per rung: two cell hash joins + the margin
+    * tail over ~np/nlist of the cross pairs — never all-pairs. */
+  private def bitextAnnCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bitextExactPairs(spark, dir).select(col("src_id"), col("tgt_id"))
+    def rung(np: Int): DataFrame = {
+      val ann = bitextAnnPairsAt(spark, dir, np).select(col("src_id"), col("tgt_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+        .crossJoin(exact.join(ann, Seq("src_id", "tgt_id"))
+          .agg(count(lit(1)).as("n_common")))
+        .select(lit(np.toLong).as("nprobe"),
+          col("n_exact"), col("n_ann"), col("n_common"),
+          expr("(1000000 * n_common) div greatest(n_exact, 1)").as("recovery_ppm"))
+    }
+    BitextAnnNprobeLadder.map(rung).reduce(_.unionByName(_))
   }
 
   /** Operating margin threshold for the mined-bitext → training-mix
@@ -5946,6 +6077,7 @@ object SparkEntry {
           coalesce(col("tf_capped"), lit(0L)) * 100L +
           coalesce(col("prox"), lit(0L))).as("cross_score"))
       .withColumn("rerank_rank", row_number().over(w).cast("long"))
+      .transform(graft.functions.Guards.boundedWindow(_, "hybrid_rerank"))
       .filter(col("rerank_rank") <= KnnK)
   }
 
@@ -6308,44 +6440,116 @@ object SparkEntry {
     })
 
   private val zcaAdjCache = namedArtifactCache[String]("cos_adj_zca")
+  private val zcaVecsCache = namedArtifactCache[String]("zca_vecs")
+
+  /** The ZCA-transformed base x′ = W·(x−μ) as a shared per-dir artifact
+    * (vec_id, embedding: double[64]) — consumed by the exact rung
+    * ([[hubnessZca]]) and the blocked rung ([[zcaCellBlockedAdj]]).
+    * The 64×64 mat-vec per row is interpreted-HOF work — spread it
+    * across the session's parallelism (the fixture parquet is one
+    * split) and materialize ONCE (localCheckpoint) so CollapseProject
+    * can't inline the big fold into the downstream normalize's three
+    * references (first cut: 88 s single-task; spread+checkpointed:
+    * sub-second). Shape: centered = zip_with(qv, μ), then each output
+    * dim folds zip_with(w_row, centered) left-to-right with a 0.0
+    * seed — exactly the oracle's list_prepend(0.0, …) list_reduce. */
+  private def zcaVectors(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(zcaVecsCache, dir) {
+      val qb = quantizedBase(spark, dir)
+      val w = zcaMatrix(spark, dir)
+      val mean = hubnessMoments(spark, dir)._1
+      val wLit = typedLit(w.map(_.toSeq).toSeq)
+      val muLit = typedLit(mean.toSeq)
+      val centered = zip_with(col("qv"), muLit, (x, m) => x.cast("double") - m)
+      Knn.spread(qb).select(col("vec_id"), centered.as("cv"))
+        .select(col("vec_id"),
+          transform(wLit, wrow =>
+            aggregate(zip_with(wrow, col("cv"), (wv, x) => wv * x),
+              lit(0.0d), (acc, t) => acc + t)).as("embedding"))
+        .localCheckpoint()
+    }
 
   /** Full-covariance (ZCA) whitening — the remediation ladder's third
     * rung (r9 verdict item 4): x′ = W·(x−μ) with W = [[zcaMatrix]], the
     * decorrelate-AND-equalize transform of which [[hubnessWhitened]] is
     * the diagonal approximation (Bell & Sejnowski 1997's ZCA; the global
     * √τ scale is dropped — cosine ranking is scale-invariant). The
-    * per-row transform is a 64×64 mat-vec: a row-local nested HOF whose
-    * 0.0-seeded ascending-j fold the oracle mirrors with
-    * list_prepend(0.0, …) + list_reduce. Measured cure at sf0.001: max
-    * k-occurrence 28 → 24, the strongest rung (centered 31, diagonal 30
-    * there). Output: raw vs zca in-degree census. */
+    * per-row transform lives in [[zcaVectors]]. Measured cure at
+    * sf0.001: max k-occurrence 28 → 24, the strongest rung (centered
+    * 31, diagonal 30 there). Output: raw vs zca in-degree census. This
+    * rung's adjacency rebuild is the exact all-pairs VALIDATOR; the
+    * 100 TB build path is [[hubnessZcaCellBlocked]]. */
   private def hubnessZca(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
-    val qb = quantizedBase(spark, dir)
-    val w = zcaMatrix(spark, dir)
-    val mean = hubnessMoments(spark, dir)._1
-    val wLit = typedLit(w.map(_.toSeq).toSeq)
-    val muLit = typedLit(mean.toSeq)
-    val adjZca = cachedArtifact(zcaAdjCache, dir) {
-      // The 64×64 mat-vec per row is interpreted-HOF work — spread it
-      // across the session's parallelism (the fixture parquet is one
-      // split) and materialize ONCE (localCheckpoint) so CollapseProject
-      // can't inline the big fold into the downstream normalize's three
-      // references (first cut: 88 s single-task; spread+checkpointed:
-      // sub-second). Shape: centered = zip_with(qv, μ), then each output
-      // dim folds zip_with(w_row, centered) left-to-right with a 0.0
-      // seed — exactly the oracle's list_prepend(0.0, …) list_reduce.
-      val centered = zip_with(col("qv"), muLit, (x, m) => x.cast("double") - m)
-      val zca = Knn.spread(qb).select(col("vec_id"), centered.as("cv"))
-        .select(col("vec_id"),
-          transform(wLit, wrow =>
-            aggregate(zip_with(wrow, col("cv"), (wv, x) => wv * x),
-              lit(0.0d), (acc, t) => acc + t)).as("embedding"))
-        .localCheckpoint()
-      cosineAdjacency(zca, GraphDegree).localCheckpoint()
-    }
+    val adjZca = cachedArtifact(zcaAdjCache, dir)(
+      cosineAdjacency(zcaVectors(spark, dir), GraphDegree).localCheckpoint())
     inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
       .unionByName(inDegreeCensus(base, adjZca, "zca"))
+  }
+
+  /** Coarse cells of the ZCA-TRANSFORMED space: the same deterministic
+    * integer k-means as [[ivfFlatModel]], trained on the transformed
+    * vectors — blocking for a remediated space must cluster in THAT
+    * space (whitening reshapes the metric; raw-space cells would block
+    * the wrong neighborhoods). [[zcaVectors]] carries the transform in
+    * QUANTIZED-GRID units (W·(qv−μ), qv = x·2²⁰), so it is divided by
+    * 2²⁰ before the trainer's own ×2²⁰ quantize — a power-of-two
+    * exponent shift, exact in IEEE double, making the trainer's grid
+    * floor(cv + ½): |x′| ≤ ~4 real keeps every distance term exact
+    * int64 (without the shift the double-scaled values overflow the
+    * trainer's integer distances). */
+  private val zcaIvfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+  private def zcaDownscaled(spark: SparkSession, dir: String): DataFrame =
+    zcaVectors(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), e => e / lit(graft.index.IvfFlat.Scale.toDouble))
+        .as("embedding"))
+  private def zcaIvfModel(spark: SparkSession, dir: String): Array[Array[Long]] =
+    zcaIvfCache.getOrElseUpdate(dir,
+      graft.index.IvfFlat.fit(zcaDownscaled(spark, dir), nlist = 8))
+
+  private val zcaCellAdjCache = namedArtifactCache[String]("cos_adj_zca_cell")
+
+  /** Cell-blocked cosine adjacency of the ZCA space — the remediation
+    * rung riding the 100 TB build path (r10 verdict item 1): transform →
+    * IVF cells IN the transformed space → co-membership candidates
+    * (nassign=3) → bounded-heap rank by dot over unit vectors. Identical
+    * ranking machinery to [[cosCellBlockedAdj]]; only the space and its
+    * codebook differ. Pair generation is a co-partitioned equi-join on
+    * cell id — |cell|² per cell, never |base|². */
+  private def zcaCellBlockedAdj(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(zcaCellAdjCache, dir) {
+      val zv = zcaVectors(spark, dir)
+      val cells = graft.index.IvfFlat.probes(zcaDownscaled(spark, dir),
+          zcaIvfModel(spark, dir), 3)
+        .select(col("query_id").as("vec_id"), col("cid"))
+      val unit = unitVectors(Knn.spread(zv))
+      val nodes = cells.join(unit, Seq("vec_id")).localCheckpoint()
+      val topk = graft.functions.GraftFunctions.topKByDist(
+        col("cand_id"),
+        -graft.functions.VectorFunctions.dot(col("n_emb"), col("c_emb")),
+        GraphDegree)
+      nodes.alias("na")
+        .join(nodes.alias("nb"), col("na.cid") === col("nb.cid"))
+        .filter(col("na.vec_id") =!= col("nb.vec_id"))
+        .select(col("na.vec_id").as("node_id"), col("nb.vec_id").as("cand_id"),
+          col("na.embedding").as("n_emb"), col("nb.embedding").as("c_emb"))
+        .groupBy(col("node_id"))
+        .agg(topk.as("nn"))
+        .select(col("node_id"), explode(col("nn")).as("neighbor_id"))
+        .localCheckpoint()
+    }
+
+  /** The hubness DIAGNOSIS run entirely on blocked builds — the shape a
+    * 100 TB remediation pass actually takes (r10 verdict item 1): both
+    * the raw and the ZCA-treated adjacencies come from cell-blocked
+    * candidate generation ([[cosCellBlockedAdj]] / [[zcaCellBlockedAdj]]),
+    * so no stage anywhere is |base|². Output: raw_blocked vs zca_blocked
+    * in-degree census; agreement with the exact rung ([[hubnessZca]]) is
+    * the measured SCALING.md row. */
+  private def hubnessZcaCellBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingBase(spark, dir)
+    inDegreeCensus(base, cosCellBlockedAdj(spark, dir), "raw_blocked")
+      .unionByName(inDegreeCensus(base, zcaCellBlockedAdj(spark, dir), "zca_blocked"))
   }
 
   /** The recovery KNOB CURVE (r8 verdict item 4): mutual-pair recovery
@@ -6740,12 +6944,14 @@ object SparkEntry {
     "bitext_recovery_curve" -> ((s, dir) => bitextRecoveryCurve(s, dir)),
     "bitext_margin_ann" -> ((s, dir) => bitextMarginAnn(s, dir)),
     "bitext_ann_recovery" -> ((s, dir) => bitextAnnRecovery(s, dir)),
+    "bitext_ann_curve" -> ((s, dir) => bitextAnnCurve(s, dir)),
     "bitext_mix_compose" -> ((s, dir) => bitextMixCompose(s, dir)),
     "hybrid_rerank" -> ((s, dir) => hybridRerank(s, dir)),
     "bm25_prf" -> ((s, dir) => bm25Prf(s, dir)),
     "hubness_cellblocked_quality" -> ((s, dir) => hubnessCellBlockedQuality(s, dir)),
     "hubness_whitened" -> ((s, dir) => hubnessWhitened(s, dir)),
     "hubness_zca" -> ((s, dir) => hubnessZca(s, dir)),
+    "hubness_zca_cellblocked" -> ((s, dir) => hubnessZcaCellBlocked(s, dir)),
     "knn_graph_cosine" -> ((s, dir) => knnGraphCosine(s, dir)),
     "recall_graph_cosine" -> ((s, dir) => recallGraphCosine(s, dir)),
     "knn_text_hashembed" -> ((s, dir) => knnTextHashembed(s, dir)),
@@ -6868,6 +7074,7 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
     "contamination" -> ((s, dir) => contaminationScan(s, dir)),
+    "contamination_embedding" -> ((s, dir) => contaminationEmbeddingScan(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
     "token_budget_mix" -> ((s, dir) => tokenBudgetMix(s, dir)),
     "temperature_mix" -> ((s, dir) => temperatureMixQ(s, dir)),
@@ -6928,6 +7135,7 @@ object SparkEntry {
     "hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "tokenizer_fertility" -> ((s, dir) => tokenizerFertility(s, dir)),
     "bpe_vocab_curve" -> ((s, dir) => bpeVocabCurve(s, dir)),
+    "bpe_sampled_curve" -> ((s, dir) => bpeSampledCurve(s, dir)),
     "stream_minhash_neardup" -> ((s, dir) => streamMinhashNearDup(s, dir)),
   )
 
@@ -7083,35 +7291,50 @@ object SparkEntry {
     * the opposite side's probed-cell members, then top-[[BitextK]] by
     * full quantized cosine within candidates. Requires ivfTrainCtes and
     * bitextBaseCtes in scope. */
-  private def bitextAnnNbhCtes: String = {
-    def idist(a: String, b: String): String =
-      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+  private def bitextAnnIdist(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+
+  /** nprobe-INDEPENDENT half of the ANN candidate replay: both parity
+    * sides quantized and assigned to their nearest cell (ties by cid).
+    * Shared by the operating-point queries and every rung of the
+    * nprobe curve. */
+  private def bitextAnnSharedCtes: String = {
     val quant = "list_transform(emb, e -> CAST(floor(e * 1048576 + 0.5) AS BIGINT))"
     s"""sqv AS (SELECT src_id, $quant AS qv FROM s),
        |tqv AS (SELECT tgt_id, $quant AS qv FROM t),
        |asg_s AS (SELECT src_id, cid FROM (
        |  SELECT sqv.src_id, c.cid, row_number() OVER (PARTITION BY sqv.src_id
-       |    ORDER BY ${idist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn = 1),
+       |    ORDER BY ${bitextAnnIdist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn = 1),
        |asg_t AS (SELECT tgt_id, cid FROM (
        |  SELECT tqv.tgt_id, c.cid, row_number() OVER (PARTITION BY tqv.tgt_id
-       |    ORDER BY ${idist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn = 1),
-       |prb_s AS (SELECT src_id, cid FROM (
+       |    ORDER BY ${bitextAnnIdist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** One nprobe RUNG of the ANN candidate replay, CTE names prefixed
+    * `$p`: each node probes its `np` nearest cells, candidates = the
+    * opposite side's assigned members of those cells, then
+    * top-[[BitextK]] by full quantized cosine — ends at `${p}na`/`${p}nb`
+    * for [[bitextTailSql]]. Requires [[bitextAnnSharedCtes]] in scope. */
+  private def bitextAnnRungCtes(np: Int, p: String): String =
+    s"""${p}prb_s AS (SELECT src_id, cid FROM (
        |  SELECT sqv.src_id, c.cid, row_number() OVER (PARTITION BY sqv.src_id
-       |    ORDER BY ${idist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn <= $BitextAnnNprobe),
-       |prb_t AS (SELECT tgt_id, cid FROM (
+       |    ORDER BY ${bitextAnnIdist("sqv.qv", "c.cvec")}, c.cid) AS rn FROM sqv CROSS JOIN c2 c) WHERE rn <= $np),
+       |${p}prb_t AS (SELECT tgt_id, cid FROM (
        |  SELECT tqv.tgt_id, c.cid, row_number() OVER (PARTITION BY tqv.tgt_id
-       |    ORDER BY ${idist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn <= $BitextAnnNprobe),
-       |cnd_a AS (SELECT prb_s.src_id, asg_t.tgt_id FROM prb_s JOIN asg_t USING (cid)),
-       |cnd_b AS (SELECT asg_s.src_id, prb_t.tgt_id FROM prb_t JOIN asg_s USING (cid)),
-       |vna AS (SELECT src_id, tgt_id, cos_q FROM (
+       |    ORDER BY ${bitextAnnIdist("tqv.qv", "c.cvec")}, c.cid) AS rn FROM tqv CROSS JOIN c2 c) WHERE rn <= $np),
+       |${p}cnd_a AS (SELECT ${p}prb_s.src_id, asg_t.tgt_id FROM ${p}prb_s JOIN asg_t USING (cid)),
+       |${p}cnd_b AS (SELECT asg_s.src_id, ${p}prb_t.tgt_id FROM ${p}prb_t JOIN asg_s USING (cid)),
+       |${p}na AS (SELECT src_id, tgt_id, cos_q FROM (
        |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
        |    PARTITION BY f.src_id ORDER BY sc.cos_q DESC, f.tgt_id) AS rr
-       |  FROM cnd_a f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK),
-       |vnb AS (SELECT src_id, tgt_id, cos_q FROM (
+       |  FROM ${p}cnd_a f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK),
+       |${p}nb AS (SELECT src_id, tgt_id, cos_q FROM (
        |  SELECT f.src_id, f.tgt_id, sc.cos_q, row_number() OVER (
        |    PARTITION BY f.tgt_id ORDER BY sc.cos_q DESC, f.src_id) AS rr
-       |  FROM cnd_b f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK)""".stripMargin
-  }
+       |  FROM ${p}cnd_b f JOIN sc USING (src_id, tgt_id)) WHERE rr <= $BitextK)""".stripMargin
+
+  private def bitextAnnNbhCtes: String =
+    s"$bitextAnnSharedCtes,\n${bitextAnnRungCtes(BitextAnnNprobe, "v")}"
 
   /** The full `hubness_zca` oracle, GENERATED: exact int64 cross-moments
     * over the 2²⁰ grid, the C/τ normalization, [[ZcaIters]] coupled
@@ -7121,7 +7344,13 @@ object SparkEntry {
     * then the row-local W·(x−μ) transform (0.0-seeded fold via
     * list_prepend, matching Spark's `aggregate` seed), unit-normalize,
     * degree-16 adjacency, raw-vs-zca census. */
-  private def zcaOracleSql: String = {
+  /** The `b`-scoped ZCA transform chain, factored so the exact-rung
+    * oracle ([[zcaOracleSql]]) and the blocked-rung oracle
+    * (`hubness_zca_cellblocked`) replay ONE construction: quantized
+    * grid → moments/Gram → C/τ → [[ZcaIters]] Newton–Schulz rounds as
+    * matmul CTE chains → the row-local W·(x−μ) transform, ending at
+    * `ztr(vec_id, cv)`. Assumes a CTE `b(vec_id, embedding)` in scope. */
+  private def zcaChainCtes: String = {
     val D = 64
     def mmFold(l: String, r: String): String =
       s"list_reduce(list_transform(generate_series(1,$D), kk -> $l.r[kk]*$r.c[kk]), (a,b)->a+b)"
@@ -7140,10 +7369,7 @@ object SparkEntry {
          |${rowsCols(s"y$k")},
          |${rowsCols(s"z$k")}""".stripMargin
     val head =
-      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-         |zrbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
-         |zradj AS MATERIALIZED ${sqlUnitAdj("zrbn", 16)},
-         |zqb AS MATERIALIZED (SELECT vec_id,
+      s"""zqb AS MATERIALIZED (SELECT vec_id,
          |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS qv
          |  FROM b),
          |zn AS (SELECT count(*) AS n FROM b),
@@ -7169,20 +7395,57 @@ object SparkEntry {
          |ztr AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1,$D), i ->
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1,$D), j ->
          |      w[i][j] * (CAST(qv[j] AS DOUBLE) - mv[j]))), (a,b)->a+b)) AS cv
-         |  FROM zqb CROSS JOIN wm CROSS JOIN zmu),
-         |zbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM ztr),
-         |zadj AS MATERIALIZED ${sqlUnitAdj("zbn", 16)},
-         |zocc_r AS (SELECT neighbor_id, count(*) AS k_occ FROM zradj GROUP BY 1),
-         |zocc_z AS (SELECT neighbor_id, count(*) AS k_occ FROM zadj GROUP BY 1),
-         |zcr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
-         |    count(*) AS n_vectors
-         |  FROM b LEFT JOIN zocc_r o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
-         |zcz AS (SELECT 'zca' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
-         |    count(*) AS n_vectors
-         |  FROM b LEFT JOIN zocc_z o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
-         |SELECT variant, k_occ, n_vectors FROM zcr
-         |UNION ALL SELECT variant, k_occ, n_vectors FROM zcz""".stripMargin
+         |  FROM zqb CROSS JOIN wm CROSS JOIN zmu)""".stripMargin
     s"$head,\n$iters,\n$tail"
+  }
+
+  private def zcaOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |zrbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+       |zradj AS MATERIALIZED ${sqlUnitAdj("zrbn", 16)},
+       |$zcaChainCtes,
+       |zbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM ztr),
+       |zadj AS MATERIALIZED ${sqlUnitAdj("zbn", 16)},
+       |zocc_r AS (SELECT neighbor_id, count(*) AS k_occ FROM zradj GROUP BY 1),
+       |zocc_z AS (SELECT neighbor_id, count(*) AS k_occ FROM zadj GROUP BY 1),
+       |zcr AS (SELECT 'raw' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+       |    count(*) AS n_vectors
+       |  FROM b LEFT JOIN zocc_r o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
+       |zcz AS (SELECT 'zca' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+       |    count(*) AS n_vectors
+       |  FROM b LEFT JOIN zocc_z o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
+       |SELECT variant, k_occ, n_vectors FROM zcr
+       |UNION ALL SELECT variant, k_occ, n_vectors FROM zcz""".stripMargin
+
+  /** Deterministic IVF training replay over an arbitrary quantized
+    * source CTE `src(vec_id, qv)` with prefixed CTE names — the
+    * generalized twin of [[ivfCtesFor]]'s training prefix (which is
+    * pinned to the raw base split), used where a model must be trained
+    * IN a transformed space (the blocked ZCA rung). Mirrors
+    * [[graft.index.IvfFlat.fit]]: Knuth-mixed-id init (nlist=8), two
+    * integer Lloyd steps, floor-div means, empty cells keep their
+    * centroid. Ends at `${pfx}c2(cid, cvec)`. */
+  private def ivfTrainCtesOnQv(src: String, pfx: String): String = {
+    def idist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+    def stepSql(n: Int, prev: String): String =
+      s"""${pfx}s$n AS (SELECT vec_id, qv, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT t.vec_id, t.qv, c.cid, ${idist("t.qv", "c.cvec")} AS dist FROM $src t CROSS JOIN $prev c)),
+         |${pfx}a$n AS (SELECT vec_id, qv, cid FROM ${pfx}s$n WHERE rn = 1),
+         |${pfx}g$n AS (SELECT cid, pos, sum(e) AS s, count(*) AS cnt FROM
+         |  (SELECT cid, CAST(generate_subscripts(qv, 1) AS INTEGER) AS pos, unnest(qv) AS e FROM ${pfx}a$n)
+         |  GROUP BY cid, pos),
+         |${pfx}m$n AS (SELECT cid, pos,
+         |  ((2*s + cnt) - (((2*s + cnt) % (2*cnt) + 2*cnt) % (2*cnt))) // (2*cnt) AS c FROM ${pfx}g$n),
+         |${pfx}c$n AS (SELECT cid, array_agg(c ORDER BY pos) AS cvec FROM ${pfx}m$n GROUP BY cid
+         |  UNION ALL SELECT cid, cvec FROM $prev WHERE cid NOT IN (SELECT cid FROM ${pfx}m$n))""".stripMargin
+    s"""${pfx}mx AS (SELECT vec_id, qv,
+       |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
+       |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM $src),
+       |${pfx}init AS (SELECT CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid, qv AS cvec
+       |  FROM (SELECT * FROM ${pfx}mx ORDER BY mx, vec_id LIMIT 8)),
+       |${stepSql(1, s"${pfx}init")},
+       |${stepSql(2, s"${pfx}c1")}""".stripMargin
   }
 
   /** Margin tail over neighborhoods `${p}na`/`${p}nb` → mutual set
@@ -8958,6 +9221,21 @@ object SparkEntry {
     "doc_chunks" -> docChunksOracle,
     "repetition_stats" -> repetitionOracle,
     "contamination" -> contaminationOracle,
+    // embedding decontamination: quantized-cosine threshold screen of
+    // every benchmark vector against the training split (zero-filled
+    // by the conditional sum over the cross join)
+    "contamination_embedding" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |  (vec_id % 20 = 7) AS is_bench FROM embeddings),
+         |bench AS (SELECT vec_id AS bench_id, e FROM v WHERE is_bench),
+         |train AS (SELECT vec_id AS train_id, e FROM v WHERE NOT is_bench),
+         |sc AS (SELECT b.bench_id,
+         |  CAST(floor(list_cosine_similarity(t.e, b.e) * 1000000000.0) AS BIGINT) AS cos_q
+         |  FROM train t CROSS JOIN bench b)
+         |SELECT bench_id,
+         |  CAST(sum(CASE WHEN cos_q >= $ContaminationEmbThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_emb,
+         |  max(cos_q) AS max_cos_q
+         |FROM sc GROUP BY 1""".stripMargin,
     "domain_mix" -> domainMixOracle,
     "temperature_mix" ->
       // τ=1/2 as floor(sqrt(n)): IEEE sqrt of an exact integer is
@@ -9185,6 +9463,27 @@ object SparkEntry {
           |SELECT n_exact, n_ann, n_common,
           |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
           |FROM ne CROSS JOIN na CROSS JOIN hits""".stripMargin),
+    // recovery-vs-nprobe curve of the ANN candidate pass: every rung's
+    // probe/candidate/margin pipeline replayed with prefixed CTEs
+    // against the shared quantize/assign half and the exact pipeline
+    "bitext_ann_curve" -> {
+      val rungs = BitextAnnNprobeLadder.map(np =>
+        s"${bitextAnnRungCtes(np, s"w$np")},\n${bitextTailSql(s"w$np")}").mkString(",\n")
+      val rows = BitextAnnNprobeLadder.map(np =>
+        s"""r$np AS (SELECT CAST($np AS BIGINT) AS nprobe, n_exact,
+           |  (SELECT count(*) FROM w${np}mut) AS n_ann,
+           |  (SELECT count(*) FROM emut JOIN w${np}mut USING (src_id, tgt_id)) AS n_common
+           |  FROM ne)""".stripMargin).mkString(",\n")
+      val union = BitextAnnNprobeLadder.map(np => s"SELECT * FROM r$np")
+        .mkString("\nUNION ALL ")
+      s"WITH $ivfTrainCtes,\n$bitextBaseCtes,\n$bitextExactNbhCtes,\n${bitextTailSql("e")},\n" +
+        s"$bitextAnnSharedCtes,\n$rungs,\n" +
+        s"""ne AS (SELECT count(*) AS n_exact FROM emut),
+           |$rows
+           |SELECT nprobe, n_exact, n_ann, n_common,
+           |  (1000000 * n_common) // greatest(n_exact, 1) AS recovery_ppm
+           |FROM ($union)""".stripMargin
+    },
     // mined-bitext -> training-mix composition: pairs clearing the
     // operating margin become per-language-pair parallel domains whose
     // token mass water-fills alongside the monolingual sources
@@ -9271,6 +9570,55 @@ object SparkEntry {
     // Newton-Schulz matmul CTE unroll (bit-exact vs the driver mirror),
     // row-local W*(x-mu) transform, rebuild, census
     "hubness_zca" -> zcaOracleSql,
+    // the hubness diagnosis run entirely on blocked builds: raw blocked
+    // adjacency (IVF cells of the raw space), ZCA chain replay, fresh
+    // IVF training IN the transformed space, blocked zca adjacency,
+    // both in-degree censuses
+    "hubness_zca_cellblocked" -> {
+      def idist(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+      s"""WITH $ivfTrainCtes,
+         |hbn AS (SELECT vec_id, ${sqlUnit("CAST(embedding AS DOUBLE[])")} AS nv FROM b),
+         |hcba AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id
+         |    ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
+         |  FROM bq CROSS JOIN c2 c) WHERE rn <= 3),
+         |hcand AS (SELECT DISTINCT a.vec_id AS node_id, b2.vec_id AS cand_id
+         |  FROM hcba a JOIN hcba b2 USING (cid) WHERE a.vec_id <> b2.vec_id),
+         |hccadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+         |  SELECT p.node_id, p.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.node_id
+         |      ORDER BY -list_inner_product(na.nv, nb.nv), p.cand_id) AS rank
+         |  FROM hcand p JOIN hbn na ON na.vec_id = p.node_id
+         |    JOIN hbn nb ON nb.vec_id = p.cand_id) WHERE rank <= 16),
+         |$zcaChainCtes,
+         |zvq AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(cv, e -> CAST(floor(e / 1048576 * 1048576 + 0.5) AS BIGINT)) AS qv FROM ztr),
+         |${ivfTrainCtesOnQv("zvq", "zz")},
+         |zbn AS (SELECT vec_id, ${sqlUnit("cv")} AS nv FROM ztr),
+         |zzcells AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY ${idist("t.qv", "c.cvec")}, c.cid) AS rn
+         |  FROM zvq t CROSS JOIN zzc2 c) WHERE rn <= 3),
+         |zzcand AS (SELECT DISTINCT a.vec_id AS node_id, b2.vec_id AS cand_id
+         |  FROM zzcells a JOIN zzcells b2 USING (cid) WHERE a.vec_id <> b2.vec_id),
+         |zzadj AS MATERIALIZED (SELECT node_id, neighbor_id FROM (
+         |  SELECT p.node_id, p.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.node_id
+         |      ORDER BY -list_inner_product(na.nv, nb.nv), p.cand_id) AS rank
+         |  FROM zzcand p JOIN zbn na ON na.vec_id = p.node_id
+         |    JOIN zbn nb ON nb.vec_id = p.cand_id) WHERE rank <= 16),
+         |occ_rb AS (SELECT neighbor_id, count(*) AS k_occ FROM hccadj GROUP BY 1),
+         |occ_zb AS (SELECT neighbor_id, count(*) AS k_occ FROM zzadj GROUP BY 1),
+         |crb AS (SELECT 'raw_blocked' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+         |    count(*) AS n_vectors
+         |  FROM b LEFT JOIN occ_rb o ON b.vec_id = o.neighbor_id GROUP BY 1, 2),
+         |czb AS (SELECT 'zca_blocked' AS variant, coalesce(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+         |    count(*) AS n_vectors
+         |  FROM b LEFT JOIN occ_zb o ON b.vec_id = o.neighbor_id GROUP BY 1, 2)
+         |SELECT variant, k_occ, n_vectors FROM crb
+         |UNION ALL SELECT variant, k_occ, n_vectors FROM czb""".stripMargin
+    },
     // cell-blocked cosine build vs the exact cosine adjacency: IVF
     // training replay + 3-cell multi-assignment + per-cell candidates
     // ranked by inner product over the shared unit vectors
@@ -11913,6 +12261,33 @@ object SparkEntry {
         |  (10000 * n_bpe) // CAST(n_words AS BIGINT) AS fertility_bp
         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r3
         |  UNION ALL SELECT * FROM r6)""".stripMargin),
+    // sampled-training curve: two extra chains trained on 1-in-N doc
+    // samples (prefixed CTEs), each vocabulary re-encoding the WHOLE
+    // corpus; merge agreement via pair IN (full chain's pairs)
+    "bpe_sampled_curve" -> {
+      val sampled = Seq(4, 16)
+      val chains = sampled.map(m => bpeChainBody(6, s"u$m", s"doc_id % $m = 0")).mkString(",\n")
+      val rencode = sampled.map(m => bpeDocBody(6, s"u$m", s"u$m")).mkString(",\n")
+      def mergeList(pfx: String) =
+        (1 to 6).map(r => s"SELECT pair FROM $pfx" + s"b$r").mkString(" UNION ALL ")
+      def aggFor(mod: Int, pfx: String, mlist: String) =
+        s"""agg$mod AS (SELECT CAST($mod AS BIGINT) AS sample_mod,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe,
+           |  CAST((SELECT count(*) FROM $mlist WHERE pair IN (SELECT pair FROM fullm)) AS BIGINT) AS n_shared_merges
+           |  FROM ${pfx}dw6)""".stripMargin
+      bpeDocCtes(6) + ",\n" + chains + ",\n" + rencode + ",\n" +
+        s"""fullm AS (${mergeList("")}),
+           |u4m AS (${mergeList("u4")}),
+           |u16m AS (${mergeList("u16")}),
+           |${aggFor(1, "", "fullm")},
+           |${aggFor(4, "u4", "u4m")},
+           |${aggFor(16, "u16", "u16m")}
+           |SELECT sample_mod, n_words, n_bpe,
+           |  (10000 * n_bpe) // n_words AS fertility_bp, n_shared_merges
+           |FROM (SELECT * FROM agg1 UNION ALL SELECT * FROM agg4
+           |  UNION ALL SELECT * FROM agg16)""".stripMargin
+    },
     "stream_minhash_neardup" -> minhashOracle, // stream pairs == batch pairs
     "stream_ivf_search" -> ivfFlatKnnOracle, // micro-batch union == batch IVF
     // streamed per-media censuses union to the batch answer (a media

@@ -9,8 +9,11 @@ object Verify {
     // optional trailing names restrict the dump — local iteration on one
     // query without paying for the full sweep (driver passes none)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // FIXED 32 like Bench (r10 review): Verify is the parity checker, and
+    // shuffle-partition count changes double-sum association — a
+    // machine-dependent default could flip the 6th decimal of the
+    // float-rounded oracles (rrf/bm25) on hosts with <32 cores.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -68,16 +68,29 @@ object Knn {
     * parquet splits). Values are unaffected: every downstream aggregate
     * is order-free (bounded heap orders by (dist, id)).
     *
-    * Contract: call with SCAN- or CHECKPOINT-rooted inputs only. The
-    * partition probe goes through `df.rdd`, which finalizes the physical
-    * plan — under AQE an input containing an exchange would have its
-    * upstream stages executed at construction time just to read a
-    * partition count. Every current call site passes a projection over
-    * a file scan or a localCheckpoint leaf, where `.rdd` is pure
-    * planning (r10 review). */
+    * The partition probe goes through `df.rdd`, which finalizes the
+    * physical plan — under AQE an input containing an exchange would
+    * have its upstream stages EXECUTED at construction time just to
+    * read a partition count, and that work is not reused by the real
+    * action (r10 review found `knn_update_identity` paying its
+    * anti-join twice this way). So the probe runs only when the
+    * analyzed plan is probe-safe — nothing but projections/filters
+    * over leaves (file scan, localCheckpoint LogicalRDD, local
+    * relation), where `.rdd` is pure planning. Any other shape
+    * (join/union/aggregate in the input) skips the probe and
+    * repartitions unconditionally: one O(n) reshuffle against the
+    * O(n·q) scan it parallelizes, amortized at any scale. */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project, SubqueryAlias}
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val probeSafe = df.queryExecution.analyzed.collectFirst {
+      case n: LogicalPlan
+        if !n.isInstanceOf[LeafNode] && !n.isInstanceOf[Project] &&
+          !n.isInstanceOf[LFilter] && !n.isInstanceOf[SubqueryAlias] => n
+    }.isEmpty
+    if (!probeSafe) df.repartition(p)
+    else if (df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   /** Cross product of base × broadcast(queries) with the distance column. */

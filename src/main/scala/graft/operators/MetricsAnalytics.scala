@@ -106,5 +106,9 @@ object MetricsAnalytics {
         col("bucket_ms"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("bucket_sum"), ignoreNulls = true).over(wFill).as("filled_sum"))
+      // the LOCF window reads the elapsed-time bucket grid, not the raw
+      // stream; the guard enforces that claim at runtime (WindowAuditSpec
+      // allowlists metrics_gapfill on it)
+      .transform(graft.functions.Guards.boundedWindow(_, "metrics_gapfill"))
   }
 }

@@ -124,6 +124,39 @@ object Curation {
       .select(col("bench_id"), coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 
+  /** EMBEDDING-level decontamination (r10 verdict item 3) — the screen
+    * the exact word-n-gram scan ([[contamination]]) cannot run:
+    * paraphrased benchmark leakage shares no 8-gram with its source but
+    * still sits next to it in embedding space. For each benchmark row,
+    * count training rows whose quantized cosine clears `thresholdQ`
+    * (cos_q = floor(cos·10⁹), the bitext-mining convention, so the
+    * threshold decision is integer-exact in any engine) and carry the
+    * top observed cos_q — the margin a reviewer reads before tightening
+    * the threshold. Scale shape: the benchmark side is broadcastable by
+    * construction (a held-out slice), so the screen is ONE linear scan
+    * of the training corpus — the `Knn.spread` broadcast-NL pass, never
+    * a self-join. Every benchmark row is emitted (zero-filled counts):
+    * absence of contamination is a result, not a missing row. */
+  def contaminationEmbedding(vecs: DataFrame, idCol: String, embCol: String,
+      isBenchmark: Column, thresholdQ: Long): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val v = vecs.select(col(idCol), col(embCol).as("__emb"), isBenchmark.as("__is_bench"))
+    val bench = v.filter(col("__is_bench"))
+      .select(col(idCol).as("bench_id"), col("__emb").as("b_emb"))
+    val train = v.filter(!col("__is_bench"))
+      .select(col(idCol).as("train_id"), col("__emb").as("t_emb"))
+    // every bench id appears in the cross join, so the conditional sum
+    // zero-fills without a second pass over the benchmark slice
+    graft.operators.Knn.spread(train)
+      .crossJoin(broadcast(bench))
+      .select(col("bench_id"),
+        floor(cosine(col("t_emb"), col("b_emb")) * lit(1000000000.0))
+          .cast("long").as("cos_q"))
+      .groupBy(col("bench_id"))
+      .agg(sum(when(col("cos_q") >= thresholdQ, 1L).otherwise(0L)).as("n_contaminated_emb"),
+        max(col("cos_q")).as("max_cos_q"))
+  }
+
   /** Domain mixing: deterministic per-(group) downsampling to `cap` docs,
     * prioritized by the Knuth id-hash (graft.operators.Sampling.idBucket)
     * so the kept set is a pure function of doc identity — stable across
@@ -188,6 +221,10 @@ object Curation {
       // saturation must be a prefix of the sort order: prefix-AND the check
       .withColumn("saturated",
         min(col("cond")).over(byCap.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+      // the global windows above read the DOMAIN-cardinality capacity
+      // table; the guard enforces that claim at runtime (WindowAuditSpec
+      // allowlists token_budget_mix / bitext_mix_compose on it)
+      .transform(graft.functions.Guards.boundedWindow(_, "token_budget_allocation"))
     val satTotals = flagged.filter(col("saturated"))
       .agg(coalesce(sum(col("cap")), lit(0L)).as("satcap"),
         count(lit(1)).as("satn"))

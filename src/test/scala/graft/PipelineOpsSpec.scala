@@ -168,6 +168,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding decontamination: planted paraphrase caught by embedding, missed by 8-gram") {
+    import spark.implicits._
+    // doc 1 paraphrases benchmark doc 7 word for word — zero shared
+    // 8-grams, so the exact screen is blind to it by construction
+    val docs = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "a speedy tan fox leaps above a sleepy hound close to the water edge now"),
+      (2L, "completely unrelated text about spark shuffles and parquet file layouts")
+    ).toDF("doc_id", "text")
+    val gram = graft.text.Curation.contamination(docs, "doc_id", "text",
+      col("doc_id") === 7L).collect()
+    assert(gram.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 0L)),
+      "8-gram screen should miss the paraphrase")
+    // the paraphrase's embedding is near-identical; the unrelated doc's
+    // points elsewhere — only the paraphrase clears cos >= 0.95
+    val emb = Seq(
+      (7L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.21f, 0.1f)),
+      (2L, Array(-0.5f, 0.8f, -0.1f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val e = graft.text.Curation.contaminationEmbedding(emb, "vec_id", "embedding",
+      col("vec_id") === 7L, thresholdQ = 950000000L).collect()
+    assert(e.length == 1 && e.head.getLong(0) == 7L)
+    assert(e.head.getLong(1) == 1L, s"embedding screen should catch exactly the paraphrase: ${e.head}")
+    assert(e.head.getLong(2) >= 950000000L, s"top margin should be the paraphrase: ${e.head}")
+  }
+
+  test("hubness_zca_cellblocked: blocked-rung census mass + remediation direction") {
+    val dir = "/root/testdata/sf0.001"
+    val nBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 20 =!= 0).count()
+    val rows = SparkEntry.queries("hubness_zca_cellblocked")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (v <- Seq("raw_blocked", "zca_blocked")) {
+      val c = rows.filter(_._1 == v)
+      assert(c.map(_._3).sum == nBase, s"$v: vector mass")
+      // a blocked build emits AT MOST degree edges per node (a thin cell
+      // can yield fewer candidates than the heap bound)
+      val edges = c.map(t => t._2 * t._3).sum
+      assert(edges <= 16L * nBase && edges >= 12L * nBase, s"$v: edge mass $edges")
+    }
+    // the treatment signal survives the blocked build: the ZCA space's
+    // hub ceiling is no worse than the raw space's
+    def maxK(v: String) = rows.filter(t => t._1 == v && t._3 > 0).map(_._2).max
+    assert(maxK("zca_blocked") <= maxK("raw_blocked"),
+      s"zca_blocked ${maxK("zca_blocked")} vs raw_blocked ${maxK("raw_blocked")}")
+  }
+
   test("bpe_vocab_curve: char-level floor at rung 0, monotone fertility") {
     val dir = "/root/testdata/sf0.001"
     val curve = SparkEntry.queries("bpe_vocab_curve")(spark, dir)
@@ -183,6 +231,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(curve.map(_._2).distinct.length == 1)
     curve.sliding(2).foreach { case Array(a, b) =>
       assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b not nonincreasing")
+    }
+  }
+
+  test("bpe_sampled_curve: full rung matches full training; drift is bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = SparkEntry.queries("bpe_sampled_curve")(spark, dir)
+      .orderBy(col("sample_mod")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(curve.map(_._1).toSeq == Seq(1L, 4L, 16L))
+    // the re-encode always covers the WHOLE corpus: word mass invariant
+    assert(curve.map(_._2).distinct.length == 1)
+    // rung 1 IS the full 6-merge training: same fertility as the
+    // bpe_vocab_curve's deepest rung, and trivially 6/6 shared merges
+    val full = SparkEntry.queries("bpe_vocab_curve")(spark, dir)
+      .filter(col("n_merges") === 6).head()
+    assert(curve.head._4 == full.getLong(3), "full rung fertility mismatch")
+    assert(curve.head._5 == 6L)
+    // sampled vocabularies stay near the full one on this corpus:
+    // every rung trains 6 merges and shares a majority with the full
+    // table; fertility stays under the char-level floor's by a margin
+    val charFloor = SparkEntry.queries("bpe_vocab_curve")(spark, dir)
+      .filter(col("n_merges") === 0).head().getLong(3)
+    curve.foreach { case (mod, _, _, fert, shared) =>
+      assert(shared >= 3, s"mod=$mod shares only $shared/6 merges")
+      assert(fert <= charFloor, s"mod=$mod fertility $fert above char floor $charFloor")
     }
   }
 

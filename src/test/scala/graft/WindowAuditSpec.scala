@@ -48,6 +48,29 @@ class WindowAuditSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("runtime guard: a data-sized input reaching a global window throws") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val seeded = SparkTestSession.spark.range(0, 5000).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .transform(graft.functions.Guards.boundedWindow(_, "seeded-violation", bound = 1000))
+    val e = intercept[Throwable](seeded.count())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("window-guard:seeded-violation")),
+      s"guard did not fire; got: $e")
+  }
+
+  test("runtime guard: a bounded input passes through unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ok = SparkTestSession.spark.range(0, 500).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .transform(graft.functions.Guards.boundedWindow(_, "bounded-ok", bound = 1000))
+    assert(ok.count() == 500)
+  }
+
   test("allowlist carries no stale entries") {
     val stale = boundedWindowAllowlist.keys.filterNot { name =>
       SparkEntry.queries.get(name).exists { fn =>
