@@ -56,6 +56,13 @@ object SparkEntry {
       artifactCacheRegistry.collectFirst { case (n, c) if c eq cache => n }
     private[SparkEntry] def recordBuild(cache: AnyRef): Unit =
       if (enabled) nameOf(cache).foreach(buildsQ.add)
+    /** Builds of driver-VALUE model caches (trained codebooks, merge
+      * tables, moment vectors) — invisible to the DataFrame-cache ledger
+      * but just as real in a cold rep; recording them keeps the bench's
+      * cold-minus-min attribution honest (r11: `bpe_sampled_curve`'s
+      * 2.7 s of sampled merge training read as "jit/noise"). */
+    private[SparkEntry] def recordNamedBuild(name: String): Unit =
+      if (enabled) buildsQ.add(name)
     private[SparkEntry] def recordAccess(cache: AnyRef, key: Any): Unit =
       if (enabled && accessRecording) nameOf(cache).foreach(n => accessQ.add((n, key.toString)))
     def drainBuilds(): Seq[String] = {
@@ -155,6 +162,7 @@ object SparkEntry {
 
   private def sqModel(spark: SparkSession, dir: String): graft.index.SqModel =
     sqCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:sq")
       val base = Tables.embeddingBase(spark, dir)
       graft.index.SqIndex.fit(base, base)
     })
@@ -484,8 +492,10 @@ object SparkEntry {
     * oracle-checkable member of the IVF family — quantized grid, exact
     * int64 training, fixed 2 iterations, nprobe=6 probe + float rerank. */
   private def ivfFlatModel(spark: SparkSession, dir: String): Array[Array[Long]] =
-    ivfFlatCache.getOrElseUpdate(dir,
-      graft.index.IvfFlat.fit(Tables.embeddingBase(spark, dir), nlist = 8))
+    ivfFlatCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:ivf_flat")
+      graft.index.IvfFlat.fit(Tables.embeddingBase(spark, dir), nlist = 8)
+    })
 
   private def knnIvfFlat(spark: SparkSession, dir: String): DataFrame =
     memoSearch("ivf_flat", dir) {
@@ -532,8 +542,10 @@ object SparkEntry {
   private def knnIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
     val pre = base.filter(col("vec_id") % 5 =!= 4)
-    val model = ivfUpsertCache.getOrElseUpdate(dir,
-      graft.index.IvfFlat.fit(pre, nlist = 8))
+    val model = ivfUpsertCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:ivf_upsert")
+      graft.index.IvfFlat.fit(pre, nlist = 8)
+    })
     val snapshot = graft.operators.Snapshots.insert(pre, base.filter(col("vec_id") % 5 === 4))
     graft.index.IvfFlat.search(model, Tables.embeddingQueries(spark, dir),
       snapshot, KnnK, nprobe = 6)
@@ -672,8 +684,10 @@ object SparkEntry {
     * trained in one relational Lloyd chain; ADC shortlist 150 → exact
     * rerank — the oracle-checkable PQ. */
   private def pqFlatModel(spark: SparkSession, dir: String): graft.index.PqFlat.Model =
-    pqFlatCache.getOrElseUpdate(dir,
-      graft.index.PqFlat.fit(Tables.embeddingBase(spark, dir)))
+    pqFlatCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:pq_flat")
+      graft.index.PqFlat.fit(Tables.embeddingBase(spark, dir))
+    })
 
   private def knnPqFlat(spark: SparkSession, dir: String): DataFrame =
     memoSearch("pq_flat", dir) {
@@ -699,6 +713,7 @@ object SparkEntry {
     * the base, replayed by the oracle. */
   private def pqPermutation(spark: SparkSession, dir: String): Array[Int] =
     pqPermCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:pq_perm")
       val st = Tables.embeddingBase(spark, dir)
         .select(posexplode(graft.index.IvfFlat.quantize(col("embedding")))
           .as(Seq("pos", "e")))
@@ -726,6 +741,7 @@ object SparkEntry {
 
   private def pqPermModel(spark: SparkSession, dir: String): graft.index.PqFlat.Model =
     pqPermModelCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:pq_perm_codebook")
       val perm = pqPermutation(spark, dir)
       graft.index.PqFlat.fit(
         Tables.embeddingBase(spark, dir)
@@ -887,8 +903,10 @@ object SparkEntry {
     * codebooks, per-(query, probed-cell) ADC, shortlist 250, exact
     * rerank. Full training replayed by the oracle (⊕). */
   private def ivfPqModel(spark: SparkSession, dir: String): graft.index.IvfPq.Model =
-    ivfPqCache.getOrElseUpdate(dir,
-      graft.index.IvfPq.fit(Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir)))
+    ivfPqCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:ivfpq")
+      graft.index.IvfPq.fit(Tables.embeddingBase(spark, dir), ivfFlatModel(spark, dir))
+    })
 
   private def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
     memoSearch("ivfpq", dir) {
@@ -2968,10 +2986,12 @@ object SparkEntry {
   /** The 6-round merge table, memoized per dir (file-convention model
     * memo) — bpe_merges and bpe_encode share one training run. */
   private def bpeMergeRows(spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
-    bpeMergesCache.getOrElseUpdate(dir,
+    bpeMergesCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:bpe_merges")
       graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "text", rounds = 6)
         .orderBy(col("round")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    })
 
   private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3053,12 +3073,14 @@ object SparkEntry {
   private def bpeSampledMergeRows(spark: SparkSession, dir: String,
       mod: Int): Seq[(Long, String, String, Long)] =
     if (mod == 1) bpeMergeRows(spark, dir)
-    else bpeSampledCache.getOrElseUpdate((dir, mod),
+    else bpeSampledCache.getOrElseUpdate((dir, mod), {
+      ArtifactLedger.recordNamedBuild(s"model:bpe_merges_mod$mod")
       graft.text.Bpe.trainMerges(
         Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(mod.toLong)) === 0),
         "text", rounds = 6)
         .orderBy(col("round")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    })
 
   private def bpeSampledCurve(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -6190,6 +6212,7 @@ object SparkEntry {
     * order-free, the shared input of every remediation rung. */
   private def hubnessRawMoments(spark: SparkSession, dir: String): (Array[Long], Array[Long], Long) =
     hubnessMomentsCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:hubness_moments")
       val stats = quantizedBase(spark, dir)
         .select(posexplode(col("qv")).as(Seq("pos", "e")))
         .groupBy(col("pos")).agg(sum(col("e")).as("sx"),
@@ -6402,6 +6425,7 @@ object SparkEntry {
     * row-local transform. */
   private def zcaMatrix(spark: SparkSession, dir: String): Array[Array[Double]] =
     zcaMatrixCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:zca_matrix")
       val (sx, _, n) = hubnessRawMoments(spark, dir)
       val d = sx.length
       val tri = graft.operators.Gram.upperTriangle(spark,
@@ -6479,13 +6503,20 @@ object SparkEntry {
     * 31, diagonal 30 there). Output: raw vs zca in-degree census. This
     * rung's adjacency rebuild is the exact all-pairs VALIDATOR; the
     * 100 TB build path is [[hubnessZcaCellBlocked]]. */
+  private def zcaExactAdj(spark: SparkSession, dir: String): DataFrame =
+    cachedArtifact(zcaAdjCache, dir)(
+      cosineAdjacency(zcaVectors(spark, dir), GraphDegree).localCheckpoint())
+
   private def hubnessZca(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddingBase(spark, dir)
-    val adjZca = cachedArtifact(zcaAdjCache, dir)(
-      cosineAdjacency(zcaVectors(spark, dir), GraphDegree).localCheckpoint())
     inDegreeCensus(base, rawCosineAdjacency(spark, dir), "raw")
-      .unionByName(inDegreeCensus(base, adjZca, "zca"))
+      .unionByName(inDegreeCensus(base, zcaExactAdj(spark, dir), "zca"))
   }
+
+  /** Probe surface for [[graft.tools.ZcaEdgeRecall]]: the (exact,
+    * blocked) ZCA adjacencies off the shared per-dir artifacts. */
+  private[graft] def zcaAdjPairForProbe(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (zcaExactAdj(spark, dir), zcaCellBlockedAdj(spark, dir))
 
   /** Coarse cells of the ZCA-TRANSFORMED space: the same deterministic
     * integer k-means as [[ivfFlatModel]], trained on the transformed
@@ -6504,8 +6535,10 @@ object SparkEntry {
       transform(col("embedding"), e => e / lit(graft.index.IvfFlat.Scale.toDouble))
         .as("embedding"))
   private def zcaIvfModel(spark: SparkSession, dir: String): Array[Array[Long]] =
-    zcaIvfCache.getOrElseUpdate(dir,
-      graft.index.IvfFlat.fit(zcaDownscaled(spark, dir), nlist = 8))
+    zcaIvfCache.getOrElseUpdate(dir, {
+      ArtifactLedger.recordNamedBuild("model:zca_ivf")
+      graft.index.IvfFlat.fit(zcaDownscaled(spark, dir), nlist = 8)
+    })
 
   private val zcaCellAdjCache = namedArtifactCache[String]("cos_adj_zca_cell")
 
@@ -6515,7 +6548,11 @@ object SparkEntry {
     * (nassign=3) → bounded-heap rank by dot over unit vectors. Identical
     * ranking machinery to [[cosCellBlockedAdj]]; only the space and its
     * codebook differ. Pair generation is a co-partitioned equi-join on
-    * cell id — |cell|² per cell, never |base|². */
+    * cell id — |cell|² per cell, never |base|². Measured edge recall vs
+    * the exact ZCA adjacency ([[graft.tools.ZcaEdgeRecall]]): 90.9%
+    * (sf0.001) / 92.8% (sf0.01) — a touch under the raw space's
+    * 93.8/94.6% (whitening flattens the spectrum, so cell boundaries
+    * cut more near-ties). */
   private def zcaCellBlockedAdj(spark: SparkSession, dir: String): DataFrame =
     cachedArtifact(zcaCellAdjCache, dir) {
       val zv = zcaVectors(spark, dir)

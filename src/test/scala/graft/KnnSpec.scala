@@ -240,4 +240,42 @@ class KnnSpec extends AnyFunSuite {
     assert(curve.last._2 == serving,
       "nprobe=6 ladder rung must match recall_ivf_flat")
   }
+
+  test("spread: join-bearing input skips the partition probe (no eager job) and still spreads") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    // r10 review: spread()'s `.rdd` partition probe FINALIZES the plan —
+    // under AQE a join in the input has its exchange stages EXECUTED at
+    // construction time just to read a count. The fix routes any
+    // non-(projection/filter-over-leaf) plan straight to repartition.
+    // This test pins it: constructing spread(join) must launch ZERO jobs.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    val a = spark.range(0, 1000).toDF("vec_id")
+    val b = spark.range(0, 1000).toDF("vec_id").withColumn("x", col("vec_id") * 2)
+    val joined = a.join(b, Seq("vec_id"), "left_anti").union(b.select(col("vec_id")))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.operators.Knn.spread(joined)
+      // listener delivery is async; give the bus a beat before reading
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"spread() launched ${jobs.get()} job(s) at construction time on a join-bearing plan")
+      // and the contract still holds: the scan side ends up spread
+      assert(out.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("spread: projection-over-scan input keeps the cheap probe path (no reshuffle when pre-split)") {
+    import org.apache.spark.sql.functions._
+    // a leaf-rooted input that already has >= parallelism partitions
+    // must come back UNTOUCHED (no repartition node)
+    val pre = spark.range(0, 10000,  1,
+      spark.sparkContext.defaultParallelism + 4).toDF("vec_id")
+      .select(col("vec_id"))
+    val out = graft.operators.Knn.spread(pre)
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism + 4)
+  }
 }

@@ -249,4 +249,16 @@ class PlanSpec extends AnyFunSuite {
     // extrema aggregate
     assert("Scan parquet".r.findAllIn(p2).size <= 3, s"svg_qps_latency_chart: extra scans\n$p2")
   }
+
+  test("contamination_embedding: broadcast benchmark slice, linear scan, no global window") {
+    // the screen's scale contract: the held-out side is broadcast BY
+    // CONSTRUCTION (BroadcastNestedLoopJoin), the hit count is a
+    // map-side conditional sum, and nothing sorts or windows the
+    // train×bench pair stream
+    val p = planOf("contamination_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
