@@ -6656,6 +6656,40 @@ object SparkEntry {
       }.reduce(_.union(_))
     }
 
+  /** nlist rungs of the coarse-quantizer GROWTH story, probed at a
+    * FIXED 3/4 cell fraction (nprobe = 3·nlist/4): SCALING.md's 100 TB
+    * argument everywhere is "nlist grows ≈ √n, nprobe holds the probed
+    * fraction" — this measures the premise: recall is a function of
+    * the probed FRACTION, not of nlist, so growing the cell count with
+    * the corpus preserves recall while each list stays
+    * constant-sized. */
+  private val IvfNlistLadder: Seq[(Int, Int)] = Seq((4, 3), (8, 6), (16, 12))
+
+  private val ivfNlistCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Long]]]
+  private def ivfNlistModel(spark: SparkSession, dir: String, nlist: Int): Array[Array[Long]] =
+    if (nlist == 8) ivfFlatModel(spark, dir)
+    else ivfNlistCache.getOrElseUpdate((dir, nlist), {
+      ArtifactLedger.recordNamedBuild(s"model:ivf_nlist$nlist")
+      graft.index.IvfFlat.fit(Tables.embeddingBase(spark, dir), nlist = nlist)
+    })
+
+  /** Recall across the [[IvfNlistLadder]] — every rung is a fresh
+    * deterministic training (the nlist=8 rung shares the serving
+    * model), one probe search, one recall join vs the memoized exact
+    * ground truth. */
+  private def ivfNlistCurve(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.embeddingQueries(spark, dir)
+    val base = Tables.embeddingBase(spark, dir)
+    val gt = groundTruth(spark, dir)
+    IvfNlistLadder.map { case (nl, np) =>
+      Recall.recallBasisPoints(
+        graft.index.IvfFlat.search(ivfNlistModel(spark, dir, nl), queries, base, KnnK, np),
+        gt, KnnK)
+        .select(lit(nl.toLong).as("nlist"), lit(np.toLong).as("nprobe"), col("recall_bp"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The reference's closed-loop autotune (`build_autotune_sample
     * (target_recall=0.9)`, /root/reference/dynamic_script_mrpt.py:44-47)
     * as a CHECKED query: walk the measured recall-vs-nprobe ladder
@@ -6965,6 +6999,7 @@ object SparkEntry {
     "lsh_quality" -> ((s, dir) => lshQuality(s, dir)),
     "simhash_quality" -> ((s, dir) => simhashQuality(s, dir)),
     "ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
+    "ivf_nlist_curve" -> ((s, dir) => ivfNlistCurve(s, dir)),
     "ivf_autotune" -> ((s, dir) => ivfAutotune(s, dir)),
     "bigram_logprob" -> ((s, dir) => bigramLogprob(s, dir)),
     "kn_bigram_logprob" -> ((s, dir) => knBigramLogprob(s, dir)),
@@ -7455,14 +7490,15 @@ object SparkEntry {
        |UNION ALL SELECT variant, k_occ, n_vectors FROM zcz""".stripMargin
 
   /** Deterministic IVF training replay over an arbitrary quantized
-    * source CTE `src(vec_id, qv)` with prefixed CTE names — the
-    * generalized twin of [[ivfCtesFor]]'s training prefix (which is
-    * pinned to the raw base split), used where a model must be trained
-    * IN a transformed space (the blocked ZCA rung). Mirrors
-    * [[graft.index.IvfFlat.fit]]: Knuth-mixed-id init (nlist=8), two
-    * integer Lloyd steps, floor-div means, empty cells keep their
-    * centroid. Ends at `${pfx}c2(cid, cvec)`. */
-  private def ivfTrainCtesOnQv(src: String, pfx: String): String = {
+    * source CTE `src(vec_id, qv)` with prefixed CTE names and an
+    * arbitrary `nlist` — the generalized twin of [[ivfCtesFor]]'s
+    * training prefix (which is pinned to the raw base split and
+    * nlist=8), used where a model must be trained IN a transformed
+    * space (the blocked ZCA rung) or at a different cell count (the
+    * nlist-growth curve). Mirrors [[graft.index.IvfFlat.fit]]:
+    * Knuth-mixed-id init, two integer Lloyd steps, floor-div means,
+    * empty cells keep their centroid. Ends at `${pfx}c2(cid, cvec)`. */
+  private def ivfTrainCtesOnQv(src: String, pfx: String, nlist: Int = 8): String = {
     def idist(a: String, b: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
     def stepSql(n: Int, prev: String): String =
@@ -7480,7 +7516,7 @@ object SparkEntry {
        |  (((vec_id % 4294967296 >> 16) * 2654435761) % 65536 * 65536
        |    + (vec_id % 65536) * 2654435761) % 4294967296 % 1000000007 AS mx FROM $src),
        |${pfx}init AS (SELECT CAST(row_number() OVER (ORDER BY mx, vec_id) - 1 AS INTEGER) AS cid, qv AS cvec
-       |  FROM (SELECT * FROM ${pfx}mx ORDER BY mx, vec_id LIMIT 8)),
+       |  FROM (SELECT * FROM ${pfx}mx ORDER BY mx, vec_id LIMIT $nlist)),
        |${stepSql(1, s"${pfx}init")},
        |${stepSql(2, s"${pfx}c1")}""".stripMargin
   }
@@ -9313,6 +9349,49 @@ object SparkEntry {
     "lsh_quality" -> lshQualityOracle,
     "simhash_quality" -> simhashQualityOracle,
     "ivf_nprobe_curve" -> ivfNprobeCurveOracle,
+    // nlist-growth curve: two extra full training replays (nlist 4 and
+    // 16 via the parameterized trainer) + the shared nlist=8 model,
+    // each probed at the fixed 3/4 cell fraction and recall-scored
+    // against the exact ground truth
+    "ivf_nlist_curve" -> {
+      def idist(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"
+      def asgSql(c2: String, p: String): String =
+        s"""${p}ab AS (SELECT vec_id, cid FROM (
+           |  SELECT bq.vec_id, c.cid, row_number() OVER (PARTITION BY bq.vec_id
+           |    ORDER BY ${idist("bq.qv", "c.cvec")}, c.cid) AS rn
+           |  FROM bq CROSS JOIN $c2 c) WHERE rn = 1)""".stripMargin
+      def rungSql(nl: Int, np: Int, c2: String, ab: String, p: String): String =
+        s"""${p}pr AS (SELECT query_id, cid FROM (
+           |  SELECT qq.query_id, c.cid, row_number() OVER (PARTITION BY qq.query_id
+           |    ORDER BY ${idist("qq.qv", "c.cvec")}, c.cid) AS prn
+           |  FROM qq CROSS JOIN $c2 c) WHERE prn <= $np),
+           |${p}scored AS (SELECT pp.query_id, $ab.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY pp.query_id
+           |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), $ab.vec_id) AS rank
+           |  FROM ${p}pr pp JOIN $ab ON $ab.cid = pp.cid
+           |  JOIN b ON b.vec_id = $ab.vec_id JOIN q ON q.query_id = pp.query_id),
+           |${p}row AS (SELECT CAST($nl AS BIGINT) AS nlist, CAST($np AS BIGINT) AS nprobe,
+           |  CAST((count(*) * 10000) // (SELECT count(*) FROM gt) AS BIGINT) AS recall_bp
+           |  FROM (SELECT query_id, neighbor_id FROM ${p}scored WHERE rank <= 10) pd
+           |  JOIN gt USING (query_id, neighbor_id))""".stripMargin
+      s"""WITH $ivfTrainCtes,
+         |${ivfTrainCtesOnQv("bq", "n4", 4)},
+         |${asgSql("n4c2", "n4")},
+         |${ivfTrainCtesOnQv("bq", "n16", 16)},
+         |${asgSql("n16c2", "n16")},
+         |gt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rank
+         |  FROM q CROSS JOIN b) WHERE rank <= 10),
+         |${rungSql(4, 3, "n4c2", "n4ab", "r4")},
+         |${rungSql(8, 6, "c2", "ab", "r8")},
+         |${rungSql(16, 12, "n16c2", "n16ab", "r16")}
+         |SELECT nlist, nprobe, recall_bp FROM r4row
+         |UNION ALL SELECT nlist, nprobe, recall_bp FROM r8row
+         |UNION ALL SELECT nlist, nprobe, recall_bp FROM r16row""".stripMargin
+    },
     "ivf_autotune" -> ivfAutotuneOracle,
     // bigram twin of unigram_logprob: row-local bigram build, corpus
     // count, digit-log sum — fully replayed

@@ -241,6 +241,21 @@ class KnnSpec extends AnyFunSuite {
       "nprobe=6 ladder rung must match recall_ivf_flat")
   }
 
+  test("IVF nlist-growth curve: recall non-decreasing at fixed probe fraction; nlist=8 rung = serving recall") {
+    // the 100 TB premise measured: growing the cell count (as nlist ~ sqrt(n)
+    // would at scale) while holding the probed FRACTION does not cost recall
+    val curve = SparkEntry.queries("ivf_nlist_curve")(spark, "/root/testdata/sf0.001")
+      .orderBy("nlist").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    assert(curve.forall { case (nl, np, _) => np * 4 == nl * 3 }, s"probe fraction drifted: ${curve.toSeq}")
+    assert(curve.map(_._3).toSeq == curve.map(_._3).toSeq.sorted,
+      s"recall must be non-decreasing in nlist at fixed fraction: ${curve.toSeq}")
+    // the nlist=8 / np=6 rung IS the serving config — same model, same probe
+    val serving = SparkEntry.queries("recall_ivf_flat")(spark, "/root/testdata/sf0.001")
+      .collect()(0).getLong(0)
+    assert(curve(1)._3 == serving, s"nlist=8 rung ${curve(1)._3} vs recall_ivf_flat $serving")
+  }
+
   test("spread: join-bearing input skips the partition probe (no eager job) and still spreads") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.functions._
