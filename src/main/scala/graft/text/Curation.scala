@@ -136,7 +136,10 @@ object Curation {
     * construction (a held-out slice), so the screen is ONE linear scan
     * of the training corpus — the `Knn.spread` broadcast-NL pass, never
     * a self-join. Every benchmark row is emitted (zero-filled counts):
-    * absence of contamination is a result, not a missing row. */
+    * absence of contamination is a result, not a missing row. (The one
+    * exception: an EMPTY training side yields an empty result — there
+    * is no corpus to screen against, surfaced as empty rather than an
+    * error; EdgeCaseSpec pins it.) */
   def contaminationEmbedding(vecs: DataFrame, idCol: String, embCol: String,
       isBenchmark: Column, thresholdQ: Long): DataFrame = {
     import graft.functions.VectorFunctions.cosine

@@ -307,4 +307,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     val sides = out.select(col("split")).distinct().collect().map(_.getString(0)).toSet
     assert(sides == Set("train", "test"))
   }
+
+  test("embedding decontamination: empty benchmark slice and all-benchmark corpus degrade to empty, not errors") {
+    import graft.text.Curation
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // no benchmark rows: nothing to screen — empty output by contract
+    assert(Curation.contaminationEmbedding(vecs, "vec_id", "embedding",
+      lit(false), 350000000L).count() == 0)
+    // no training rows: every benchmark row has an empty candidate set —
+    // the conditional-sum formulation emits nothing rather than failing
+    // (absence of a training corpus is a caller error surfaced as empty)
+    assert(Curation.contaminationEmbedding(vecs, "vec_id", "embedding",
+      lit(true), 350000000L).count() == 0)
+    // threshold above any attainable cos_q: rows still emitted, zero-filled
+    val strict = Curation.contaminationEmbedding(vecs, "vec_id", "embedding",
+      col("vec_id") === 1L, 2000000000L).collect()
+    assert(strict.length == 1 && strict.head.getLong(1) == 0L)
+  }
+
+  test("sampled BPE training on a sample with too few pairs stops early, not mid-merge") {
+    import graft.text.Bpe
+    // one single-character word: zero adjacent pairs — training exhausts
+    // at round 1 and returns an empty merge table
+    val tiny = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(tiny, "text", rounds = 6).collect()
+    assert(merges.isEmpty, s"expected no merges from pairless corpus: ${merges.toSeq}")
+    // applying an empty merge table is the char-level identity
+    val enc = Bpe.applyMerges(tiny, "text", Seq.empty).select(size(col("bpe_symbols"))).head().getInt(0)
+    assert(enc == 3)
+  }
 }
