@@ -15,6 +15,27 @@ object Bench {
   private[graft] def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Machine-state reference set (r11 verdict item 2): the committed
+    * draw's headline moves ±25-35% with HOST state the builder proved
+    * unobservable in-guest (SCALING.md "Round-11 final bench note"), so
+    * the bench carries an in-draw index — five stable, non-memoized,
+    * plan-frozen queries spanning the engine's cost shapes (columnar
+    * scan+agg, broadcast-NL vector scan + bounded heap, row-local text
+    * expressions, event-time window agg, keyed window) whose min-of-3
+    * warm seconds measure the machine, not the code. `total_normalized
+    * = total × (ref_baseline / ref_draw)` reads comparably across
+    * draws; per-query ratios WITHIN a draw remain the primary
+    * comparator. */
+  private[graft] val RefQueries =
+    Seq("q1_agg", "knn_exact", "text_stats", "session_windows", "scd2_user_state")
+
+  /** The reference set's min-of-3 seconds on the r12 protocol-pinning
+    * draw (clean machine state, local[32], sf0.1, retain-all) — the
+    * denominator's committed baseline. Re-pin only with a SCALING.md
+    * note; cross-round normalized totals are comparable only while this
+    * constant is unchanged. */
+  private[graft] val RefBaselineSec: Double = 0.172 + 0.240 + 0.101 + 0.594 + 0.397
+
   /** The full per-query JSON line (written to bench_full.json).
     * HEADLINE (`value`, `queries`) is the COLD rep (rep 1): for the
     * query families backed by per-dir memoized artifacts (graph/IVF
@@ -57,7 +78,28 @@ object Bench {
     val gcs = results.flatMap { case (k, _, _) => gcMs.get(k).map(ms => s"\"" + k + "\":" + ms) }
       .mkString("{", ",", "}")
     val gcTotal = gcMs.values.sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold","retain":"$retain","queries":$qs,"queries_min":$mins,"queries_artifact":$arts,"gc_ms":$gcs,"gc_ms_total":$gcTotal,"cpus":"$cpus","n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+    val refPart = refFields(results)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold","retain":"$retain",$refPart"queries":$qs,"queries_min":$mins,"queries_artifact":$arts,"gc_ms":$gcs,"gc_ms_total":$gcTotal,"cpus":"$cpus","n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+  }
+
+  /** The machine-state index fields shared by both JSON lines:
+    * min-basis total, the reference set's draw value, the committed
+    * baseline, and the normalized cold total. Emitted empty if any
+    * reference query failed (a -1 min would corrupt the ratio). */
+  private[graft] def refFields(results: Seq[(String, Double, Double)]): String = {
+    val minByName = results.map(r => r._1 -> r._2).toMap
+    val totalMin = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val refs = RefQueries.flatMap(minByName.get).filter(_ >= 0)
+    val refPart =
+      if (refs.size == RefQueries.size) {
+        val refDraw = refs.sum
+        val norm = total * RefBaselineSec / refDraw
+        val normMin = totalMin * RefBaselineSec / refDraw
+        s""""ref_draw":${fmt(refDraw)},"ref_baseline":${fmt(RefBaselineSec)},""" +
+          s""""value_normalized":${fmt(norm)},"value_min_normalized":${fmt(normMin)},"""
+      } else ""
+    s""""value_min":${fmt(totalMin)},""" + refPart
   }
 
   /** stdout's final line: the driver keeps only the last 2000 chars of
@@ -71,7 +113,9 @@ object Bench {
     val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val slowestFirst = results.filter(_._3 >= 0).map(r => (r._1, r._3)).sortBy(-_._2)
-    val budget = 1500 // chars for the map; the whole line stays < 1900
+    // chars for the map; the whole line stays < 1900 even with the
+    // ~140-char machine-state index fields (r12)
+    val budget = 1350
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowestFirst.foreach { case (k, v) =>
@@ -80,7 +124,41 @@ object Bench {
     }
     val nColdFailed = results.count(r => r._3 < 0 && r._2 >= 0)
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold","queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+    val refPart = refFields(results)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"agg":"cold",$refPart"queries":$qs,"n_queries":${results.size},"n_failed":$nFailed,"n_cold_failed":$nColdFailed,"sf":"$sfDir"}"""
+  }
+
+  /** Install a log4j2 filter on the WindowExec package that denies ONLY
+    * the repeated "No Partition Defined" WARN (allowlisted + runtime-
+    * guarded global windows make it noise here) while leaving every
+    * other event of that package — spill warnings in particular — at
+    * its normal level. */
+  private[graft] def suppressNoPartitionWarn(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.sql.execution.window"
+    val filter = new AbstractFilter() {
+      override def filter(event: LogEvent): Filter.Result =
+        if (event.getMessage.getFormattedMessage.contains("No Partition Defined"))
+          Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+    }
+    cfg.getLoggerConfig(name) match {
+      // a config already scoped to exactly this package (not an ancestor
+      // fallback): attach the filter to it
+      case lc: LoggerConfig if lc.getName == name => lc.addFilter(filter)
+      case _ =>
+        // additive pass-through config carrying only the filter; level
+        // null inherits the effective level from the parent config
+        val lc = new LoggerConfig(name, null, true)
+        lc.addFilter(filter)
+        cfg.addLogger(name, lc)
+    }
+    ctx.updateLoggers()
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,11 +184,12 @@ object Bench {
     // (WindowAuditSpec, with a bounded-input justification) AND
     // runtime-guarded (graft.functions.UnderRowBound throws past the row
     // bound), so the live guarantee is the guard, not the warning.
-    // Silencing the repeats keeps the bench tail clean enough that a
-    // REAL data-sized regression — which now fails the run loudly via
-    // the guard — is visible instead of buried (r10 verdict item 5).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // A MESSAGE-matched filter (not a package-level ERROR): raising the
+    // whole org.apache.spark.sql.execution.window logger to ERROR would
+    // also swallow real WARNs from that package — e.g. WindowExec spill
+    // warnings — which are exactly the signals a bench run should surface
+    // (ADVICE r11).
+    suppressNoPartitionWarn()
     // retention policy for the per-dir memoized artifacts (r9 verdict
     // item 1): "drop" unpersists each artifact-cache entry right after
     // its LAST consumer in the sorted query order finishes. MEASURED

@@ -2046,7 +2046,10 @@ object SparkEntry {
     */
   private def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyRevenue(spark, dir)
-    val pa = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+    // spread the scan side of the calendar-pair BNL (see theilSenSlope);
+    // the S-statistic is an int64 sum — order-free, values unchanged
+    val pa = graft.operators.Knn.spread(daily).as("a")
+      .join(daily.as("b"), col("a.day") < col("b.day"))
       .agg(sum(when(col("b.x") > col("a.x"), 1L)
         .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
     val ta = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
@@ -2085,7 +2088,12 @@ object SparkEntry {
     * practice). Nothing data-sized is ever sorted or checkpointed. */
   private def theilSenSlope(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyRevenue(spark, dir)
-    def slopes = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+    // spread the scan side: the checkpointed daily table is ONE partition
+    // (AQE-coalesced aggregate output), so both calendar-pair BNL passes
+    // otherwise run single-task (the Knn.spread rationale). Downstream is
+    // a histogram + integer selection — order-free, values unchanged.
+    val dailyA = graft.operators.Knn.spread(daily)
+    def slopes = dailyA.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
       .select(((col("b.x") - col("a.x")) * lit(1000000L)).as("num"),
         datediff(col("b.day"), col("a.day")).cast("long").as("dd"))
       // greatest(dd, 1) never changes a real pair (a.day < b.day ⇒ dd ≥ 1);
@@ -6279,13 +6287,19 @@ object SparkEntry {
     val unit = unitVectors(Knn.spread(vecs))
     val asQueries = unit.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => -x).as("q_embedding"))
+    // kernel in a PROJECTION between join and aggregate (r12): the
+    // ObjectHashAggregate boundary then carries (query_id, vec_id, dist)
+    // instead of both 64-float embeddings, and the dot fold runs inside
+    // the whole-stage-codegen'd join stage. Same expression ⇒ same
+    // doubles ⇒ same heap order. Measured 2x (CosKernelAB variant D vs C).
     val topk = graft.functions.GraftFunctions.topKByDist(
-      col("vec_id"),
-      graft.functions.VectorFunctions.dot(col("q_embedding"), col("embedding")),
-      degree + 1)
+      col("vec_id"), col("dist"), degree + 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
     unit
       .crossJoin(broadcast(asQueries))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot(col("q_embedding"), col("embedding"))
+          .as("dist"))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
@@ -6329,15 +6343,15 @@ object SparkEntry {
         .select(col("query_id").as("vec_id"), col("cid"))
       val unit = unitVectors(Knn.spread(base))
       val nodes = cells.join(unit, Seq("vec_id")).localCheckpoint()
+      // kernel in a projection, not the agg child — see [[cosineAdjacency]]
       val topk = graft.functions.GraftFunctions.topKByDist(
-        col("cand_id"),
-        -graft.functions.VectorFunctions.dot(col("n_emb"), col("c_emb")),
-        GraphDegree)
+        col("cand_id"), col("dist"), GraphDegree)
       nodes.alias("na")
         .join(nodes.alias("nb"), col("na.cid") === col("nb.cid"))
         .filter(col("na.vec_id") =!= col("nb.vec_id"))
         .select(col("na.vec_id").as("node_id"), col("nb.vec_id").as("cand_id"),
-          col("na.embedding").as("n_emb"), col("nb.embedding").as("c_emb"))
+          (-graft.functions.VectorFunctions.dot(
+            col("na.embedding"), col("nb.embedding"))).as("dist"))
         .groupBy(col("node_id"))
         .agg(topk.as("nn"))
         .select(col("node_id"), explode(col("nn")).as("neighbor_id"))
@@ -6561,15 +6575,15 @@ object SparkEntry {
         .select(col("query_id").as("vec_id"), col("cid"))
       val unit = unitVectors(Knn.spread(zv))
       val nodes = cells.join(unit, Seq("vec_id")).localCheckpoint()
+      // kernel in a projection, not the agg child — see [[cosineAdjacency]]
       val topk = graft.functions.GraftFunctions.topKByDist(
-        col("cand_id"),
-        -graft.functions.VectorFunctions.dot(col("n_emb"), col("c_emb")),
-        GraphDegree)
+        col("cand_id"), col("dist"), GraphDegree)
       nodes.alias("na")
         .join(nodes.alias("nb"), col("na.cid") === col("nb.cid"))
         .filter(col("na.vec_id") =!= col("nb.vec_id"))
         .select(col("na.vec_id").as("node_id"), col("nb.vec_id").as("cand_id"),
-          col("na.embedding").as("n_emb"), col("nb.embedding").as("c_emb"))
+          (-graft.functions.VectorFunctions.dot(
+            col("na.embedding"), col("nb.embedding"))).as("dist"))
         .groupBy(col("node_id"))
         .agg(topk.as("nn"))
         .select(col("node_id"), explode(col("nn")).as("neighbor_id"))

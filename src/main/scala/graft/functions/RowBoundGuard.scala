@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * TOTAL row flow — a per-partition count anywhere else would
   * undercount. Always-true on healthy inputs: plans, values, and oracle
   * hashes are unchanged.
+  *
+  * The contract is surfaced at runtime (ADVICE r11): rows flowing on a
+  * partitionIndex > 0 log the per-partition weakening once per task.
+  * Logged, not thrown, because the weakening can be a healthy plan: a
+  * consumer that reads none of the window's output (a bare `count()`)
+  * lets the optimizer prune the global window entirely, and the guard
+  * then evaluates over the raw multi-partition input with nothing left
+  * to protect.
   */
 case class UnderRowBound(bound: Long, tag: String)
     extends LeafExpression with Nondeterministic with CodegenFallback {
@@ -30,11 +38,30 @@ case class UnderRowBound(bound: Long, tag: String)
   override def prettyName: String = "under_row_bound"
 
   @transient private[this] var seen: Long = 0L
+  @transient private[this] var pid: Int = 0
 
-  override protected def initializeInternal(partitionIndex: Int): Unit =
+  override protected def initializeInternal(partitionIndex: Int): Unit = {
     seen = 0L
+    pid = partitionIndex
+  }
 
   override protected def evalInternal(input: InternalRow): Any = {
+    // Placement contract surfaced at runtime (ADVICE r11's "record"
+    // option): a ROW FLOWING on partitionIndex > 0 means the guard is
+    // evaluating over a partitioned input, where the task-local count
+    // bounds only bound × numPartitions. This is NOT always a bug —
+    // when nothing downstream reads the window's output (e.g. a bare
+    // `count()`, the bench's timed action) the optimizer legitimately
+    // PRUNES the global window and the guard then sits over the raw
+    // multi-partition input with nothing left to protect — so the
+    // weakening is logged once per task, not failed: a real misplaced
+    // call site shows up in the logs of every run, while pruned-window
+    // plans (and the bench) keep working.
+    if (seen == 0L && pid > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[window-guard:$tag] rows flowing on partition $pid — bound " +
+          s"$bound is per-partition here (window pruned, or guard not " +
+          "above a single-partition window)")
     seen += 1
     if (seen > bound)
       throw new IllegalStateException(

@@ -303,14 +303,28 @@ object GraphIndex {
     // 3^hops-node logical plan — at hops=3 over an adjacency that is
     // itself a query (e.g. insert-into-NND), analysis alone costs
     // seconds per action. The checkpoint truncates each hop to a
-    // LogicalRDD leaf of ≤ beam·|queries| rows.
-    val (_, visited) = (1 to hops).foldLeft((seeds.localCheckpoint(), seeds)) {
+    // LogicalRDD leaf of ≤ beam·|queries| rows. LAZY (eager=false, r12):
+    // the plan is truncated either way, but materialization folds into
+    // the next hop's job instead of paying a scheduling round per hop —
+    // and the FINAL hop's beam (discarded by the fold; only `visited`
+    // survives) is never materialized at all, saving one aggregate job
+    // per search.
+    //
+    // The beam side of the expansion join carries an explicit broadcast
+    // (r12): both beam and adjacency are LogicalRDD leaves with no size
+    // stats, so the planner fell back to a SortMergeJoin that EXCHANGED
+    // BOTH SIDES every hop — 2 shuffles + sorts per hop of which the
+    // adjacency side is |base|·degree rows at scale. The beam is
+    // O(|queries|·beam) — the query side, small by the same contract that
+    // broadcasts `queries` in score() — so broadcasting it turns each hop
+    // into a shuffle-free hash probe of the adjacency (guide §3.1).
+    val (_, visited) = (1 to hops).foldLeft((seeds.localCheckpoint(false), seeds)) {
       case ((beamDf, vis), _) =>
-        val expanded = beamDf.alias("bm")
+        val expanded = broadcast(beamDf.alias("bm"))
           .join(adj.alias("ad"), col("bm.vec_id") === col("ad.node_id"))
           .select(col("bm.query_id").as("query_id"), col("ad.neighbor_id").as("vec_id"))
         val cand = beamDf.union(expanded)
-        (topOf(score(cand), beam).localCheckpoint(), vis.union(cand))
+        (topOf(score(cand), beam).localCheckpoint(false), vis.union(cand))
     }
     val topk = topKByDist(col("vec_id"), col("dist"), k)
     val rerankSet = allowed match {

@@ -90,13 +90,21 @@ object IvfFlat {
     assign(base.select(col("vec_id"), quantize(col("embedding")).as("qv")), cs)
       .select(col("vec_id"), col("cid"))
 
-  /** Nearest-centroid assignment, ties by cid. */
-  private[index] def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    scored(bq, cs).withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"))
-  }
+  /** Nearest-centroid assignment, ties by cid — computed in ONE
+    * projection like [[probeCells]] (nprobe=1 without the explode):
+    * score every centroid literal inside a `transform`, `array_sort` the
+    * (dist, cid) structs, keep the head. Identical winner to the window
+    * formulation (struct sort is lexicographic: dist, then cid), with NO
+    * shuffle — the r11 shape exploded n·nlist rows each carrying the
+    * full qv and shuffled them through a per-vec_id window, a full pass
+    * of the quantized corpus per Lloyd iteration at any scale (guide
+    * §2.4: remove shuffles outright). */
+  private[index] def assign(bq: DataFrame, cs: Array[Array[Long]]): DataFrame =
+    bq.select(col("vec_id"), col("qv"),
+      element_at(array_sort(transform(centroidLits(cs),
+          c => struct(l2sq(col("qv"), c.getField("cvec")).as("dist"),
+            c.getField("cid").as("cid")))), 1)
+        .getField("cid").as("cid"))
 
   /** One Lloyd step: integer mean per (cluster, dim), rounded back to the
     * grid with floor(s/cnt + ½) = (2s + cnt) floordiv 2cnt — computed

@@ -72,17 +72,21 @@ object PqFlat {
       .select(col("vec_id"), col("sub_id"),
         expr(s"slice(qv, sub_id * $dsub + 1, $dsub)").as("sv"))
 
-  /** Nearest-centroid assignment within each subspace, ties by cid. */
-  private def assign(rows: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(col("dist"), col("cid"))
+  /** Nearest-centroid assignment within each subspace, ties by cid —
+    * the winner is `min(struct(dist, cid))` per (vec_id, sub_id): struct
+    * ordering is lexicographic, so the minimum is exactly the window
+    * formulation's (dist, cid) head row. A hash aggregate does PARTIAL
+    * map-side combining, so the exchange carries n·m winner rows instead
+    * of the join's n·m·ksub fan-out through a sort-window (guide §2.3:
+    * aggregate before you shuffle); `sv` rides in the group key (it is
+    * functionally dependent on (vec_id, sub_id)). */
+  private def assign(rows: DataFrame, centroids: DataFrame): DataFrame =
     rows.join(centroids, Seq("sub_id"))
-      .select(col("vec_id"), col("sub_id"), col("sv"), col("cid"),
-        l2sq(col("sv"), col("cvec")).as("dist"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("sub_id"), col("sv"), col("cid"))
-  }
+      .select(col("vec_id"), col("sub_id"), col("sv"),
+        struct(l2sq(col("sv"), col("cvec")).as("dist"), col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("sub_id"), col("sv"))
+      .agg(min(col("dc")).as("w"))
+      .select(col("vec_id"), col("sub_id"), col("sv"), col("w.cid").as("cid"))
 
   /** One Lloyd step over every subspace at once: exact integer mean per
     * (sub_id, cid, pos), floor-div rounded; empty cells keep their

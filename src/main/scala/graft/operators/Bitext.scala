@@ -128,7 +128,10 @@ object Bitext {
     * asc)). */
   private def topIds(scanSide: DataFrame, bcastSide: DataFrame, scanId: String,
       bcastId: String, scanEmb: String, bcastEmb: String, m: Int): DataFrame =
-    scanSide.crossJoin(broadcast(bcastSide))
+    // spread the scan side (r12): the fixture embeddings parquet is one
+    // split, so the O(|scan|·|bcast|) cosine pass otherwise runs in a
+    // single task (the Knn.spread rationale; heap output is order-free)
+    graft.operators.Knn.spread(scanSide).crossJoin(broadcast(bcastSide))
       .select(col(bcastId), col(scanId),
         cosQ(col(bcastEmb), col(scanEmb)).as("cq"))
       .groupBy(col(bcastId))

@@ -196,15 +196,26 @@ object Knn {
     * Stays on the FUSED [[cosine]] kernel on purpose: an r9 A/B tried
     * precomputing per-row norms and scoring dot/(‖q‖·‖b‖) — bit-identical
     * math, one loop per pair instead of three — and it was SLOWER (7.2 vs
-    * 5.2 s warm on the sf0.1 all-pairs build): the bounded-heap aggregate
-    * evaluates its dist child through interpreted projection, so a 4-node
-    * composed tree (neg∘div∘mul + dot) costs more per pair in dispatch
-    * than the two redundant norm loops cost in arithmetic. One fused
-    * kernel node is the fast shape here. */
+    * 5.2 s warm on the sf0.1 all-pairs build): a 4-node composed tree
+    * (neg∘div∘mul + dot) costs more per pair in dispatch than the two
+    * redundant norm loops cost in arithmetic. One fused kernel node is
+    * the fast shape here. (r12: the kernel now runs in a projection
+    * before the aggregate — see the plan note in the body — but the
+    * fused-vs-composed tradeoff is unchanged.) */
   def cosineTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
-    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), -cosine(col("q_embedding"), col("embedding")), k)
+    // kernel in a PROJECTION between join and aggregate (r12, the rankTop
+    // shape): ObjectHashAggregate does not join whole-stage codegen, so a
+    // kernel in the agg child is evaluated through the aggregate's own
+    // projection over boundary rows that still carry BOTH embeddings
+    // (~520 B/pair); projecting (query_id, vec_id, dist) first runs the
+    // fold inside the codegen'd join stage and shrinks the boundary row
+    // to 24 B. Same expression tree, same doubles, same heap order —
+    // measured 2x on the all-pairs cosine build (CosKernelAB variant D).
+    val topk = graft.functions.GraftFunctions.topKByDist(col("vec_id"), col("dist"), k)
     spread(base)
       .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        (-cosine(col("q_embedding"), col("embedding"))).as("dist"))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
@@ -248,10 +259,13 @@ object Knn {
     * scorers. Same plan shape as [[cosineTopK]]: negated score through
     * the bounded-heap aggregate. */
   def mipsTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    // kernel in a projection, not the agg child — see [[cosineTopK]]
     val topk = graft.functions.GraftFunctions.topKByDist(
-      col("vec_id"), -dot(col("q_embedding"), col("embedding")), k)
+      col("vec_id"), col("dist"), k)
     spread(base)
       .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        (-dot(col("q_embedding"), col("embedding"))).as("dist"))
       .groupBy(col("query_id"))
       .agg(topk.as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))

@@ -85,8 +85,13 @@ object LateInteraction {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     // collect_list order varies with partitioning, but MaxSim is a
-    // max/sum over the bags — bag-order-free, so the score is exact
-    dBag.crossJoin(broadcast(qBag))
+    // max/sum over the bags — bag-order-free, so the score is exact.
+    // spread the scan side (r12): the doc-bag aggregate coalesces to one
+    // partition at fixture scale, so the |Q|·|docs| MaxSim kernel scan —
+    // this operator's whole cost — otherwise runs single-task (the
+    // Knn.spread rationale; one O(|docs|) reshuffle amortized against
+    // the quadratic scan at any scale)
+    graft.operators.Knn.spread(dBag).crossJoin(broadcast(qBag))
       .select(col("query_id"), col("doc_id"),
         graft.functions.GraftFunctions.maxSimScore(col("qvecs"), col("dvecs")).as("score"))
       .filter(col("query_id") =!= col("doc_id"))

@@ -74,6 +74,19 @@ object CosKernelAB {
       .agg(topKByDist(col("vec_id"), dot(col("q_embedding"), col("embedding")), 17).as("nn"))
       .select(col("query_id"), explode(col("nn")).as("neighbor_id"))
     time("C_unitF_negq_dot", cDf)
+    // D: same math as C, but the kernel is evaluated in a PROJECTION
+    // between the join and the aggregate (the rankTop shape): the dot
+    // runs inside the whole-stage-codegen'd join stage and the
+    // ObjectHashAggregate boundary materializes (query_id, vec_id, dist)
+    // — 24 B/pair — instead of rows carrying both 64-float embeddings
+    // (~520 B/pair) evaluated through the agg's own projection.
+    val dDf = unitFPos.crossJoin(broadcast(negQ))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("q_embedding"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topKByDist(col("vec_id"), col("dist"), 17).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("neighbor_id"))
+    time("D_unitF_negq_dot_proj", dDf)
     spark.stop()
   }
 }

@@ -58,12 +58,21 @@ object StreamFloorAB {
       println(f"$label%-28s min=${ts.min}%.3f median=${ts.sorted.apply(2)}%.3f max=${ts.max}%.3f")
     }
 
-    new java.io.File("/tmp/graft_floor_ab").mkdirs()
-    new java.io.File("/dev/shm/graft_floor_ab").mkdirs()
-    reps("stateless ext4-ckpt", "/tmp/graft_floor_ab", stateful = false)
-    reps("stateless tmpfs-ckpt", "/dev/shm/graft_floor_ab", stateful = false)
-    reps("stateful  ext4-ckpt", "/tmp/graft_floor_ab", stateful = true)
-    reps("stateful  tmpfs-ckpt", "/dev/shm/graft_floor_ab", stateful = true)
+    // per-run checkpoint roots, deleted in finally: leaking them under
+    // /dev/shm accumulates RAM-backed tmpfs across repeated A/B runs,
+    // which can itself skew later bench draws on the same box (ADVICE r11)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    val roots = Seq("/tmp/graft_floor_ab", "/dev/shm/graft_floor_ab")
+    try {
+      roots.foreach(r => new java.io.File(r).mkdirs())
+      reps("stateless ext4-ckpt", roots(0), stateful = false)
+      reps("stateless tmpfs-ckpt", roots(1), stateful = false)
+      reps("stateful  ext4-ckpt", roots(0), stateful = true)
+      reps("stateful  tmpfs-ckpt", roots(1), stateful = true)
+    } finally roots.foreach(r => rmTree(new java.io.File(r)))
     spark.stop()
   }
 }

@@ -271,6 +271,44 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bench machine-state index: ref set, normalized totals (r12 protocol)") {
+    // every reference query must exist in the registry — a renamed query
+    // would silently drop the index from the JSON
+    Bench.RefQueries.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"ref query $q not registered"))
+    // all-positive draw: ref fields present and the normalization is the
+    // committed-baseline ratio over BOTH bases
+    val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (k, i) => (k, 0.001 * (i % 997) + 0.5, 0.001 * (i % 997) + 1.0)
+    }
+    val full = Bench.fullLine(results, "/root/testdata/sf0.1")
+    val refDraw = Bench.RefQueries
+      .map(q => results.find(_._1 == q).get._2).sum
+    val cold = results.map(_._3).sum
+    val tmin = results.map(_._2).sum
+    assert(full.contains(s""""value_min":${Bench.fmt(tmin)}"""))
+    assert(full.contains(s""""ref_draw":${Bench.fmt(refDraw)}"""))
+    assert(full.contains(s""""ref_baseline":${Bench.fmt(Bench.RefBaselineSec)}"""))
+    assert(full.contains(
+      s""""value_normalized":${Bench.fmt(cold * Bench.RefBaselineSec / refDraw)}"""))
+    assert(full.contains(
+      s""""value_min_normalized":${Bench.fmt(tmin * Bench.RefBaselineSec / refDraw)}"""))
+    // compact line carries the same index and stays inside the window
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"compact line too long: ${line.length}")
+    assert(line.contains("\"value_normalized\":") && line.contains("\"value_min\":"))
+    // a failed reference query poisons the ratio: ref fields must vanish,
+    // value_min must stay
+    val broken = results.map {
+      case (k, _, _) if k == Bench.RefQueries.head => (k, -1.0, -1.0)
+      case r => r
+    }
+    val fullBroken = Bench.fullLine(broken, "/root/testdata/sf0.1")
+    assert(!fullBroken.contains("\"ref_draw\":") &&
+      !fullBroken.contains("\"value_normalized\":"))
+    assert(fullBroken.contains("\"value_min\":"))
+  }
+
   test("every DataFrame artifact cache goes through namedArtifactCache (registry lint)") {
     // resetArtifactCaches and the bench artifact ledger enumerate the
     // registry; a cache created via a bare TrieMap.empty would be
